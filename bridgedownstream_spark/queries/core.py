@@ -1,0 +1,676 @@
+"""Core query surface — every scan/filter/join/agg/window/set-op/scalar
+operator family from SURVEY.md §2, expressed over the synthetic testdata
+tables, each with a DuckDB oracle twin.
+
+Naming discipline: every computed column is aliased identically in the Spark
+plan and the oracle SQL (the driver's compare sorts columns by name).
+Floating-point aggregates are rounded to 2 decimals on both sides so
+accumulation order can't flip the value hash. Timestamps are rendered as
+microsecond strings (see util.ts_str) to sidestep tz-aware vs tz-naive
+metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bridgedownstream_spark.operators import relationalize
+from bridgedownstream_spark.queries.util import TS_STR, tbl, ts_str
+
+QUERIES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4) — flagship pricing summary (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 2)                                        AS avg_qty,
+           round(avg(l_extendedprice), 2)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "projection_pushdown",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00'
+    """,
+)
+def projection_pushdown(spark, sf_dir):
+    # P1/S6: column-pruned scan with a pushed-down predicate
+    # (reference: bootstrap_trigger.py:121-143 reads parquet with columns=[...]).
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") < F.lit("1995-06-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@q(
+    "distinct_projection",
+    "SELECT DISTINCT o_custkey, o_orderpriority FROM orders",
+)
+def distinct_projection(spark, sf_dir):
+    # P2/A1: parent-index projection + distinct (json_s3_to_parquet.py:151-155)
+    return tbl(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority").distinct()
+
+
+@q(
+    "conjunctive_filter",
+    """
+    SELECT event_id, user_id, round(value, 2) AS value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 100 AND props IS NOT NULL
+    """,
+)
+def conjunctive_filter(spark, sf_dir):
+    # P4: conjunctive predicates + null guard (etl-408/etl_408.py:147-150)
+    return (
+        tbl(spark, sf_dir, "events")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") > 100)
+            & F.col("props").isNotNull()
+        )
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+    )
+
+
+@q(
+    "membership_filter",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    """,
+)
+def membership_filter(spark, sf_dir):
+    # P5: IN-list predicate (get_representative_sample.py:56-58)
+    return (
+        tbl(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@q(
+    "prefix_filter",
+    """
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE p_name LIKE 'small%' AND p_type LIKE '%ECO%'
+    """,
+)
+def prefix_filter(spark, sf_dir):
+    # P6/F10: startswith + contains on keys (etl-437/main.py:62-72)
+    return (
+        tbl(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("small") & F.col("p_type").contains("ECO"))
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "join_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def join_revenue_by_nation(spark, sf_dir):
+    # J1/J5: fact⋈dims star join; every dim is broadcast (no shuffle of the
+    # fact table except the final groupBy) — the 100 TB plan: one shuffle.
+    li, o = tbl(spark, sf_dir, "lineitem"), tbl(spark, sf_dir, "orders")
+    c, n, r = (tbl(spark, sf_dir, t) for t in ("customer", "nation", "region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("nation")
+    )
+
+
+@q(
+    "anti_join_missing",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def anti_join_missing(spark, sf_dir):
+    # J2: set-diff reconciliation (bootstrap_trigger.py:226-236) — customers
+    # with no urgent order ("records not yet in the lake").
+    c, o = tbl(spark, sf_dir, "customer"), tbl(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "anti_join_union",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders
+    WHERE o_orderkey NOT IN (
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        UNION
+        SELECT l_orderkey FROM lineitem WHERE l_tax > 0.07
+    )
+    """,
+)
+def anti_join_union(spark, sf_dir):
+    # J3: anti-join vs union of two key sets (bootstrap_trigger.py:237-246)
+    o, li = tbl(spark, sf_dir, "orders"), tbl(spark, sf_dir, "lineitem")
+    keys = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .union(li.where(F.col("l_tax") > 0.07).select("l_orderkey"))
+    )
+    return (
+        o.join(keys, o.o_orderkey == keys.l_orderkey, "left_anti")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@q(
+    "semi_join_exists",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45
+    )
+    """,
+)
+def semi_join_exists(spark, sf_dir):
+    o, li = tbl(spark, sf_dir, "orders"), tbl(spark, sf_dir, "lineitem")
+    return o.join(
+        li.where(F.col("l_quantity") >= 45), o.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Window-shaped operators (SURVEY §2.4 A2/A3, §2.5) and sorts/top-k (§2.6)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_latest",
+    f"""
+    SELECT user_id, {TS_STR.format(col="ts")} AS latest_ts, event_type,
+           round(value, 2) AS value, event_id
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def dedup_latest(spark, sf_dir):
+    # A2 dedup-latest: "only use the most recently exported record"
+    # (bootstrap_trigger.py:222-225). Deterministic tiebreak on event_id.
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        tbl(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            ts_str("ts").alias("latest_ts"),
+            "event_type",
+            F.round("value", 2).alias("value"),
+            "event_id",
+        )
+    )
+
+
+@q(
+    "sample_per_group",
+    """
+    SELECT event_type, event_id, user_id FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY event_type
+        ORDER BY (event_id * 2654435761) % 4294967296, event_id
+    ) = 1
+    """,
+)
+def sample_per_group(spark, sf_dir):
+    # A3 representative sample: the reference shuffles then keeps one row per
+    # appVersion (get_representative_sample.py:61-65). A seeded Knuth-hash
+    # order replaces rand() so the pick is deterministic and oracle-checkable.
+    h = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = W.partitionBy("event_type").orderBy(h, "event_id")
+    return (
+        tbl(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", "event_id", "user_id")
+    )
+
+
+@q(
+    "reconcile_counts",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_value,
+           round(max(value), 2) AS max_value,
+           round(min(value), 2) AS min_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def reconcile_counts(spark, sf_dir):
+    # A4/A5/A6/A7: the count / count-distinct reconciliation report
+    # (etl-245/main.py:29-63).
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "group_collect",
+    """
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def group_collect(spark, sf_dir):
+    # A8 group-accumulate (sns_to_glue/app.py:26-45); sorted for determinism.
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "top_k_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           CAST(rn AS INT) AS rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+        ) AS rn FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def top_k_per_group(spark, sf_dir):
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        tbl(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "rn",
+        )
+    )
+
+
+@q(
+    "running_total",
+    f"""
+    SELECT user_id, event_id, {TS_STR.format(col="ts")} AS ts,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_value
+    FROM events WHERE user_id < 50
+    """,
+)
+def running_total(spark, sf_dir):
+    # Window frame (beyond the reference's needs; §2.5 notes frames unused —
+    # we support them anyway as a first-class window surface).
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tbl(spark, sf_dir, "events")
+        .where(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_id",
+            ts_str("ts").alias("ts"),
+            F.round(F.sum("value").over(w), 2).alias("running_value"),
+        )
+    )
+
+
+@q(
+    "asof_closest",
+    """
+    SELECT l_orderkey, strftime(l_shipdate, '%Y-%m-%d %H:%M:%S.%f') AS first_ship,
+           l_linenumber
+    FROM lineitem
+    QUALIFY row_number() OVER (
+        PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber
+    ) = 1
+    """,
+)
+def asof_closest(spark, sf_dir):
+    # P3 closest-match lookup (s3_to_json_s3.py:230-248): argmin over an
+    # ordered candidate set per key — the reference's only as-of semantic.
+    w = W.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", ts_str("l_shipdate").alias("first_ship"), "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops (§2.7), rollup/pivot, scalar functions (§2.8)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "union_distinct",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def union_distinct(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .union(c.where(F.col("c_acctbal") > 9000).select("c_custkey"))
+        .distinct()
+    )
+
+
+@q(
+    "intersect_keys",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def intersect_keys(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = o.where(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersect(low)
+
+
+@q(
+    "rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+@q(
+    "pivot_daily_events",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def pivot_daily_events(spark, sf_dir):
+    types = ["click", "view", "purchase", "signup", "error"]
+    df = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .count()
+    )
+    # pivot leaves NULL where a (day, type) combo is absent; the oracle's
+    # FILTER counts yield 0 — normalize.
+    return df.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    ).orderBy("day")
+
+
+@q(
+    "scalar_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)        AS order_year,
+           CAST(month(o_orderdate) AS INT)       AS order_month,
+           CAST(day(o_orderdate) AS INT)         AS order_day,
+           lower(o_orderpriority)                AS priority_lower,
+           CAST(string_split(o_orderpriority, '-')[1] AS INT) AS priority_num,
+           substr(o_orderstatus, 1, 1)           AS status_char,
+           CAST(floor(o_totalprice) AS BIGINT)   AS price_floor,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_priority
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def scalar_functions(spark, sf_dir):
+    # F1 (date parts), F3 (split), F5 (lower), F7 (substring), F11 (casts),
+    # plus concat — the reference's scalar-function surface in one projection.
+    o = tbl(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.lower("o_orderpriority").alias("priority_lower"),
+        F.split("o_orderpriority", "-").getItem(0).cast("int").alias("priority_num"),
+        F.substring("o_orderstatus", 1, 1).alias("status_char"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+    )
+
+
+@q(
+    "case_when_routing",
+    """
+    SELECT CASE WHEN event_type = 'purchase' THEN 'revenue'
+                WHEN event_type = 'signup'   THEN 'growth'
+                ELSE 'engagement' END AS category,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def case_when_routing(spark, sf_dir):
+    # F6 conditional rewrite (s3_to_json_s3.py:152-154 filename rewrite).
+    cat = (
+        F.when(F.col("event_type") == "purchase", "revenue")
+        .when(F.col("event_type") == "signup", "growth")
+        .otherwise("engagement")
+    )
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy(cat.alias("category"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("category")
+    )
+
+
+@q(
+    "json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           count(*) AS n, count(DISTINCT user_id) AS n_users
+    FROM events WHERE props IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def json_extract(spark, sf_dir):
+    # F9 JSON parse of message bodies (sns_to_glue/app.py:28-29).
+    return (
+        tbl(spark, sf_dir, "events")
+        .where(F.col("props").isNotNull())
+        .groupBy(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relationalize through the SQL oracle (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+def _nested_orders(spark, sf_dir):
+    """Build a BridgeDownstream-shaped nested table from real testdata:
+    one record per order, a struct column and an array<struct> column."""
+    o = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "l_partkey", "l_quantity"))
+        ).alias("items")
+    )
+    return o.join(items, o.o_orderkey == items.l_orderkey, "inner").select(
+        F.col("o_orderkey").cast("string").alias("recordid"),
+        F.struct("o_orderstatus", "o_orderpriority").alias("meta"),
+        "items",
+    )
+
+
+@q(
+    "relationalize_root",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS recordid,
+           o_orderstatus  AS meta_o_orderstatus,
+           o_orderpriority AS meta_o_orderpriority
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def relationalize_root(spark, sf_dir):
+    # N3 struct-flatten path: the root table of relationalize(), minus the
+    # surrogate-key column (engine-internal, not SQL-expressible).
+    tables = relationalize(_nested_orders(spark, sf_dir), "rec", key_cols=("recordid",))
+    return tables["rec"].select("recordid", "meta_o_orderstatus", "meta_o_orderpriority")
+
+
+@q(
+    "relationalize_child",
+    """
+    SELECT CAST(row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_quantity
+           ) - 1 AS INT)                    AS index,
+           l_linenumber, l_partkey,
+           round(l_quantity, 2)             AS l_quantity,
+           CAST(l_orderkey AS VARCHAR)      AS recordid
+    FROM lineitem
+    """,
+)
+def relationalize_child(spark, sf_dir):
+    # N3/N4 array-explode path: the child table (id omitted — surrogate ids
+    # are deterministic but engine-defined; index/values/keys are the
+    # SQL-checkable contract).
+    tables = relationalize(_nested_orders(spark, sf_dir), "rec", key_cols=("recordid",))
+    child = tables["rec_items"]
+    return child.select(
+        "index",
+        "l_linenumber",
+        "l_partkey",
+        F.round("l_quantity", 2).alias("l_quantity"),
+        "recordid",
+    )

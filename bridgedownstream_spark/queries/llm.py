@@ -1,0 +1,199 @@
+"""LLM-training-data pipeline operators over the ``documents`` and
+``embeddings`` tables: dedup, text analysis, fingerprinting.
+
+These go beyond the reference's own surface (BASELINE.json north star): the
+operations a 100 TB training-data pipeline needs, built on the same engine.
+All text math uses only engine-portable primitives (md5, regex, array
+lambdas) so every operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bridgedownstream_spark.queries.util import HASH60, tbl
+
+QUERIES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# Normalization used by dedup/fingerprint: lowercase + collapse whitespace.
+_NORM_SPARK = lambda c: F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))  # noqa: E731
+_NORM_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+
+
+@q(
+    "exact_dedup",
+    f"""
+    SELECT md5({_NORM_SQL.format(c="text")}) AS fingerprint,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized text, keep lowest doc_id.
+
+    Scale path: the groupBy key is the 128-bit digest, not the document body,
+    so the shuffle moves ~32 bytes/row regardless of document size.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(_NORM_SPARK(F.col("text"))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@q(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5({_NORM_SQL.format(c="text")}) AS fingerprint,
+           {HASH60.format(x=_NORM_SQL.format(c="text"))} AS fingerprint60
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: full digest + 60-bit engine-portable hash."""
+    d = tbl(spark, sf_dir, "documents")
+    norm = _NORM_SPARK(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint").alias("fingerprint60"),
+    )
+
+
+@q(
+    "token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(list_distinct(string_split(trim(text), ' '))) AS INT) AS n_unique_tokens,
+           round(CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+                 / len(string_split(trim(text), ' ')), 4) AS ttr
+    FROM documents
+    """,
+)
+def token_stats(spark, sf_dir):
+    """Token counting + type-token ratio (quality signal)."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    uniq = F.array_distinct(toks)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.size(uniq).alias("n_unique_tokens"),
+        F.round(F.size(uniq).cast("double") / F.size(toks), 4).alias("ttr"),
+    )
+
+
+#: tiny stopword lists per language for the n-gram/stopword language-ID
+#: heuristic. Deliberately simple — the operator shape (score per language,
+#: argmax) is what matters, not lexicon quality.
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "y"],
+}
+
+
+def _langid_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), t -> list_contains([{words}], t)))"
+    )
+
+
+@q(
+    "language_id",
+    f"""
+    SELECT doc_id,
+           CASE
+             WHEN {_langid_score_sql("de")} >= {_langid_score_sql("en")}
+              AND {_langid_score_sql("de")} >= {_langid_score_sql("fr")}
+              AND {_langid_score_sql("de")} >= {_langid_score_sql("es")}
+              AND {_langid_score_sql("de")} > 0 THEN 'de'
+             WHEN {_langid_score_sql("fr")} >= {_langid_score_sql("en")}
+              AND {_langid_score_sql("fr")} >= {_langid_score_sql("es")}
+              AND {_langid_score_sql("fr")} > 0 THEN 'fr'
+             WHEN {_langid_score_sql("es")} >= {_langid_score_sql("en")}
+              AND {_langid_score_sql("es")} > 0 THEN 'es'
+             WHEN {_langid_score_sql("en")} > 0 THEN 'en'
+             ELSE 'und'
+           END AS predicted_lang
+    FROM documents
+    """,
+)
+def language_id(spark, sf_dir):
+    """Stopword-hit language ID with a fixed precedence order (de>fr>es>en)
+    so ties resolve identically in both engines."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    def score(lang: str):
+        arr = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    de, fr, es, en = score("de"), score("fr"), score("es"), score("en")
+    pred = (
+        F.when((de >= en) & (de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= en) & (fr >= es) & (fr > 0), "fr")
+        .when((es >= en) & (es > 0), "es")
+        .when(en > 0, "en")
+        .otherwise("und")
+    )
+    return d.select("doc_id", pred.alias("predicted_lang"))
+
+
+@q(
+    "quality_score",
+    """
+    SELECT doc_id,
+           round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           round(CAST(len(list_filter(string_split(lower(text), ' '),
+                       t -> list_contains(['the','a','of','and','to','is','in'], t))) AS DOUBLE)
+                 / greatest(len(string_split(lower(text), ' ')), 1), 4) AS stopword_ratio,
+           CASE WHEN length(text) BETWEEN 50 AND 5000
+                 AND len(string_split(trim(text), ' ')) >= 10
+                THEN 1 ELSE 0 END AS passes_length_gate
+    FROM documents
+    """,
+)
+def quality_score(spark, sf_dir):
+    """Quality scoring: punctuation ratio, stopword ratio, length gate —
+    the standard cheap pre-filters of a training-data pipeline."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to", "is", "in"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    punct = F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
+    return d.select(
+        "doc_id",
+        F.round(punct.cast("double") / F.greatest(F.length("text"), F.lit(1)), 4).alias(
+            "punct_ratio"
+        ),
+        F.round(
+            n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)), 4
+        ).alias("stopword_ratio"),
+        F.when(
+            F.length("text").between(50, 5000) & (F.size(F.split(F.trim(F.col("text")), " ")) >= 10),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes_length_gate"),
+    )

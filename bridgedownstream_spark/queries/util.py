@@ -1,0 +1,67 @@
+"""Shared helpers for the query surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Parquet scan → Catalyst gets pushdown/pruning.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark's
+    vectorized reader rejects; read it as raw nanos (``nanosAsLong``) and
+    truncate to microseconds — the same truncation DuckDB applies when it
+    converts TIMESTAMP_NS to its microsecond TIMESTAMP.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ts_str(col: str | Column) -> Column:
+    """Render a timestamp as a microsecond ISO string.
+
+    Both engines format identically, which sidesteps tz-aware (Spark, session
+    UTC) vs tz-naive (DuckDB) arrow metadata in the driver's value compare.
+    DuckDB twin: ``strftime(col, '%Y-%m-%d %H:%M:%S.%f')``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
+#: DuckDB twin of :func:`ts_str` — ``TS_STR.format(col="x")``
+TS_STR = "strftime({col}, '%Y-%m-%d %H:%M:%S.%f')"
+
+
+def portable_hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash computable identically in Spark and DuckDB.
+
+    Spark:  ``conv(substring(md5(x), 1, 15), 16, 10)::bigint``
+    DuckDB: ``('0x' || substr(md5(x), 1, 15))::BIGINT``
+
+    md5 is overkill cryptographically but is the one hash both engines
+    expose with identical semantics; 15 hex chars = 60 bits fits BIGINT.
+    Used by the MinHash / SimHash operators so their results are
+    oracle-checkable; xxhash64 stays the default for internal surrogate keys.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+#: DuckDB twin of :func:`portable_hash60` — ``HASH60.format(x="expr")``
+HASH60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"

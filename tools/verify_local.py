@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares: row count, column names,
+and order-insensitive values (columns sorted by name, rows sorted). Exact
+comparison for non-floats; floats must match to 1e-9 relative after the
+queries' own rounding (the driver hashes values, so any visible diff here is
+a likely hash mismatch there).
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from bridgedownstream_spark.queries import REGISTRY
+from bridgedownstream_spark.queries.util import TABLES
+from bridgedownstream_spark.session import get_spark
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    """Sort columns by name, then rows — the driver's order-insensitive view."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def key(v):
+        return (v is None, str(type(v)), str(v))
+
+    out = [tuple(r[i] for i in order) for r in rows]
+    out.sort(key=lambda r: tuple(key(v) for v in r))
+    return out
+
+
+def values_equal(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str, float]:
+    fn, oracle = REGISTRY[name]
+    t0 = time.time()
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    elapsed = time.time() - t0
+    if oracle is None:
+        return True, f"rows-only ({len(srows)} rows)", elapsed
+    ores = con.execute(oracle)
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    if sorted(scols) != sorted(ocols):
+        return False, f"COLUMNS spark={sorted(scols)} oracle={sorted(ocols)}", elapsed
+    if len(srows) != len(orows):
+        return False, f"ROWCOUNT spark={len(srows)} oracle={len(orows)}", elapsed
+    ns, no = normalize(srows, scols), normalize(orows, ocols)
+    exact_mismatch = 0
+    for i, (rs, ro) in enumerate(zip(ns, no)):
+        if not all(values_equal(a, b) for a, b in zip(rs, ro)):
+            return False, f"VALUES row {i}: spark={rs} oracle={ro}", elapsed
+        if rs != ro:
+            exact_mismatch += 1
+    note = f"{len(srows)} rows"
+    if exact_mismatch:
+        note += f" (!! {exact_mismatch} rows equal only within tolerance — driver hash may differ)"
+    return True, note, elapsed
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or list(REGISTRY)
+    spark = get_spark("verify-local")
+    con = duck_connection(sf_dir)
+    failures = 0
+    for name in names:
+        try:
+            ok, msg, elapsed = compare(name, spark, con, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            ok, msg, elapsed = False, f"EXCEPTION {type(e).__name__}: {e}", 0.0
+        status = "OK  " if ok else "FAIL"
+        print(f"{status} {name:28s} {elapsed:6.2f}s  {msg}")
+        failures += 0 if ok else 1
+    print(f"\n{len(names) - failures}/{len(names)} queries match at {sf_dir}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
