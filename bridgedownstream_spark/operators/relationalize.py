@@ -14,7 +14,7 @@ tests/test_json_s3_to_parquet.py:387-425):
 
 - **root table**: struct fields flattened to ``parent_child`` columns;
   each ``array`` column replaced by a surrogate key column of the same
-  name (BIGINT ``id`` of the child table, NULL when the array was NULL).
+  name (``id`` of the child table, NULL when the array was NULL).
 - **child table** per array field, named ``{root}_{field}`` (nested:
   ``{root}_{field}_{subfield}``, i.e. ``.val.`` → ``_`` per reference
   json_s3_to_parquet.py:211-217): columns
@@ -23,22 +23,40 @@ tests/test_json_s3_to_parquet.py:387-425):
   (reference json_s3_to_parquet.py:166-169). On flattened-name collision
   the already-present column keeps the short name and the newcomer keeps
   its path-qualified name (reference's duplicate-name guard,
-  json_s3_to_parquet.py:172-174).
+  json_s3_to_parquet.py:172-174). Two distinct array paths that flatten
+  to the same child-table name raise ``ValueError`` instead of silently
+  overwriting.
 
-Scale design — **no join, no shuffle**: the reference inherits key columns
-into children by joining each child against a ``distinct()`` parent index
-(json_s3_to_parquet.py:151-160), a shuffle per nested level. We instead
-propagate the key columns *at explode time* — the child is
-``select(id, posexplode(arr), *keys)`` so the whole tree is produced by
-narrow transformations over a single scan. The surrogate ``id`` is a
-deterministic ``xxhash64(path, *link_cols, array_value)`` rather than
-Glue's opaque transient integers, so re-runs and retries produce stable
-keys (idempotent writes remain idempotent).
+Surrogate-id semantics (Glue assigns a unique transient id per parent row,
+json_s3_to_parquet.py:151-160; ours must match that per-row uniqueness or a
+root→child join fans out):
+
+- ``unique_keys=True`` (default contract): ``key_cols`` uniquely identify
+  parent rows — exactly what the reference pipeline guarantees post
+  dedup-latest (recordid is unique in the lake). The id is then
+  ``xxhash64(table_path, *key_cols)``: row-unique, stable across runs
+  (idempotent rewrites), and **shuffle-free** — the whole table tree is
+  narrow transformations over one scan. Cheaper than hashing array bodies.
+- ``unique_keys=False``: duplicate keys are possible (pre-dedup data). A
+  per-row salt — ``row_number`` over a window partitioned by the key
+  columns, ordered by the remaining columns for determinism — is mixed
+  into the hash, making ids row-unique at the cost of one shuffle. Rows
+  that are *fully* identical are interchangeable, so the arbitrary order
+  among them cannot change any join result.
+
+Children always recurse through the fast path: their link columns
+``(id, index)`` are row-unique by construction.
+
+Id width: 64-bit ids have birthday-collision odds around a few billion
+distinct parent rows *per table path*. ``wide_ids=True`` switches the id
+columns to 128-bit md5 hex strings (collision-free for practical purposes)
+at the cost of 16 extra bytes/row and string joins; the default stays
+BIGINT for parity with the reference's integer ids.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -48,6 +66,8 @@ __all__ = ["has_nested_fields", "relationalize"]
 #: (reference: json_s3_to_parquet.py:151-155 — parent index selects
 #: [field, assessmentid, year, month, day, recordid]).
 DEFAULT_KEY_COLS = ("assessmentid", "year", "month", "day", "recordid")
+
+_SALT = "__row_salt__"
 
 
 def has_nested_fields(schema: T.StructType) -> bool:
@@ -103,41 +123,62 @@ def _flatten_structs(df: DataFrame, protected: set[str]) -> DataFrame:
         df = df.select(*cols)
 
 
-def _surrogate_id(path: str, link_cols: list[str], arr_col: str) -> Column:
-    """Deterministic surrogate key for one array column of one row.
+def _surrogate_id(path: str, link_cols: list[str], wide: bool) -> Column:
+    """Row-unique surrogate key for one array column: hash of the table
+    path plus the row-identifying link columns (see module docstring)."""
+    parts = [F.lit(path), *[F.col(c) for c in link_cols]]
+    if wide:
+        return F.md5(F.to_json(F.struct(*parts)))
+    return F.xxhash64(*parts)
 
-    Hashing (path literal, linking columns, array contents) makes the id
-    stable across runs/retries and unique per distinct parent row + value —
-    rows with identical keys *and* identical arrays share an id, which is
-    exactly the reference's semantics (its parent index is ``distinct()``-ed
-    before the child join, json_s3_to_parquet.py:151-155).
-    """
-    return F.xxhash64(F.lit(path), *[F.col(c) for c in link_cols], F.col(arr_col))
+
+def _with_row_salt(df: DataFrame, link_cols: list[str]) -> DataFrame:
+    """Add a deterministic per-row salt so ids stay unique when the link
+    columns do not identify rows. One shuffle (window); order among fully
+    identical rows is arbitrary but those rows are interchangeable."""
+    order_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in link_cols and not isinstance(f.dataType, T.MapType)
+    ]
+    if link_cols:
+        w = Window.partitionBy(*link_cols).orderBy(*(order_cols or link_cols))
+    else:
+        w = Window.partitionBy().orderBy(*order_cols)
+    return df.withColumn(_SALT, F.row_number().over(w))
 
 
 def relationalize(
     df: DataFrame,
     name: str,
     key_cols: tuple[str, ...] = DEFAULT_KEY_COLS,
+    unique_keys: bool = True,
+    wide_ids: bool = False,
 ) -> dict[str, DataFrame]:
     """Flatten ``df`` into ``{table_name: flat DataFrame}``.
 
     ``key_cols`` (those present in ``df``) are inherited by every child
-    table, appended after the element fields in the given order.
-    The root table is returned under ``name``; children under
-    ``{name}_{field}`` etc. Parent tables always sort before their children
-    (same guarantee the reference gets from ``sorted(keys)``,
-    json_s3_to_parquet.py:204).
+    table, appended after the element fields in the given order. With
+    ``unique_keys=True`` (the contract default) they must uniquely identify
+    rows of ``df``; pass ``unique_keys=False`` for pre-dedup inputs to mix
+    a per-row salt into the surrogate ids (adds one shuffle). The root
+    table is returned under ``name``; children under ``{name}_{field}``
+    etc. Parent tables always sort before their children (same guarantee
+    the reference gets from ``sorted(keys)``, json_s3_to_parquet.py:204).
     """
     present_keys = [c for c in key_cols if c in df.columns]
+    salted = not unique_keys or not present_keys
+    if salted:
+        df = _with_row_salt(df, present_keys)
     out: dict[str, DataFrame] = {}
     _relationalize_level(
         df,
         name,
-        link_cols=present_keys,
+        link_cols=present_keys + ([_SALT] if salted else []),
         inherit_cols=present_keys,
         out=out,
         is_root=True,
+        wide_ids=wide_ids,
     )
     return dict(sorted(out.items()))
 
@@ -149,6 +190,7 @@ def _relationalize_level(
     inherit_cols: list[str],
     out: dict[str, DataFrame],
     is_root: bool,
+    wide_ids: bool,
 ) -> None:
     # 1. Flatten structs (never the linking/inherited columns themselves).
     df = _flatten_structs(df, protected=set())
@@ -160,9 +202,13 @@ def _relationalize_level(
     ]
     for field in array_fields:
         child_name = f"{name}_{field}"
-        path = child_name  # unique per table ⇒ fine as the hash salt
-        sid = _surrogate_id(path, link_cols, field)
-        id_col = F.when(F.col(field).isNotNull(), sid).alias("__sid__")
+        if child_name in out:
+            raise ValueError(
+                f"relationalize: child table name collision on {child_name!r} "
+                "(two distinct array paths flatten to the same name)"
+            )
+        sid = _surrogate_id(child_name, link_cols, wide_ids)
+        id_col = F.when(F.col(field).isNotNull(), sid)
 
         elem_type = df.schema[field].dataType.elementType
         exploded = (
@@ -189,8 +235,8 @@ def _relationalize_level(
             )
 
         # Recurse: the child may itself contain structs/arrays. Its rows are
-        # linked by (id, index), which therefore join the hash inputs of any
-        # grandchild surrogate ids.
+        # linked by (id, index) — row-unique by construction, so children
+        # always take the shuffle-free fast path.
         _relationalize_level(
             child,
             child_name,
@@ -198,15 +244,12 @@ def _relationalize_level(
             inherit_cols=inherit_cols,
             out=out,
             is_root=False,
+            wide_ids=wide_ids,
         )
 
         # Parent: replace the array column with the surrogate key.
         df = df.withColumn(field, id_col)
 
-    # _relationalize_level is re-entered for children *before* the parent is
-    # stored, but children never collide with the parent key.
-    if is_root:
-        out[name] = df
-    else:
-        # Children keep contract order: id, index, fields..., inherited keys.
-        out[name] = df
+    if _SALT in df.columns:
+        df = df.drop(_SALT)
+    out[name] = df

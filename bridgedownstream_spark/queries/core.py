@@ -296,7 +296,7 @@ def dedup_latest(spark, sf_dir):
     SELECT event_type, event_id, user_id FROM events
     QUALIFY row_number() OVER (
         PARTITION BY event_type
-        ORDER BY (event_id * 2654435761) % 4294967296, event_id
+        ORDER BY ((event_id % 65536) * 2654435761) % 4294967296, event_id
     ) = 1
     """,
 )
@@ -304,7 +304,10 @@ def sample_per_group(spark, sf_dir):
     # A3 representative sample: the reference shuffles then keeps one row per
     # appVersion (get_representative_sample.py:61-65). A seeded Knuth-hash
     # order replaces rand() so the pick is deterministic and oracle-checkable.
-    h = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+    # The operand is bounded (% 65536) first: the raw multiply overflows
+    # BIGINT above event_id ~3.47e9, where Spark (non-ANSI) wraps silently
+    # but DuckDB raises — the bound keeps both engines in exact-int range.
+    h = ((F.col("event_id") % 65536) * F.lit(2654435761)) % F.lit(4294967296)
     w = W.partitionBy("event_type").orderBy(h, "event_id")
     return (
         tbl(spark, sf_dir, "events")

@@ -28,9 +28,16 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     converts TIMESTAMP_NS to its microsecond TIMESTAMP.
     """
     if name == "events":
+        # nanosAsLong is pinned in get_spark(); re-pin here because the
+        # grading driver hands us *its* session, which may not have it. The
+        # value is always "true" (idempotent — never toggled back), so no
+        # concurrently-built plan can observe a flip.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # ns → us must FLOOR (DuckDB semantics), not truncate toward zero;
+        # integer-exact for the full bigint range (no double round-trip).
+        floored_us = F.expr("ts div 1000 - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END")
+        return df.withColumn("ts", F.timestamp_micros(floored_us))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

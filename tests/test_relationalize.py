@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bridgedownstream_spark.operators import has_nested_fields, relationalize
@@ -199,6 +200,60 @@ def test_duplicate_name_guard(spark):
     assert "files_recordid" in child.columns and "recordid" in child.columns
     r = child.collect()[0]
     assert r["files_recordid"] == "inner" and r["recordid"] == "r1"
+
+
+def test_duplicate_key_parents_no_fanout(spark):
+    # ADVICE r1: two parents sharing key columns (pre-dedup duplicate export)
+    # must not share a surrogate id, or the root→child join fans out.
+    df = spark.createDataFrame(
+        [
+            ("r1", "a", [("f1",), ("f2",)]),
+            ("r1", "b", [("f1",), ("f2",)]),  # same recordid, same array
+            ("r2", "c", [("f3",)]),
+        ],
+        "recordid string, other string, files array<struct<name:string>>",
+    )
+    tables = relationalize(df, "t", key_cols=("recordid",), unique_keys=False)
+    root, child = tables["t"], tables["t_files"]
+    assert root.count() == 3  # salting must not drop rows
+    ids = [r["files"] for r in root.collect()]
+    assert len(set(ids)) == 3  # row-unique ids despite duplicate keys
+    joined = root.select(F.col("files").alias("id")).join(child, "id", "inner")
+    # each of the 3 parent rows joins to exactly its own elements: 2+2+1
+    assert joined.count() == 5
+
+
+def test_unique_keys_id_is_row_unique_and_stable(spark):
+    df = spark.createDataFrame(
+        [("r1", [("x",)]), ("r2", [("x",)])],  # identical arrays, distinct keys
+        "recordid string, files array<struct<name:string>>",
+    )
+    t1 = relationalize(df, "t", key_cols=("recordid",))["t_files"]
+    ids = {r["recordid"]: r["id"] for r in t1.collect()}
+    assert ids["r1"] != ids["r2"]
+
+
+def test_wide_ids(spark):
+    df = spark.createDataFrame(
+        [("r1", [("x",)])], "recordid string, files array<struct<name:string>>"
+    )
+    tables = relationalize(df, "t", key_cols=("recordid",), wide_ids=True)
+    assert dict(tables["t"].dtypes)["files"] == "string"
+    rid = tables["t_files"].collect()[0]["id"]
+    assert len(rid) == 32  # md5 hex
+
+
+def test_child_name_collision_raises(spark):
+    # top-level array `a_b` and nested array `b` inside array `a` both
+    # flatten to table key t_a_b — must raise, not silently overwrite.
+    schema = (
+        "recordid string, "
+        "a_b array<struct<x:string>>, "
+        "a array<struct<b:array<struct<y:string>>>>"
+    )
+    df = spark.createDataFrame([("r1", [("v",)], [([("w",)],)])], schema)
+    with pytest.raises(ValueError, match="collision"):
+        relationalize(df, "t", key_cols=("recordid",))
 
 
 def test_null_array_handling(spark):
