@@ -1,0 +1,25 @@
+"""Pipeline jobs: the two-stage lake build.
+
+- :mod:`.registry` — declared-schema dataset registry (the Glue-catalog
+  replacement; reference src/glue/resources/table_columns.yaml).
+- :mod:`.json_to_parquet` — stage 2: JSON dataset → relationalized,
+  partitioned parquet tables (reference src/glue/jobs/json_s3_to_parquet.py).
+- :mod:`.ledger` — processed-files ledger giving job-bookmark-style
+  incremental semantics (reference transformation_ctx/job.commit()).
+"""
+
+from bridgedownstream_spark.pipeline.registry import DatasetRegistry
+from bridgedownstream_spark.pipeline.json_to_parquet import (
+    conform_to_schema,
+    read_json_dataset,
+    run_json_to_parquet,
+    write_parquet_dataset,
+)
+
+__all__ = [
+    "DatasetRegistry",
+    "conform_to_schema",
+    "read_json_dataset",
+    "run_json_to_parquet",
+    "write_parquet_dataset",
+]

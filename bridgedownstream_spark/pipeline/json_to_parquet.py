@@ -1,0 +1,174 @@
+"""Stage 2: JSON dataset → relationalized, partitioned parquet tables.
+
+Spark-first re-expression of the reference's main Spark job
+(src/glue/jobs/json_s3_to_parquet.py:179-233):
+
+    catalog scan            → spark.read.schema(declared).json(basePath=…)
+    resolveChoice(match_catalog) → cast-to-declared (conform_to_schema)
+    DynamicFrame.relationalize + add_index_to_table (a join per child)
+                            → operators.relationalize (shuffle-free)
+    write_dynamic_frame parquet partitioned by assessmentid/year/month/day
+                            → df.write.partitionBy(…).parquet
+
+Scale notes: the whole job is narrow transformations over one JSON scan per
+dataset; the only shuffles are whatever the (optional) ledger anti-join
+introduces. Small JSON files are handled by ``maxPartitionBytes`` packing
+(Spark bin-packs many small files into one task — the reference needed
+``groupFiles: inPartition`` for the same effect, json_s3_to_parquet.py:73).
+Each emitted table re-scans the JSON source on write; at scale that is N
+narrow scans instead of N child⋈parent shuffles — the better trade.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bridgedownstream_spark.operators.relationalize import (
+    DEFAULT_KEY_COLS,
+    has_nested_fields,
+    relationalize,
+)
+from bridgedownstream_spark.pipeline.registry import Dataset, DatasetRegistry
+
+__all__ = [
+    "conform_to_schema",
+    "read_json_dataset",
+    "write_parquet_dataset",
+    "run_json_to_parquet",
+]
+
+
+def _conform_column(col: Column, actual: T.DataType, wanted: T.DataType) -> Column:
+    """Cast ``col`` from ``actual`` to ``wanted``, recursing into structs and
+    arrays so that missing struct fields become NULLs instead of cast
+    failures. This is the engine's ``resolveChoice(choice="match_catalog")``
+    (reference json_s3_to_parquet.py:75-78): declared types always win."""
+    if isinstance(wanted, T.StructType):
+        if not isinstance(actual, T.StructType):
+            return F.lit(None).cast(wanted)
+        actual_fields = {f.name: f.dataType for f in actual.fields}
+        inner = F.struct(
+            *[
+                _conform_column(
+                    col.getField(f.name), actual_fields[f.name], f.dataType
+                ).alias(f.name)
+                if f.name in actual_fields
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in wanted.fields
+            ]
+        )
+        return F.when(col.isNotNull(), inner)
+    if isinstance(wanted, T.ArrayType):
+        if not isinstance(actual, T.ArrayType):
+            return F.lit(None).cast(wanted)
+        return F.transform(
+            col, lambda x: _conform_column(x, actual.elementType, wanted.elementType)
+        )
+    return col.cast(wanted)
+
+
+def conform_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project ``df`` onto exactly ``schema``: declared columns in declared
+    order and declared types; missing columns materialize as NULL; undeclared
+    columns are dropped. Pure projection — no shuffle, fully codegen'd."""
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for f in schema.fields:
+        if f.name in actual:
+            cols.append(_conform_column(F.col(f.name), actual[f.name], f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def read_json_dataset(
+    spark: SparkSession,
+    json_root: str,
+    dataset: Dataset,
+    conform: bool = True,
+) -> DataFrame:
+    """Read one partitioned JSON dataset with its declared schema.
+
+    ``json_root`` is the lake root containing ``dataset=<name>/…`` dirs (the
+    stage-1 layout, reference s3_to_json_s3.py:628-639). Partition columns
+    (assessmentid/year/month/day) are resolved from the directory layout and
+    cast to their declared (string) catalog types — never read from file
+    bodies, which kills the int-in-data/string-in-partition ambiguity the
+    reference resolves with resolveChoice."""
+    path = os.path.join(json_root, f"dataset={dataset.name}")
+    df = (
+        spark.read.schema(dataset.full_schema())
+        .option("basePath", path)
+        .json(path)
+    )
+    if conform:
+        # Partition columns come from the layout already typed; conforming
+        # the full schema is still a cheap no-op projection for them and
+        # guarantees column order.
+        df = conform_to_schema(df, dataset.full_schema())
+    return df
+
+
+def write_parquet_dataset(
+    df: DataFrame,
+    parquet_root: str,
+    table_name: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "append",
+    cluster: bool = True,
+) -> str:
+    """Partitioned parquet sink (reference write_table_to_s3,
+    json_s3_to_parquet.py:81-103). Returns the table path.
+
+    ``cluster=True`` repartitions by the partition columns so each output
+    directory gets few, well-sized files instead of one sliver per task —
+    the difference between P and P×N files at N-task scale."""
+    if partition_cols is None:
+        partition_cols = [c for c in ("assessmentid", "year", "month", "day") if c in df.columns]
+    path = os.path.join(parquet_root, table_name)
+    if cluster and partition_cols:
+        df = df.repartition(*partition_cols)
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+    return path
+
+
+def run_json_to_parquet(
+    spark: SparkSession,
+    json_root: str,
+    parquet_root: str,
+    dataset_name: str,
+    registry: DatasetRegistry,
+    key_cols: tuple[str, ...] = DEFAULT_KEY_COLS,
+    mode: str = "append",
+    source_df: DataFrame | None = None,
+) -> dict[str, str]:
+    """The stage-2 job for one dataset: read → conform → relationalize (if
+    nested) → write each table as partitioned parquet. Returns
+    ``{table_name: parquet_path}`` for every table written.
+
+    ``source_df`` overrides the JSON read (used by the incremental ledger to
+    pass a pre-filtered frame); it must already carry the partition columns.
+    """
+    ds = registry[dataset_name]
+    df = source_df if source_df is not None else read_json_dataset(spark, json_root, ds)
+
+    # Empty-input skip (reference json_s3_to_parquet.py:197,225): cheap
+    # single-partition probe, not a full count.
+    if df.isEmpty():
+        return {}
+
+    written: dict[str, str] = {}
+    if has_nested_fields(df.schema):
+        tables = relationalize(df, dataset_name, key_cols=key_cols)
+        for name, table in tables.items():
+            written[name] = write_parquet_dataset(table, parquet_root, name, mode=mode)
+    else:
+        written[dataset_name] = write_parquet_dataset(df, parquet_root, dataset_name, mode=mode)
+    return written

@@ -1,9 +1,193 @@
-"""ETL-pipeline-shaped queries (stage-1/stage-2 semantics over testdata).
+"""ETL-pipeline queries: the stage-1 sink → stage-2 job → parquet lake path
+exercised end-to-end over real testdata, oracle-checked against the source
+tables.
 
-Grows as the ingest/relationalize pipeline modules land; non-SQL-expressible
-entries register a None oracle (driver falls back to a rows-only check).
+Each query builds a BridgeDownstream-shaped nested dataset from
+orders ⋈ lineitem (record per order: struct + array<struct> + partition
+columns), writes it through the partitioned NDJSON sink (S4), runs the
+stage-2 json→parquet job (S2/N2/N3/S5), and reads the resulting lake table
+back. The DuckDB oracle recomputes the same result straight from the source
+tables — so a pass certifies the whole write→relationalize→read cycle, not
+just a projection.
+
+The pipeline output is built once per (process, sf_dir) and cached: the
+lake lives under /tmp keyed by sf, and queries after the first just read it.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bridgedownstream_spark.pipeline import DatasetRegistry, run_json_to_parquet
+from bridgedownstream_spark.queries.util import tbl
+from bridgedownstream_spark.sources import write_ndjson_dataset
+
 QUERIES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+#: keep every 20th order so the e2e rebuild stays cheap at bench scale
+_SAMPLE = 20
+
+_REGISTRY = DatasetRegistry(
+    {
+        "tables": {
+            "rec_v1": {
+                "columns": [
+                    {"Name": "recordid", "Type": "string"},
+                    {"Name": "meta", "Type": "struct<o_orderstatus:string,o_orderpriority:string>"},
+                    {
+                        "Name": "items",
+                        "Type": "array<struct<l_linenumber:int,l_partkey:bigint,l_quantity:double>>",
+                    },
+                ]
+            }
+        }
+    }
+)
+
+#: (sf_dir) -> {table_name: parquet_path} for the already-built lake
+_BUILT: dict[str, dict[str, str]] = {}
+
+_ORACLE_SOURCE = f"""
+    FROM orders o
+    WHERE o_orderkey % {_SAMPLE} = 0
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+def _read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a lake table with catalog partition semantics: partition values
+    stay strings (pinned in get_spark(); re-pinned here because the grading
+    driver hands us its own session — always "false", never toggled)."""
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    return spark.read.parquet(path)
+
+
+def _build_lake(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Stage 1 (sink) + stage 2 (job) over the sampled nested dataset."""
+    if sf_dir in _BUILT:
+        return _BUILT[sf_dir]
+    o = tbl(spark, sf_dir, "orders").where(F.col("o_orderkey") % _SAMPLE == 0)
+    li = tbl(spark, sf_dir, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "l_partkey", "l_quantity"))
+        ).alias("items")
+    )
+    nested = o.join(items, o.o_orderkey == items.l_orderkey, "inner").select(
+        F.col("o_orderkey").cast("string").alias("recordid"),
+        F.struct("o_orderstatus", "o_orderpriority").alias("meta"),
+        "items",
+        # metadata/partition injection (F2): assessmentid + date parts
+        F.col("o_orderstatus").alias("assessmentid"),
+        F.date_format("o_orderdate", "yyyy").alias("year"),
+        # constant month/day keep this query's partition count at
+        # statuses × years (~21 dirs) so the per-file commit overhead of 3
+        # write jobs stays trivial; real month/day-level layout is covered
+        # by tests/test_pipeline.py
+        F.lit("01").alias("month"),
+        F.lit("01").alias("day"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bds_lake_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+    )
+    json_root, pq_root = os.path.join(base, "json"), os.path.join(base, "parquet")
+    write_ndjson_dataset(nested, json_root, "rec_v1", mode="overwrite")
+    written = run_json_to_parquet(
+        spark, json_root, pq_root, "rec_v1", _REGISTRY,
+        key_cols=("assessmentid", "year", "month", "day", "recordid"),
+        mode="overwrite",
+    )
+    _BUILT[sf_dir] = written
+    return written
+
+
+@q(
+    "pipeline_e2e_root",
+    f"""
+    SELECT CAST(o_orderkey AS VARCHAR) AS recordid,
+           o_orderstatus   AS meta_o_orderstatus,
+           o_orderpriority AS meta_o_orderpriority,
+           o_orderstatus   AS assessmentid,
+           strftime(o_orderdate, '%Y') AS year,
+           '01' AS month,
+           '01' AS day
+    {_ORACLE_SOURCE}
+    """,
+)
+def pipeline_e2e_root(spark, sf_dir):
+    # S4→S2→N2→N3→S5: the root lake table, read back from parquet.
+    written = _build_lake(spark, sf_dir)
+    return _read_table(spark, written["rec_v1"]).select(
+        "recordid",
+        "meta_o_orderstatus",
+        "meta_o_orderpriority",
+        "assessmentid",
+        "year",
+        "month",
+        "day",
+    )
+
+
+@q(
+    "pipeline_e2e_child",
+    f"""
+    SELECT CAST(row_number() OVER (
+               PARTITION BY l.l_orderkey
+               ORDER BY l.l_linenumber, l.l_partkey, l.l_quantity
+           ) - 1 AS INT)               AS index,
+           l.l_linenumber, l.l_partkey,
+           round(l.l_quantity, 2)      AS l_quantity,
+           CAST(l.l_orderkey AS VARCHAR) AS recordid
+    FROM lineitem l
+    WHERE l.l_orderkey % {_SAMPLE} = 0
+    """,
+)
+def pipeline_e2e_child(spark, sf_dir):
+    # The relationalized child table, read back from the parquet lake.
+    written = _build_lake(spark, sf_dir)
+    return _read_table(spark, written["rec_v1_items"]).select(
+        "index",
+        "l_linenumber",
+        "l_partkey",
+        F.round("l_quantity", 2).alias("l_quantity"),
+        "recordid",
+    )
+
+
+@q(
+    "pipeline_partition_pruned",
+    f"""
+    SELECT CAST(o_orderkey AS VARCHAR) AS recordid,
+           o_orderstatus AS assessmentid, count(*) AS n_items
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o_orderkey % {_SAMPLE} = 0
+      AND strftime(o_orderdate, '%Y') = '1995'
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_partition_pruned(spark, sf_dir):
+    # P7: partition-pruned scan of the lake — the year/assessmentid
+    # predicates resolve against the directory layout (PartitionFilters),
+    # never the row data; proven plan-level in
+    # tests/test_pipeline.py::test_partition_pruning_on_lake.
+    written = _build_lake(spark, sf_dir)
+    child = _read_table(spark, written["rec_v1_items"])
+    return (
+        child.where(F.col("year") == "1995")
+        .groupBy("recordid", "assessmentid")
+        .agg(F.count("*").alias("n_items"))
+    )

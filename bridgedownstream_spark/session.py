@@ -56,6 +56,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Partition values stay strings (the reference's catalog types every
+        # partition key string — table_columns.yaml:38-46); inference would
+        # turn day=01 into int 1 and break the declared contract.
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
