@@ -115,6 +115,130 @@ def _build_lake(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     return written
 
 
+#: sf_dir -> ingest lake root (built once per process)
+_INGESTED: dict[str, str] = {}
+
+_EVENTS_SCHEMA = {
+    "$id": "schemas/v1/EventList",
+    "type": "array",
+    "items": {
+        "type": "object",
+        "required": ["event_id", "event_type"],
+        "properties": {
+            "event_id": {"type": "integer"},
+            "event_type": {"type": "string"},
+            "value": {"type": "number"},
+        },
+    },
+}
+
+
+def _build_ingest_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Stage-1 fixture: one zip archive per user (user_id < 10) whose
+    events.json member is the user's events as a JSON array, built from the
+    real events table — then run the full ingest job (fan-out, validation,
+    routing, per-element injection, NDJSON lake)."""
+    if sf_dir in _INGESTED:
+        return _INGESTED[sf_dir]
+    import json
+    import zipfile
+
+    from bridgedownstream_spark.pipeline.ingest import run_ingest
+
+    rows = (
+        tbl(spark, sf_dir, "events")
+        .where(F.col("user_id") < 10)
+        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+        .collect()  # fixture-builder only: ~10 users of events
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bds_ingest_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+    )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    arch_dir = os.path.join(base, "archives")
+    os.makedirs(arch_dir, exist_ok=True)
+    manifest_rows = []
+    for uid, evs in sorted(by_user.items()):
+        evs = sorted(evs, key=lambda r: r["event_id"])
+        path = os.path.join(arch_dir, f"user{uid}.zip")
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr(
+                "events.json",
+                json.dumps(
+                    [
+                        {"event_id": r["event_id"], "event_type": r["event_type"], "value": r["value"]}
+                        for r in evs
+                    ]
+                ),
+            )
+        manifest_rows.append(
+            (path, str(uid), "events", "1", "2024-01-02T00:00:00.000Z", "iPhone 13")
+        )
+    manifest = spark.createDataFrame(
+        manifest_rows,
+        "path string, recordid string, assessmentid string, assessmentrevision string, "
+        "uploadedon string, clientinfo string",
+    )
+    json_root = os.path.join(base, "json")
+    run_ingest(
+        spark,
+        archive_path=os.path.join(arch_dir, "*.zip"),
+        manifest=manifest,
+        archive_map={
+            "assessments": [
+                {
+                    "assessmentIdentifier": "events",
+                    "assessmentRevision": 1,
+                    "files": [
+                        {"filename": "events.json", "jsonSchema": "https://example.org/events"}
+                    ],
+                }
+            ],
+            "apps": [],
+            "anyOf": [],
+        },
+        schema_store={"https://example.org/events": _EVENTS_SCHEMA},
+        schema_mapping={"schemas/v1/EventList": "eventlist_v1"},
+        dataset_mapping=None,
+        json_root=json_root,
+        quarantine_root=os.path.join(base, "quarantine"),
+        mode="overwrite",
+        collect_counts=False,
+    )
+    _INGESTED[sf_dir] = json_root
+    return json_root
+
+
+@q(
+    "ingest_e2e_events",
+    """
+    SELECT event_id, event_type, round(value, 2) AS value,
+           CAST(user_id AS VARCHAR) AS recordid
+    FROM events WHERE user_id < 10
+    """,
+)
+def ingest_e2e_events(spark, sf_dir):
+    # S1→V1/V2→J5→N6→S4: zip archives built from the events table, pushed
+    # through the full stage-1 job, read back from the NDJSON lake — the
+    # oracle recomputes from the source table, so a pass certifies the
+    # whole ingest cycle (fan-out, validation, routing, injection, layout).
+    json_root = _build_ingest_lake(spark, sf_dir)
+    schema = (
+        "event_id bigint, event_type string, value double, recordid string"
+    )
+    return (
+        spark.read.schema(schema)
+        .json(os.path.join(json_root, "dataset=eventlist_v1"))
+        .select("event_id", "event_type", F.round("value", 2).alias("value"), "recordid")
+    )
+
+
 @q(
     "pipeline_e2e_root",
     f"""
