@@ -9,12 +9,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bridgedownstream_spark.queries import core, llm, pipeline_q
+from bridgedownstream_spark.queries import core, llm, pipeline_q, similarity
 
 #: name -> (query_fn, oracle_sql_or_None)
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 REGISTRY.update(core.QUERIES)
 REGISTRY.update(llm.QUERIES)
+REGISTRY.update(similarity.QUERIES)
 REGISTRY.update(pipeline_q.QUERIES)
 
 

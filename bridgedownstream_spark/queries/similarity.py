@@ -1,0 +1,439 @@
+"""Similarity & near-duplicate operators over ``documents`` and
+``embeddings`` — the LLM-training-data pipeline surface beyond the
+reference's own operators (VERDICT r1 task 4).
+
+Every operator is expressed with engine-portable primitives (md5-based
+``portable_hash60``, sequential double sums) so each has an *exact* DuckDB
+oracle — signatures, candidate sets, and similarity values all match
+bit-for-bit after rounding.
+
+Scale design:
+
+- **MinHash-LSH** (near_dup_lsh_pairs): shingle → k=8 minhash → b=2 bands
+  of r=4 rows → groupBy band hash → candidate pairs → exact-Jaccard verify.
+  Never all-pairs: the only join keys are band hashes, so work scales with
+  collisions (true near-dups + a handful of false candidates), not n².
+  b/r tune recall vs candidate volume (P[candidate] = 1-(1-j^r)^b).
+- **SimHash** (simhash16): 16-bit signature per doc from per-token hash
+  bits — one narrow projection, no shuffle; hamming-close pairs can then
+  bucket on the signature itself.
+- **ANN** (ann_topk_cosine / ann_lsh_bucketed): brute-force cosine top-k
+  broadcasts the (small) query side — BroadcastNestedLoopJoin, zero
+  shuffle of the corpus; the LSH variant buckets by signed random
+  hyperplane projections first, so the join is a broadcast *hash* join on
+  bucket id and each query only scores its own bucket.
+- **Embedding near-dup** (embedding_near_dup): same-bucket pairs with
+  cosine ≥ 0.4 — dedup without a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bridgedownstream_spark.queries.util import tbl
+
+QUERIES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# -- portable building blocks (Spark SQL expr / DuckDB SQL pairs) -----------
+
+#: 60-bit md5 hash of a string expression (see util.portable_hash60)
+_H60_SPARK = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+_H60_DUCK = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+_WORDS_SPARK = "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"
+_WORDS_DUCK = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+#: word 3-gram shingles from a `words` column
+_SHINGLES_SPARK = (
+    "transform(sequence(1, greatest(size(words)-2, 0)), "
+    "i -> concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2)))"
+)
+_SHINGLES_DUCK = (
+    "list_transform(generate_series(1, greatest(len(words)-2, 0)), "
+    "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
+)
+
+_N_HASHES = 8
+_BANDS = 2  # b bands of r = _N_HASHES/_BANDS rows
+
+
+def _minhash_spark(k: int) -> str:
+    h = _H60_SPARK.format(x=f"concat(s, '#{k}')")
+    return f"array_min(transform(sh, s -> {h}))"
+
+
+def _minhash_duck(k: int) -> str:
+    h = _H60_DUCK.format(x=f"s || '#{k}'")
+    return f"list_min(list_transform(sh, s -> {h}))"
+
+
+#: DuckDB CTE producing (doc_id, sh, m0..m7) — shared by the oracles
+_SIG_CTE_DUCK = (
+    "WITH t AS (SELECT doc_id, " + _WORDS_DUCK + " AS words FROM documents), "
+    "sh AS (SELECT doc_id, " + _SHINGLES_DUCK + " AS sh FROM t), "
+    "sig AS (SELECT doc_id, sh, "
+    + ", ".join(f"{_minhash_duck(k)} AS m{k}" for k in range(_N_HASHES))
+    + " FROM sh)"
+)
+
+
+def _signatures(spark, sf_dir):
+    """(doc_id, sh, m0..m7) — narrow projection over one scan."""
+    d = tbl(spark, sf_dir, "documents")
+    d = d.withColumn("words", F.expr(_WORDS_SPARK)).withColumn(
+        "sh", F.expr(_SHINGLES_SPARK)
+    )
+    return d.select(
+        "doc_id",
+        "sh",
+        *[F.expr(_minhash_spark(k)).alias(f"m{k}") for k in range(_N_HASHES)],
+    )
+
+
+@q(
+    "minhash_signature",
+    _SIG_CTE_DUCK
+    + " SELECT doc_id, "
+    + ", ".join(f"m{k}" for k in range(_N_HASHES))
+    + " FROM sig",
+)
+def minhash_signature(spark, sf_dir):
+    """k=8 MinHash signature per document over word-3-gram shingles."""
+    return _signatures(spark, sf_dir).drop("sh")
+
+
+def _band_hash_spark(b: int) -> str:
+    r = _N_HASHES // _BANDS
+    parts = ", '_', ".join(f"CAST(m{b * r + i} AS STRING)" for i in range(r))
+    return _H60_SPARK.format(x=f"concat({parts})")
+
+
+def _band_hash_duck(b: int) -> str:
+    r = _N_HASHES // _BANDS
+    parts = " || '_' || ".join(f"CAST(m{b * r + i} AS VARCHAR)" for i in range(r))
+    return _H60_DUCK.format(x=parts)
+
+
+@q(
+    "near_dup_lsh_pairs",
+    _SIG_CTE_DUCK
+    + ", bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_hash_duck(b)} AS bh FROM sig"
+        for b in range(_BANDS)
+    )
+    + "), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+    "   FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh"
+    "   AND a.doc_id < b.doc_id)"
+    " SELECT c.doc_a, c.doc_b,"
+    "        round(len(list_intersect(sa.sh, sb.sh))::DOUBLE"
+    "              / greatest(len(list_distinct(sa.sh || sb.sh)), 1), 3) AS jaccard"
+    " FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a"
+    "             JOIN sh sb ON sb.doc_id = c.doc_b"
+    " WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE"
+    "       / greatest(len(list_distinct(sa.sh || sb.sh)), 1) >= 0.5",
+)
+def near_dup_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard-verified at ≥ 0.5.
+
+    Plan: signatures (narrow) → band explode → shuffle on band hash only →
+    candidate self-join inside buckets → verify join fetches the two
+    shingle sets per *candidate* (not per pair in the corpus)."""
+    sig = _signatures(spark, sf_dir)
+    sh = sig.select("doc_id", "sh")
+    r = _N_HASHES // _BANDS
+    bands = sig.selectExpr(
+        "doc_id",
+        "stack("
+        + str(_BANDS)
+        + ", "
+        + ", ".join(f"{b}, {_band_hash_spark(b)}" for b in range(_BANDS))
+        + ") AS (band, bh)",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    jac = F.col("n_common").cast("double") / F.greatest(F.col("n_union"), F.lit(1))
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa.sh", "sb.sh")).alias("n_common"),
+            F.size(F.array_union("sa.sh", "sb.sh")).alias("n_union"),
+        )
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 3).alias("jaccard"))
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _bit_sum_spark(i: int) -> str:
+    h = _H60_SPARK.format(x="t")
+    return (
+        f"aggregate(words, CAST(0 AS BIGINT), "
+        f"(acc, t) -> acc + (CASE WHEN ({h} >> {i}) & 1 = 1 THEN 1 ELSE -1 END))"
+    )
+
+
+def _bit_sum_duck(i: int) -> str:
+    h = _H60_DUCK.format(x="t")
+    return (
+        f"CAST(list_sum(list_transform(words, "
+        f"t -> CASE WHEN ({h} >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT)"
+    )
+
+
+@q(
+    "simhash16",
+    "WITH t AS (SELECT doc_id, " + _WORDS_DUCK + " AS words FROM documents) "
+    "SELECT doc_id, CAST("
+    + " + ".join(
+        f"(CASE WHEN {_bit_sum_duck(i)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    + " AS BIGINT) AS simhash FROM t",
+)
+def simhash16(spark, sf_dir):
+    """16-bit SimHash per document: sign of the per-bit token-hash vote.
+    One narrow projection — hamming-close docs share most signature bits,
+    so the signature doubles as a dedup bucket key."""
+    d = tbl(spark, sf_dir, "documents").withColumn("words", F.expr(_WORDS_SPARK))
+    sim = " + ".join(
+        f"(CASE WHEN {_bit_sum_spark(i)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return d.select("doc_id", F.expr(f"CAST({sim} AS BIGINT)").alias("simhash"))
+
+
+# -- embeddings: cosine ANN --------------------------------------------------
+
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+_TOP_K = 3
+
+#: DuckDB CTE: embeddings cast to double with norms
+_EMB_CTE_DUCK = (
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb"
+    "           FROM embeddings), "
+    "n AS (SELECT vec_id, emb,"
+    "             sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e)"
+)
+
+#: sequential-sum dot product — identical order of double adds in both
+#: engines, so values match bit-for-bit before rounding
+_DOT_DUCK = "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+
+
+def _emb_norms(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings").withColumn(
+        "emb", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    )
+    return e.withColumn(
+        "nrm",
+        F.expr("sqrt(aggregate(emb, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"),
+    ).select("vec_id", "emb", "nrm")
+
+
+_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+@q(
+    "ann_topk_cosine",
+    _EMB_CTE_DUCK + f"""
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({_DOT_DUCK.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 4) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_DOT_DUCK.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 4) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM n q JOIN n c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    ) WHERE rnk <= {_TOP_K}
+    """,
+)
+def ann_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-k: the exactness baseline for ANN.
+
+    The query side (5 vectors) is broadcast, so the corpus is scanned once
+    with zero shuffle; ranking is one window partitioned by query."""
+    from pyspark.sql import Window as W
+
+    e = _emb_norms(spark, sf_dir)
+    qs = F.broadcast(
+        e.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    pairs = qs.crossJoin(e).where(F.col("vec_id") != F.col("query_id"))
+    cos = F.round(
+        F.expr(_DOT_SPARK.format(a="q_emb", b="emb")) / (F.col("q_nrm") * F.col("nrm")),
+        4,
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+_N_PLANES = 6  # 2^6 = 64 buckets
+
+
+def _plane_dot_spark(j: int) -> str:
+    w = (
+        f"transform(sequence(1, size(emb)), i -> "
+        f"(({_H60_SPARK.format(x=chr(39) + 'hp' + str(j) + '_' + chr(39) + ' || CAST(i AS STRING)')}) % 1000) / 500.0 - 1.0)"
+    )
+    return _DOT_SPARK.format(a=w, b="emb")
+
+
+def _plane_dot_duck(j: int) -> str:
+    h = _H60_DUCK.format(x=f"'hp{j}_' || i")
+    return (
+        f"list_sum(list_transform(generate_series(1, len(emb)), "
+        f"i -> (({h} % 1000) / 500.0 - 1.0) * emb[i]))"
+    )
+
+
+def _bucket_expr(dots: list[str]) -> str:
+    return (
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN round({d}, 6) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j, d in enumerate(dots)
+        )
+        + " AS BIGINT)"
+    )
+
+
+_BUCKET_SPARK = _bucket_expr([_plane_dot_spark(j) for j in range(_N_PLANES)])
+_BUCKET_DUCK = _bucket_expr([_plane_dot_duck(j) for j in range(_N_PLANES)])
+
+
+def _bucketed(spark, sf_dir):
+    """(vec_id, emb, nrm, bucket) — signed random-hyperplane LSH bucket,
+    derived from the deterministic md5 hyperplanes. Narrow projection."""
+    return _emb_norms(spark, sf_dir).withColumn("bucket", F.expr(_BUCKET_SPARK))
+
+
+_BUCKET_CTE_DUCK = (
+    _EMB_CTE_DUCK + f", b AS (SELECT vec_id, emb, nrm, {_BUCKET_DUCK} AS bucket FROM n)"
+)
+
+
+@q(
+    "ann_lsh_bucketed",
+    _BUCKET_CTE_DUCK + f"""
+    SELECT query_id, neighbor_id, bucket, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
+               round({_DOT_DUCK.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 4) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_DOT_DUCK.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 4) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ) WHERE rnk <= {_TOP_K}
+    """,
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    """LSH-bucketed ANN: each query scores only its hyperplane bucket —
+    a broadcast hash join on bucket id instead of a corpus scan per query.
+    The scale path when the corpus no longer fits a brute-force pass."""
+    from pyspark.sql import Window as W
+
+    b = _bucketed(spark, sf_dir)
+    qs = F.broadcast(
+        b.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("bucket").alias("q_bucket"),
+        )
+    )
+    pairs = qs.join(
+        b, (F.col("q_bucket") == F.col("bucket")) & (F.col("vec_id") != F.col("query_id"))
+    )
+    cos = F.round(
+        F.expr(_DOT_SPARK.format(a="q_emb", b="emb")) / (F.col("q_nrm") * F.col("nrm")),
+        4,
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q_bucket").alias("bucket"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id", "neighbor_id", "bucket", "cos_sim", F.col("rnk").cast("int").alias("rnk")
+        )
+    )
+
+
+@q(
+    "embedding_near_dup",
+    _BUCKET_CTE_DUCK + f"""
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           round({_DOT_DUCK.format(a='a.emb', b='c.emb')} / (a.nrm * c.nrm), 4) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round({_DOT_DUCK.format(a='a.emb', b='c.emb')} / (a.nrm * c.nrm), 4) >= 0.4
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs without a cartesian product:
+    only same-LSH-bucket pairs are scored; ≥ 0.4 cosine flags a dup (threshold tuned to the synthetic corpus, where the most similar pairs sit near 0.5-0.6)."""
+    b = _bucketed(spark, sf_dir)
+    a, c = b.alias("a"), b.alias("c")
+    cos = F.round(
+        F.expr(_DOT_SPARK.format(a="a.emb", b="c.emb"))
+        / (F.col("a.nrm") * F.col("c.nrm")),
+        4,
+    )
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.4)
+    )
