@@ -148,16 +148,35 @@ def run_json_to_parquet(
     key_cols: tuple[str, ...] = DEFAULT_KEY_COLS,
     mode: str = "append",
     source_df: DataFrame | None = None,
+    ledger=None,
 ) -> dict[str, str]:
-    """The stage-2 job for one dataset: read → conform → relationalize (if
-    nested) → write each table as partitioned parquet. Returns
-    ``{table_name: parquet_path}`` for every table written.
+    """The stage-2 job for one dataset: read → (ledger anti-join) → conform
+    → relationalize (if nested) → write each table as partitioned parquet.
+    Returns ``{table_name: parquet_path}`` for every table written.
 
-    ``source_df`` overrides the JSON read (used by the incremental ledger to
-    pass a pre-filtered frame); it must already carry the partition columns.
+    ``ledger`` (a :class:`~bridgedownstream_spark.pipeline.ledger.FileLedger`)
+    makes the run incremental: only files absent from the ledger are
+    processed, and their paths are committed after the sinks succeed —
+    the Glue-job-bookmark equivalent (reference
+    json_s3_to_parquet.py:74,103,233). Re-running over the same input is
+    then a no-op (idempotent).
+
+    ``source_df`` overrides the JSON read (used by tests / the streaming
+    wrapper); it must already carry the partition columns.
     """
     ds = registry[dataset_name]
     df = source_df if source_df is not None else read_json_dataset(spark, json_root, ds)
+
+    new_paths: list[str] | None = None
+    if ledger is not None:
+        df = df.withColumn("_source_file", F.input_file_name())
+        df = ledger.filter_new(df, dataset_name)
+        # file-count-scale collect: the paths to commit after the writes
+        new_paths = [
+            r["_source_file"]
+            for r in df.select("_source_file").distinct().collect()
+        ]
+        df = df.drop("_source_file")
 
     # Empty-input skip (reference json_s3_to_parquet.py:197,225): cheap
     # single-partition probe, not a full count.
@@ -171,4 +190,6 @@ def run_json_to_parquet(
             written[name] = write_parquet_dataset(table, parquet_root, name, mode=mode)
     else:
         written[dataset_name] = write_parquet_dataset(df, parquet_root, dataset_name, mode=mode)
+    if ledger is not None and new_paths:
+        ledger.commit(new_paths, dataset_name)  # post-write, like job.commit()
     return written

@@ -111,6 +111,9 @@ def _build_lake(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         key_cols=("assessmentid", "year", "month", "day", "recordid"),
         mode="overwrite",
     )
+    written = dict(written)
+    written["__json_root__"] = json_root
+    written["__base__"] = base
     _BUILT[sf_dir] = written
     return written
 
@@ -284,6 +287,51 @@ def pipeline_e2e_child(spark, sf_dir):
     # The relationalized child table, read back from the parquet lake.
     written = _build_lake(spark, sf_dir)
     return _read_table(spark, written["rec_v1_items"]).select(
+        "index",
+        "l_linenumber",
+        "l_partkey",
+        F.round("l_quantity", 2).alias("l_quantity"),
+        "recordid",
+    )
+
+
+@q(
+    "pipeline_incremental_idempotent",
+    f"""
+    SELECT CAST(row_number() OVER (
+               PARTITION BY l.l_orderkey
+               ORDER BY l.l_linenumber, l.l_partkey, l.l_quantity
+           ) - 1 AS INT)               AS index,
+           l.l_linenumber, l.l_partkey,
+           round(l.l_quantity, 2)      AS l_quantity,
+           CAST(l.l_orderkey AS VARCHAR) AS recordid
+    FROM lineitem l
+    WHERE l.l_orderkey % {_SAMPLE} = 0
+    """,
+)
+def pipeline_incremental_idempotent(spark, sf_dir):
+    # §2.11 bookmark semantics, oracle-proven: stage 2 runs TWICE over the
+    # same lake through the processed-files ledger; were the second run not
+    # a no-op, every child row would double and the oracle's row count
+    # (single-run expectation) would fail.
+    import shutil
+
+    from bridgedownstream_spark.pipeline.ledger import FileLedger
+
+    written = _build_lake(spark, sf_dir)
+    base = written["__base__"]
+    pq2 = os.path.join(base, "parquet_inc")
+    led = os.path.join(base, "ledger")
+    shutil.rmtree(pq2, ignore_errors=True)
+    shutil.rmtree(led, ignore_errors=True)
+    ledger = FileLedger(spark, led)
+    for _ in range(2):
+        run_json_to_parquet(
+            spark, written["__json_root__"], pq2, "rec_v1", _REGISTRY,
+            key_cols=("assessmentid", "year", "month", "day", "recordid"),
+            mode="append", ledger=ledger,
+        )
+    return _read_table(spark, os.path.join(pq2, "rec_v1_items")).select(
         "index",
         "l_linenumber",
         "l_partkey",

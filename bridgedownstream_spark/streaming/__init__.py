@@ -1,0 +1,16 @@
+"""Streaming/incremental processing.
+
+- :mod:`.availablenow` — Structured Streaming stage-2: checkpointed
+  ``Trigger.AvailableNow`` micro-batch over the JSON lake, the Spark-native
+  replacement for Glue job bookmarks.
+
+The ledger-based alternative (explicit processed-files table) lives in
+:mod:`bridgedownstream_spark.pipeline.ledger`; the streaming checkpoint is
+the lower-ops variant, the ledger the introspectable one (the reference
+needed a script just to *read* its bookmarks,
+src/scripts/bookmarks/get-bookmarks.py).
+"""
+
+from bridgedownstream_spark.streaming.availablenow import stream_json_to_parquet
+
+__all__ = ["stream_json_to_parquet"]
