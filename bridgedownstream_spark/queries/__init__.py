@@ -9,13 +9,22 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bridgedownstream_spark.queries import core, llm, pipeline_q, similarity
+from bridgedownstream_spark.queries import (
+    core,
+    llm,
+    multimodal_q,
+    ops,
+    pipeline_q,
+    similarity,
+)
 
 #: name -> (query_fn, oracle_sql_or_None)
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 REGISTRY.update(core.QUERIES)
+REGISTRY.update(ops.QUERIES)
 REGISTRY.update(llm.QUERIES)
 REGISTRY.update(similarity.QUERIES)
+REGISTRY.update(multimodal_q.QUERIES)
 REGISTRY.update(pipeline_q.QUERIES)
 
 

@@ -1,0 +1,104 @@
+"""Multimodal-column queries: binary payloads synthesized deterministically
+from the documents table (utf-8 text bytes as the media stand-in), pushed
+through the real Pandas-UDF plumbing, and oracle-checked by recomputing the
+md5-derived stub outputs in DuckDB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bridgedownstream_spark.operators.multimodal import decode_images, extract_features
+from bridgedownstream_spark.queries.util import tbl
+
+QUERIES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _payloads(spark, sf_dir):
+    """documents.text encoded to binary — the deterministic media corpus."""
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+
+
+@q(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           'fake/deterministic' AS format,
+           CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 640 + 1 AS INT)  AS width,
+           CAST(('0x' || substr(md5(text), 16, 15))::BIGINT % 480 + 1 AS INT) AS height,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_decode(spark, sf_dir):
+    # Binary column + mapInPandas decode (stubbed codec): the oracle
+    # recomputes the md5-derived stub metadata, proving the payload bytes,
+    # batch plumbing, and struct schema all round-trip correctly.
+    decoded = decode_images(_payloads(spark, sf_dir))
+    return decoded.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@q(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           round(('0x' || substr(md5(text), 1, 2))::BIGINT / 255.0, 6) AS f0,
+           round(('0x' || substr(md5(text), 3, 2))::BIGINT / 255.0, 6) AS f1,
+           round(('0x' || substr(md5(text), 5, 2))::BIGINT / 255.0, 6) AS f2,
+           round(('0x' || substr(md5(text), 7, 2))::BIGINT / 255.0, 6) AS f3
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    # Feature extraction over binary payloads (stub encoder): first md5
+    # bytes scaled to [0,1]; divisions by 255 are exact in doubles, so
+    # round(6) matches bit-for-bit.
+    feats = extract_features(_payloads(spark, sf_dir), dim=4)
+    return feats.select(
+        "doc_id",
+        *[
+            F.round(F.col("features").getItem(i), 6).alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+
+
+@q(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_frames,
+           CAST(len(list_filter(range(len(string_split(text, ' '))),
+                                i -> i % 3 = 0)) AS INT) AS n_sampled
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    # Video-like array<binary> frame sampling: every 3rd frame via the
+    # native filter HOF (no Python in the loop); frames synthesized as the
+    # per-word byte payloads of the text.
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("transform(split(text, ' '), w -> encode(w, 'utf-8'))").alias("frames"),
+    )
+    from bridgedownstream_spark.operators.multimodal import sample_frames
+
+    sampled = sample_frames(d.withColumn("n_frames", F.size("frames")), every_n=3)
+    return sampled.select(
+        "doc_id", "n_frames", F.size("frames").alias("n_sampled")
+    )

@@ -1,0 +1,139 @@
+"""Small operator families rounding out SURVEY §2: path/basename extraction
+(F7), per-group array limits (O2), batching (O3), SQL-view query surface
+(S7), listing-derived keys (S9 shape), and config-cache dedup (A9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bridgedownstream_spark.queries.util import tbl
+
+QUERIES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+@q(
+    "basename_extract",
+    """
+    SELECT o_orderkey,
+           regexp_extract('s3://bucket/exports/' || o_orderstatus || '/part-'
+                          || CAST(o_orderkey AS VARCHAR) || '.ndjson',
+                          '([^/]+)$', 1) AS object_name,
+           regexp_extract('s3://bucket/exports/' || o_orderstatus || '/part-'
+                          || CAST(o_orderkey AS VARCHAR) || '.ndjson',
+                          '([^/]+)\\.[^.]+$', 1) AS record_stem
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def basename_extract(spark, sf_dir):
+    # F7: basename/path splitting of object keys — the reference derives
+    # recordIds from listing keys with k.split('/')[-1].split('.')[0]
+    # (etl-408/etl_408.py:58, archive_dataset.py:104). Same regexes the
+    # ledger/listing path uses on input_file_name().
+    o = tbl(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    path = F.concat(
+        F.lit("s3://bucket/exports/"),
+        "o_orderstatus",
+        F.lit("/part-"),
+        F.col("o_orderkey").cast("string"),
+        F.lit(".ndjson"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract(path, r"([^/]+)$", 1).alias("object_name"),
+        F.regexp_extract(path, r"([^/]+)\.[^.]+$", 1).alias("record_stem"),
+    )
+
+
+@q(
+    "array_slice_limit",
+    """
+    SELECT l_orderkey,
+           CAST(len(list_sort(list(round(l_quantity, 2)))) AS INT) AS n_items,
+           (list_sort(list(round(l_quantity, 2))))[1:3]            AS first3
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def array_slice_limit(spark, sf_dir):
+    # O2: per-group limit applied on an array column — the reference
+    # truncates validation-error lists to 10 per file
+    # (s3_to_json_s3.py:814-818); same slice() the quarantine sink uses.
+    li = tbl(spark, sf_dir, "lineitem")
+    arr = F.sort_array(F.collect_list(F.round("l_quantity", 2)))
+    return li.groupBy("l_orderkey").agg(
+        F.size(arr).alias("n_items"), F.slice(arr, 1, 3).alias("first3")
+    )
+
+
+@q(
+    "batched_submit",
+    """
+    SELECT user_id,
+           CAST(floor((row_number() OVER (ORDER BY user_id) - 1) / 100) AS BIGINT)
+               AS batch_id
+    FROM (SELECT DISTINCT user_id FROM events)
+    """,
+)
+def batched_submit(spark, sf_dir):
+    # O3: chunked submission — the reference splits backlog ids into
+    # batches of 100 per workflow run (bootstrap_trigger.py:163-166).
+    # The global row_number is single-partition by design: batching output
+    # is manifest-scale (ids to submit), not data-scale, exactly like the
+    # reference's driver-side list slicing.
+    ids = tbl(spark, sf_dir, "events").select("user_id").distinct()
+    w = W.orderBy("user_id")
+    return ids.select(
+        "user_id",
+        F.floor((F.row_number().over(w) - 1) / 100).cast("bigint").alias("batch_id"),
+    )
+
+
+@q(
+    "sql_view_query",
+    """
+    SELECT event_id, user_id, event_type, round(value, 2) AS value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup') AND value > 50
+    """,
+)
+def sql_view_query(spark, sf_dir):
+    # S7: the SQL-string query surface — the reference ships SQL to a file
+    # view (`select * from {source_table} where …`,
+    # bootstrap_trigger.py:98-118). Tables are registered as temp views and
+    # the query text goes through spark.sql, exercising the same entry
+    # point a reference user would migrate their query strings to.
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events_view")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, event_type, round(value, 2) AS value
+        FROM events_view
+        WHERE event_type IN ('purchase', 'signup') AND value > 50
+        """
+    )
+
+
+@q(
+    "config_cache_dedup",
+    """
+    SELECT lang, source, min(doc_id) AS first_doc, count(*) AS n_docs
+    FROM documents GROUP BY lang, source
+    """,
+)
+def config_cache_dedup(spark, sf_dir):
+    # A9: schema-cache dedup — the reference accumulates distinct JSON
+    # Schemas by $id while streaming records (s3_to_json_s3.py:168-176).
+    # Same shape: first occurrence per config key, plus how many records
+    # shared it (deterministic min instead of dropDuplicates' arbitrary
+    # row, so the result is oracle-checkable).
+    d = tbl(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.min("doc_id").alias("first_doc"), F.count("*").alias("n_docs")
+    )

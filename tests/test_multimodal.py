@@ -1,0 +1,58 @@
+"""Multimodal operator tests: binary-column plumbing, stub contracts,
+native frame sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from bridgedownstream_spark.operators.multimodal import (
+    decode_images,
+    extract_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return spark.createDataFrame(
+        [(1, b"payload-one"), (2, b"payload-two-longer")], "id int, content binary"
+    )
+
+
+def test_decode_meta_schema_and_determinism(media):
+    out = decode_images(media)
+    assert dict(out.dtypes)["meta"] == (
+        "struct<format:string,width:int,height:int,n_bytes:bigint>"
+    )
+    rows = {r["id"]: r["meta"] for r in out.collect()}
+    assert rows[1]["n_bytes"] == len(b"payload-one")
+    h = hashlib.md5(b"payload-one").hexdigest()
+    assert rows[1]["width"] == int(h[:15], 16) % 640 + 1
+    # deterministic across invocations
+    again = {r["id"]: r["meta"] for r in decode_images(media).collect()}
+    assert again == rows
+
+
+def test_strict_mode_raises(media):
+    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+        decode_images(media, strict=True).collect()
+
+
+def test_feature_extraction_shape(media):
+    out = extract_features(media, dim=8)
+    rows = {r["id"]: r["features"] for r in out.collect()}
+    assert all(len(v) == 8 for v in rows.values())
+    assert all(0.0 <= x <= 1.0 for v in rows.values() for x in v)
+    digest = hashlib.md5(b"payload-one").digest()
+    assert rows[1] == [digest[i] / 255.0 for i in range(8)]
+
+
+def test_sample_frames_native(spark):
+    df = spark.createDataFrame(
+        [(1, [bytes([i]) for i in range(10)])], "id int, frames array<binary>"
+    )
+    out = sample_frames(df, every_n=3).collect()[0]["frames"]
+    assert [bytes(b)[0] for b in out] == [0, 3, 6, 9]
