@@ -9,10 +9,11 @@ Environment:
 - ``SPARK_GRAFT_SF_DIR`` — testdata dir (default ``/root/testdata/sf0.1``)
 - ``SPARK_GRAFT_CPUS``   — local[] parallelism / shuffle partitions (default 32)
 
-Each query is timed end-to-end (plan build + execution); results are
-materialized with a cheap count-style action so driver-side result transfer
-(``collect``) doesn't dominate the measurement for wide results. The metric
-is total wall seconds across all queries.
+Each query is timed end-to-end (plan build + execution). Results are
+materialized by hash-aggregating EVERY output column to one row — unlike a
+bare ``count()``, this forces all projected expressions to execute (count
+lets Catalyst prune projection-only plans to a row count), while still
+avoiding driver-side transfer of wide results.
 """
 
 from __future__ import annotations
@@ -24,8 +25,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
 from bridgedownstream_spark.queries import REGISTRY  # noqa: E402
 from bridgedownstream_spark.session import get_spark  # noqa: E402
+
+
+def materialize(df: DataFrame) -> None:
+    """Execute the full plan including every output column."""
+    try:
+        df.select(
+            F.xxhash64(F.struct(*[F.col(c) for c in df.columns])).alias("h")
+        ).agg(F.count("*"), F.sum("h")).collect()
+    except Exception:
+        # fall back for column types xxhash64 can't digest
+        df.count()
 
 
 def main() -> int:
@@ -50,11 +65,7 @@ def main() -> int:
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            # Force full execution of every operator in the plan without
-            # shipping the result to the driver: count over all columns'
-            # worth of rows. AQE may prune, so use the write-less action
-            # foreach-noop via count on the un-projected frame.
-            df.count()
+            materialize(df)
             per_query[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001
             failures[name] = f"{type(e).__name__}: {e}"

@@ -65,38 +65,79 @@ _SHINGLES_DUCK = (
 _N_HASHES = 8
 _BANDS = 2  # b bands of r = _N_HASHES/_BANDS rows
 
+#: XOR salts (60-bit constants): minhash_k = min(h ⊕ r_k) over shingle
+#: hashes h. XOR with a constant is a bijection on [0, 2^60), so each salt
+#: induces a valid permutation for MinHash — at 1 md5 per shingle instead
+#: of k, and portable (both engines have bigint xor).
+_XOR_SALTS = [
+    0x243F6A8885A308D,  # pi
+    0x13198A2E0370734,
+    0xA4093822299F31D,
+    0x082EFA98EC4E6C8,
+    0x452821E638D0137,
+    0xBE5466CF34E90C6,
+    0x7EF84F78FD955CB,
+    0x85840851F1AC43A,
+]
+
+
+#: shingle-hash array: md5 computed ONCE per shingle, shared by all salts
+_HV_SPARK = "transform(sh, s -> " + _H60_SPARK.format(x="s") + ")"
+_HV_DUCK = "list_transform(sh, s -> " + _H60_DUCK.format(x="s") + ")"
+
 
 def _minhash_spark(k: int) -> str:
-    h = _H60_SPARK.format(x=f"concat(s, '#{k}')")
-    return f"array_min(transform(sh, s -> {h}))"
+    return f"array_min(transform(hv, h -> h ^ {_XOR_SALTS[k]}L))"
 
 
 def _minhash_duck(k: int) -> str:
-    h = _H60_DUCK.format(x=f"s || '#{k}'")
-    return f"list_min(list_transform(sh, s -> {h}))"
+    return f"list_min(list_transform(hv, h -> xor(h, {_XOR_SALTS[k]}::BIGINT)))"
 
 
 #: DuckDB CTE producing (doc_id, sh, m0..m7) — shared by the oracles
 _SIG_CTE_DUCK = (
     "WITH t AS (SELECT doc_id, " + _WORDS_DUCK + " AS words FROM documents), "
     "sh AS (SELECT doc_id, " + _SHINGLES_DUCK + " AS sh FROM t), "
+    "hv AS (SELECT doc_id, sh, " + _HV_DUCK + " AS hv FROM sh), "
     "sig AS (SELECT doc_id, sh, "
     + ", ".join(f"{_minhash_duck(k)} AS m{k}" for k in range(_N_HASHES))
-    + " FROM sh)"
+    + " FROM hv)"
 )
 
 
-def _signatures(spark, sf_dir):
-    """(doc_id, sh, m0..m7) — narrow projection over one scan."""
+def _shingled(spark, sf_dir):
+    """(doc_id, sh): word-3-gram shingles — cheap, no hashing."""
     d = tbl(spark, sf_dir, "documents")
-    d = d.withColumn("words", F.expr(_WORDS_SPARK)).withColumn(
-        "sh", F.expr(_SHINGLES_SPARK)
+    return (
+        d.withColumn("words", F.expr(_WORDS_SPARK))
+        .withColumn("sh", F.expr(_SHINGLES_SPARK))
+        .select("doc_id", "sh")
     )
-    return d.select(
-        "doc_id",
-        "sh",
-        *[F.expr(_minhash_spark(k)).alias(f"m{k}") for k in range(_N_HASHES)],
+
+
+def _signatures(spark, sf_dir, persist: bool = False):
+    """(doc_id, sh, m0..m7) — narrow projection over one scan.
+
+    ``persist=True`` materializes ONLY the minhash columns (doc_id + 8
+    bigints — the expensive md5 work), so the band self-join's two branches
+    compute signatures once; shingles are recomputed lazily by consumers
+    that need them (they cost a split, not 8 md5 passes). This mirrors the
+    at-scale design: materialize the signature table, keep raw shingles
+    virtual."""
+    sig = (
+        _shingled(spark, sf_dir)
+        .withColumn("hv", F.expr(_HV_SPARK))
+        .select(
+            "doc_id",
+            "sh",
+            *[F.expr(_minhash_spark(k)).alias(f"m{k}") for k in range(_N_HASHES)],
+        )
     )
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        sig = sig.drop("sh").persist(StorageLevel.MEMORY_AND_DISK)
+    return sig
 
 
 @q(
@@ -148,8 +189,8 @@ def near_dup_lsh_pairs(spark, sf_dir):
     Plan: signatures (narrow) → band explode → shuffle on band hash only →
     candidate self-join inside buckets → verify join fetches the two
     shingle sets per *candidate* (not per pair in the corpus)."""
-    sig = _signatures(spark, sf_dir)
-    sh = sig.select("doc_id", "sh")
+    sig = _signatures(spark, sf_dir, persist=True)
+    sh = _shingled(spark, sf_dir)
     r = _N_HASHES // _BANDS
     bands = sig.selectExpr(
         "doc_id",
@@ -172,8 +213,12 @@ def near_dup_lsh_pairs(spark, sf_dir):
     )
     sa, sb = sh.alias("sa"), sh.alias("sb")
     jac = F.col("n_common").cast("double") / F.greatest(F.col("n_union"), F.lit(1))
+    # broadcast the candidate side (pair ids, tiny) so the shingle table
+    # streams — broadcasting shingles would ship the whole corpus's
+    # 3-grams to every task
     return (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        F.broadcast(cand)
+        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
@@ -342,8 +387,16 @@ _BUCKET_DUCK = _bucket_expr([_plane_dot_duck(j) for j in range(_N_PLANES)])
 
 def _bucketed(spark, sf_dir):
     """(vec_id, emb, nrm, bucket) — signed random-hyperplane LSH bucket,
-    derived from the deterministic md5 hyperplanes. Narrow projection."""
-    return _emb_norms(spark, sf_dir).withColumn("bucket", F.expr(_BUCKET_SPARK))
+    derived from the deterministic md5 hyperplanes. Persisted: both sides
+    of the bucket join (and the query subset) reuse one computation of the
+    384-md5-per-row projection instead of one per branch."""
+    from pyspark.storagelevel import StorageLevel
+
+    return (
+        _emb_norms(spark, sf_dir)
+        .withColumn("bucket", F.expr(_BUCKET_SPARK))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
 
 _BUCKET_CTE_DUCK = (
