@@ -2,5 +2,28 @@ from bridgedownstream_spark.operators.relationalize import (
     has_nested_fields,
     relationalize,
 )
+from bridgedownstream_spark.operators.reconcile import (
+    assign_batches,
+    count_reconciliation,
+    dedup_latest,
+    missing_records,
+    replay_quarantine,
+)
+from bridgedownstream_spark.operators.multimodal import (
+    decode_images,
+    extract_features,
+    sample_frames,
+)
 
-__all__ = ["has_nested_fields", "relationalize"]
+__all__ = [
+    "has_nested_fields",
+    "relationalize",
+    "dedup_latest",
+    "missing_records",
+    "count_reconciliation",
+    "assign_batches",
+    "replay_quarantine",
+    "decode_images",
+    "extract_features",
+    "sample_frames",
+]

@@ -119,3 +119,18 @@ class DatasetRegistry:
 
     def names(self) -> list[str]:
         return sorted(self._datasets)
+
+
+def is_compatible_evolution(old: Dataset, new: Dataset) -> bool:
+    """True when ``new`` is an *additive* evolution of ``old``: every old
+    column survives with an identical declared type, and partition keys are
+    unchanged. This is the reference's compatible/incompatible fork
+    (docs/schema_change_protocol.md §1): compatible changes update the
+    table in place (archive old parquet, reset bookmark, rebuild);
+    incompatible ones — type changes, drops, renames — require a new
+    ``_v{n+1}`` dataset."""
+    old_cols = dict(old.columns)
+    new_cols = dict(new.columns)
+    if old.partition_keys != new.partition_keys:
+        return False
+    return all(name in new_cols and new_cols[name] == t for name, t in old_cols.items())

@@ -208,10 +208,13 @@ def join_revenue_by_nation(spark, sf_dir):
 )
 def anti_join_missing(spark, sf_dir):
     # J2: set-diff reconciliation (bootstrap_trigger.py:226-236) — customers
-    # with no urgent order ("records not yet in the lake").
+    # with no urgent order ("records not yet in the lake"), via the
+    # library operator.
+    from bridgedownstream_spark.operators import reconcile
+
     c, o = tbl(spark, sf_dir, "customer"), tbl(spark, sf_dir, "orders")
     urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
-    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+    return reconcile.missing_records(c, urgent, "c_custkey", "o_custkey").select(
         "c_custkey", "c_name"
     )
 
@@ -228,17 +231,17 @@ def anti_join_missing(spark, sf_dir):
     """,
 )
 def anti_join_union(spark, sf_dir):
-    # J3: anti-join vs union of two key sets (bootstrap_trigger.py:237-246)
+    # J3: anti-join vs union of two key sets (bootstrap_trigger.py:237-246),
+    # via the library operator's multi-lake variant.
+    from bridgedownstream_spark.operators import reconcile
+
     o, li = tbl(spark, sf_dir, "orders"), tbl(spark, sf_dir, "lineitem")
-    keys = (
-        li.where(F.col("l_returnflag") == "R")
-        .select("l_orderkey")
-        .union(li.where(F.col("l_tax") > 0.07).select("l_orderkey"))
-    )
-    return (
-        o.join(keys, o.o_orderkey == keys.l_orderkey, "left_anti")
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
-    )
+    return reconcile.missing_records(
+        o,
+        [li.where(F.col("l_returnflag") == "R"), li.where(F.col("l_tax") > 0.07)],
+        "o_orderkey",
+        "l_orderkey",
+    ).select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
 
 
 @q(
@@ -274,19 +277,17 @@ def semi_join_exists(spark, sf_dir):
 )
 def dedup_latest(spark, sf_dir):
     # A2 dedup-latest: "only use the most recently exported record"
-    # (bootstrap_trigger.py:222-225). Deterministic tiebreak on event_id.
-    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        tbl(spark, sf_dir, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "user_id",
-            ts_str("ts").alias("latest_ts"),
-            "event_type",
-            F.round("value", 2).alias("value"),
-            "event_id",
-        )
+    # (bootstrap_trigger.py:222-225), via the library operator.
+    from bridgedownstream_spark.operators import reconcile
+
+    return reconcile.dedup_latest(
+        tbl(spark, sf_dir, "events"), "user_id", "ts", tiebreak="event_id"
+    ).select(
+        "user_id",
+        ts_str("ts").alias("latest_ts"),
+        "event_type",
+        F.round("value", 2).alias("value"),
+        "event_id",
     )
 
 

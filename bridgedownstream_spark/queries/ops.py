@@ -84,15 +84,15 @@ def array_slice_limit(spark, sf_dir):
 )
 def batched_submit(spark, sf_dir):
     # O3: chunked submission — the reference splits backlog ids into
-    # batches of 100 per workflow run (bootstrap_trigger.py:163-166).
-    # The global row_number is single-partition by design: batching output
-    # is manifest-scale (ids to submit), not data-scale, exactly like the
-    # reference's driver-side list slicing.
+    # batches of 100 per workflow run (bootstrap_trigger.py:163-166), via
+    # the library operator. The global row_number is single-partition by
+    # design: batching output is manifest-scale (ids to submit), not
+    # data-scale, exactly like the reference's driver-side list slicing.
+    from bridgedownstream_spark.operators import reconcile
+
     ids = tbl(spark, sf_dir, "events").select("user_id").distinct()
-    w = W.orderBy("user_id")
-    return ids.select(
-        "user_id",
-        F.floor((F.row_number().over(w) - 1) / 100).cast("bigint").alias("batch_id"),
+    return reconcile.assign_batches(ids, "user_id", batch_size=100).select(
+        "user_id", "batch_id"
     )
 
 
@@ -118,6 +118,36 @@ def sql_view_query(spark, sf_dir):
         WHERE event_type IN ('purchase', 'signup') AND value > 50
         """
     )
+
+
+@q(
+    "count_reconciliation_report",
+    """
+    WITH src AS (
+        SELECT event_type AS grp, count(DISTINCT event_id) AS n_source
+        FROM events GROUP BY 1
+    ), lake AS (
+        SELECT event_type AS grp, count(event_id) AS n_lake,
+               count(DISTINCT event_id) AS n_lake_distinct
+        FROM events WHERE event_id % 3 <> 0 GROUP BY 1
+    )
+    SELECT coalesce(s.grp, l.grp) AS grp,
+           coalesce(n_source, 0) AS n_source,
+           coalesce(n_lake, 0) AS n_lake,
+           coalesce(n_lake_distinct, 0) AS n_lake_distinct,
+           coalesce(n_source, 0) - coalesce(n_lake_distinct, 0) AS delta
+    FROM src s FULL OUTER JOIN lake l ON s.grp = l.grp
+    """,
+)
+def count_reconciliation_report(spark, sf_dir):
+    # A5 reconciliation report via the library operator (reference
+    # etl-245/main.py:29-63): source-of-truth counts vs a (simulated
+    # partially-ingested) lake, per dataset group.
+    from bridgedownstream_spark.operators import reconcile
+
+    ev = tbl(spark, sf_dir, "events")
+    lake = ev.where(F.col("event_id") % 3 != 0)
+    return reconcile.count_reconciliation(ev, lake, "event_id", "event_id", "event_type")
 
 
 @q(

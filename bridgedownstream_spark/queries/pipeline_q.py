@@ -183,6 +183,14 @@ def _build_ingest_lake(spark: SparkSession, sf_dir: str) -> str:
         manifest_rows.append(
             (path, str(uid), "events", "1", "2024-01-02T00:00:00.000Z", "iPhone 13")
         )
+    # one malformed archive exercises the quarantine path: the body is an
+    # object where the schema demands an array
+    bad = os.path.join(arch_dir, "bad.zip")
+    with zipfile.ZipFile(bad, "w") as z:
+        z.writestr("events.json", json.dumps({"event_id": "notanint"}))
+    manifest_rows.append(
+        (bad, "badrec", "events", "1", "2024-01-02T00:00:00.000Z", "iPhone 13")
+    )
     manifest = spark.createDataFrame(
         manifest_rows,
         "path string, recordid string, assessmentid string, assessmentrevision string, "
@@ -216,6 +224,28 @@ def _build_ingest_lake(spark: SparkSession, sf_dir: str) -> str:
     )
     _INGESTED[sf_dir] = json_root
     return json_root
+
+
+@q(
+    "quarantine_replay",
+    """
+    SELECT 'badrec' AS recordid, 1 AS n_files, ['events.json'] AS files
+    """,
+)
+def quarantine_replay(spark, sf_dir):
+    # S8/V4 + J4: the quarantine table written by ingest, distilled into a
+    # resubmission manifest by the replay operator
+    # (reference etl-408/etl_408.py:86-150). Exactly the one malformed
+    # archive must surface; error text is engine-internal, so the oracle
+    # pins record/file identity.
+    from bridgedownstream_spark.operators import reconcile
+
+    json_root = _build_ingest_lake(spark, sf_dir)
+    qpath = os.path.join(os.path.dirname(json_root), "quarantine")
+    quarantine = spark.read.parquet(qpath)
+    return reconcile.replay_quarantine(quarantine).select(
+        "recordid", F.col("n_files").cast("int").alias("n_files"), "files"
+    )
 
 
 @q(

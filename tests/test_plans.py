@@ -1,0 +1,74 @@
+"""Plan-shape assertions: pin the physical-plan properties that make the
+engine 100 TB-defensible, so a regression (lost pushdown, surprise
+sort-merge join, cartesian product) fails CI rather than shipping.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from bridgedownstream_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name][0](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_projection_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "projection_pushdown")
+    # the shipdate predicate must appear in PushedFilters on the scan...
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_shipdate" in m.group(1)
+    # ...and the scan must read only the 4 referenced columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"}
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "join_revenue_by_nation")
+    # dims broadcast; the only sort-merge-eligible join is fact-to-fact
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_relationalize_child_is_shuffle_free(spark):
+    # the child table must be produced by narrow ops over the scan: the
+    # only exchange allowed is the one introduced by the test aggregation
+    # upstream (_nested_orders builds its input with a groupBy)
+    from bridgedownstream_spark.operators import relationalize
+    from bridgedownstream_spark.queries.util import tbl
+    from pyspark.sql import functions as F
+
+    df = (
+        tbl(spark, SF, "orders")
+        .select(
+            F.col("o_orderkey").cast("string").alias("recordid"),
+            F.array(F.struct(F.col("o_orderstatus").alias("s"))).alias("items"),
+        )
+    )
+    child = relationalize(df, "rec", key_cols=("recordid",))["rec_items"]
+    plan = child._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure narrow: scan → project → explode
+    assert "Generate explode" in plan or "Generate posexplode" in plan
+
+
+def test_similarity_queries_have_no_cartesian(spark):
+    for name in ("near_dup_lsh_pairs", "ann_topk_cosine", "ann_lsh_bucketed", "embedding_near_dup"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        # brute-force ANN is allowed a BroadcastNestedLoopJoin (query side
+        # broadcast); everything else must join hashed
+        if name != "ann_topk_cosine":
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_exact_dedup_shuffles_digests_not_bodies(spark):
+    plan = plan_of(spark, "exact_dedup")
+    m = re.search(r"Exchange hashpartitioning\((\w+)", plan)
+    assert m and m.group(1).startswith("fingerprint")
