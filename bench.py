@@ -54,9 +54,13 @@ def main() -> int:
         sf = None
 
     spark = get_spark("bench")
-    # Warm up the session (JVM, parquet footer reads) outside the timed region
-    # with the cheapest table so query 1 isn't charged the startup cost.
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm up the session (JVM, codegen, parquet footers, page cache)
+    # outside the timed region so query 1 isn't charged startup costs.
+    for t in ("region", "lineitem", "documents", "embeddings", "events"):
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        except Exception:  # noqa: BLE001 — missing optional table
+            pass
 
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}

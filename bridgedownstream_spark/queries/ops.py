@@ -151,6 +151,36 @@ def count_reconciliation_report(spark, sf_dir):
 
 
 @q(
+    "skew_salted_agg",
+    """
+    WITH partial AS (
+        SELECT event_type, event_id % 8 AS salt,
+               sum(value) AS s, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, round(sum(s), 2) AS total_value, sum(n) AS n_events
+    FROM partial GROUP BY 1
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    # Skew mitigation as an explicit two-phase aggregate: salt the hot key
+    # (8-way), partially aggregate per (key, salt), then merge. At 100 TB a
+    # single dominant key would bottleneck one reducer; the salted phase
+    # spreads it across 8, and the merge handles 8 tiny rows per key.
+    # (AQE skew-join handles the join case automatically — session.py —
+    # this is the groupBy-side technique.) The two-phase result is exactly
+    # the plain group's, which the oracle computes the same salted way.
+    ev = tbl(spark, sf_dir, "events")
+    partial = ev.groupBy("event_type", (F.col("event_id") % 8).alias("salt")).agg(
+        F.sum("value").alias("s"), F.count("*").alias("n")
+    )
+    return partial.groupBy("event_type").agg(
+        F.round(F.sum("s"), 2).alias("total_value"),
+        F.sum("n").alias("n_events"),
+    )
+
+
+@q(
     "config_cache_dedup",
     """
     SELECT lang, source, min(doc_id) AS first_doc, count(*) AS n_docs

@@ -458,6 +458,97 @@ def ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+_N_CELLS = 8  # IVF coarse quantizer size
+
+
+@q(
+    "ann_ivf_topk",
+    _EMB_CTE_DUCK + f"""
+    , cent AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm FROM n
+               WHERE vec_id % 250 = 0 AND vec_id < {250 * _N_CELLS}),
+    assign AS (
+        SELECT vec_id, emb, nrm, cent_id FROM (
+            SELECT v.vec_id, v.emb, v.nrm, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round({_DOT_DUCK.format(a='v.emb', b='c.c_emb')} / (v.nrm * c.c_nrm), 6) DESC,
+                                c.cent_id
+                   ) AS rc
+            FROM n v CROSS JOIN cent c
+        ) WHERE rc = 1
+    )
+    SELECT query_id, neighbor_id, cell, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cent_id AS cell,
+               round({_DOT_DUCK.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 4) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_DOT_DUCK.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 4) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM assign q JOIN assign c ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ) WHERE rnk <= {_TOP_K}
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: a fixed coarse quantizer (every 250th vector serves
+    as a centroid) partitions the corpus into cells; each query searches
+    only its own cell (1-probe).
+
+    Plan: centroid table broadcasts (Θ(cells)); assignment is one pass over
+    the corpus; the search is a hash join on cell id. At scale the
+    centroids come from a k-means fit, but the query/assignment plumbing —
+    the part Spark executes — is identical."""
+    from pyspark.sql import Window as W
+
+    e = _emb_norms(spark, sf_dir)
+    cent = F.broadcast(
+        e.where((F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 250 * _N_CELLS)).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    ccos = F.round(
+        F.expr(_DOT_SPARK.format(a="emb", b="c_emb")) / (F.col("nrm") * F.col("c_nrm")),
+        6,
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    assign = (
+        e.crossJoin(cent)
+        .withColumn("ccos", ccos)
+        .withColumn("rc", F.row_number().over(wa))
+        .where(F.col("rc") == 1)
+        .select("vec_id", "emb", "nrm", "cent_id")
+        .persist()
+    )
+    qs = assign.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("cent_id").alias("cell"),
+    )
+    pairs = F.broadcast(qs).join(
+        assign,
+        (F.col("cell") == F.col("cent_id")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = F.round(
+        F.expr(_DOT_SPARK.format(a="q_emb", b="emb")) / (F.col("q_nrm") * F.col("nrm")),
+        4,
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "cell", cos.alias("cos_sim")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id", "neighbor_id", "cell", "cos_sim", F.col("rnk").cast("int").alias("rnk")
+        )
+    )
+
+
 @q(
     "embedding_near_dup",
     _BUCKET_CTE_DUCK + f"""

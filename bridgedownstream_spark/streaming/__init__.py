@@ -3,6 +3,8 @@
 - :mod:`.availablenow` — Structured Streaming stage-2: checkpointed
   ``Trigger.AvailableNow`` micro-batch over the JSON lake, the Spark-native
   replacement for Glue job bookmarks.
+- :mod:`.stateful` — custom stateful operator (cross-batch record dedup
+  via ``applyInPandasWithState``).
 
 The ledger-based alternative (explicit processed-files table) lives in
 :mod:`bridgedownstream_spark.pipeline.ledger`; the streaming checkpoint is
@@ -12,5 +14,6 @@ src/scripts/bookmarks/get-bookmarks.py).
 """
 
 from bridgedownstream_spark.streaming.availablenow import stream_json_to_parquet
+from bridgedownstream_spark.streaming.stateful import dedup_stream
 
-__all__ = ["stream_json_to_parquet"]
+__all__ = ["stream_json_to_parquet", "dedup_stream"]
