@@ -510,6 +510,25 @@ def rollup_revenue(spark, sf_dir):
 
 
 @q(
+    "cube_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark, sf_dir):
+    # Grouping sets beyond the reference's needs (§2.4 notes it has none):
+    # full CUBE over the pricing dimensions.
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+@q(
     "pivot_daily_events",
     """
     SELECT strftime(ts, '%Y-%m-%d') AS day,
