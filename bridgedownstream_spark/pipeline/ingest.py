@@ -227,8 +227,13 @@ def run_ingest(
 
     archives = read_archives(spark, archive_path, manifest)
     members = explode_members(archives)
-    members = attach_schema_urls(members, archive_map, app_id=app_id)
-    members = validate_members(members, schema_store)
+    # schema resolution happens inside the validation UDF (per-executor
+    # memo over the config-cardinality combos) — single pass over the
+    # archives; attach_schema_urls' broadcast-join variant would need an
+    # extra unzip pass just to enumerate combos
+    members = validate_members(
+        members, schema_store, archive_map=archive_map, app_id=app_id
+    )
     members = suppress_expected_errors(members)
     # The plan forks here (quarantine sink + lake sink); persist so the
     # unzip/validate chain runs once, spilling to disk rather than

@@ -61,9 +61,24 @@ ANDROID_EXPECTED_ERRORS: dict[str, list[str]] = {
 }
 
 
-def validate_members(members: DataFrame, schema_store: dict[str, dict]) -> DataFrame:
+def validate_members(
+    members: DataFrame,
+    schema_store: dict[str, dict],
+    archive_map: dict | None = None,
+    app_id: str = "mobile-toolbox",
+) -> DataFrame:
     """Add an ``errors: array<string>`` column — the JSON-Schema validation
-    errors of ``body`` against ``schema_url``'s schema.
+    errors of ``body`` against its schema.
+
+    The governing schema URL comes from an existing ``schema_url`` column
+    (pre-resolved, e.g. by
+    :func:`~bridgedownstream_spark.validation.resolve.attach_schema_urls`);
+    when ``archive_map`` is given and no such column exists, resolution
+    happens *inside* the UDF with a per-executor memo on the distinct
+    (assessment, revision, filename) combos — the single-pass path: no
+    extra scan to enumerate combos, identical resolution semantics (the
+    self-ref column still wins). ``run_ingest`` uses this path; the
+    broadcast-join variant remains for pre-resolved flows.
 
     ``schema_store`` maps schema URLs to schema documents (the engine's
     stand-in for the reference's HTTP fetch + cache, s3_to_json_s3.py:
@@ -71,15 +86,22 @@ def validate_members(members: DataFrame, schema_store: dict[str, dict]) -> DataF
     in per-row network calls). Members with no resolved schema validate
     vacuously (reference skips them with a warning, :374-380).
     """
-    out_schema = T.StructType(
-        list(members.schema.fields) + [T.StructField("errors", T.ArrayType(T.StringType()))]
-    )
+    resolve_in_udf = archive_map is not None and "schema_url" not in members.columns
+    out_fields = list(members.schema.fields)
+    if resolve_in_udf:
+        out_fields.append(T.StructField("schema_url", T.StringType()))
+    out_fields.append(T.StructField("errors", T.ArrayType(T.StringType())))
+    out_schema = T.StructType(out_fields)
     store = {k: v for k, v in schema_store.items()}  # plain dict → task closure
+    amap = archive_map
 
     def do_validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import jsonschema
 
+        from bridgedownstream_spark.validation.resolve import resolve_schema_url
+
         validators: dict[str, object] = {}
+        resolved: dict[tuple, str | None] = {}
 
         def validator_for(url: str):
             if url not in validators:
@@ -96,9 +118,26 @@ def validate_members(members: DataFrame, schema_store: dict[str, dict]) -> DataF
                     validators[url] = cls(schema=schema)
             return validators[url]
 
+        def url_of(rec) -> str | None:
+            if rec.self_ref_schema_url is not None and not pd.isna(
+                rec.self_ref_schema_url
+            ):
+                return rec.self_ref_schema_url
+            key = (rec.assessmentid, rec.assessmentrevision, rec.file_name)
+            if key not in resolved:
+                resolved[key] = resolve_schema_url(
+                    amap, app_id, key[0], int(key[1]), key[2]
+                )
+            return resolved[key]
+
         for pdf in batches:
+            urls = (
+                [url_of(rec) for rec in pdf.itertuples(index=False)]
+                if resolve_in_udf
+                else list(pdf["schema_url"])
+            )
             errs = []
-            for body, url in zip(pdf["body"], pdf["schema_url"]):
+            for body, url in zip(pdf["body"], urls):
                 if url is None or pd.isna(url):
                     errs.append([])
                     continue
@@ -113,6 +152,8 @@ def validate_members(members: DataFrame, schema_store: dict[str, dict]) -> DataF
                     continue
                 errs.append([e.message for e in v.iter_errors(data)])
             pdf = pdf.copy()
+            if resolve_in_udf:
+                pdf["schema_url"] = urls
             pdf["errors"] = errs
             yield pdf
 
