@@ -15,5 +15,6 @@ src/scripts/bookmarks/get-bookmarks.py).
 
 from bridgedownstream_spark.streaming.availablenow import stream_json_to_parquet
 from bridgedownstream_spark.streaming.stateful import dedup_stream
+from bridgedownstream_spark.streaming.windowed import windowed_counts
 
-__all__ = ["stream_json_to_parquet", "dedup_stream"]
+__all__ = ["stream_json_to_parquet", "dedup_stream", "windowed_counts"]

@@ -1,0 +1,49 @@
+"""Watermarked event-time windowed aggregation.
+
+The reference's "streams" are micro-batched workflow runs with no
+event-time semantics (SURVEY §2.11) — late data is handled by an hourly
+reconciliation anti-join. A Spark-native deployment gets the stronger
+primitive directly: **tumbling event-time windows with a watermark**, so
+per-window aggregates finalize once the watermark passes and
+later-than-watermark events are dropped deterministically instead of
+waiting for the next reconciliation sweep.
+
+This module is the engine's windowed-aggregation surface for streams; the
+same call shape works for session or sliding windows (swap the
+``F.window`` spec).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["windowed_counts"]
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    group_col: str,
+    window_duration: str = "10 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Count events per (event-time window, group) with a watermark.
+
+    In append output mode a window's row emits exactly once, when the
+    watermark (max event time seen minus ``watermark``) passes the window
+    end; events arriving after that are dropped by the state store — the
+    deterministic late-data contract.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col(group_col))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            group_col,
+            "n",
+            "total_value",
+        )
+    )

@@ -1,0 +1,60 @@
+"""Watermarked windowed aggregation: windows finalize once per append-mode
+emission; later-than-watermark events are dropped."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from bridgedownstream_spark.streaming.windowed import windowed_counts
+
+SCHEMA = "ts timestamp, event_type string, value double"
+
+
+def _drain(spark, src, sink, cp):
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    agg = windowed_counts(stream, "ts", "event_type")
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _id: b.write.mode("append").parquet(sink))
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _write(src, name, rows):
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, name), "w") as f:
+        for ts, et, v in rows:
+            f.write(json.dumps({"ts": ts, "event_type": et, "value": v}) + "\n")
+
+
+def test_windowed_counts_with_late_data(spark, tmp_path):
+    src, sink, cp = str(tmp_path / "s"), str(tmp_path / "o"), str(tmp_path / "cp")
+    # batch 1: two events in the 10:00 window, then an event far ahead that
+    # advances the watermark beyond 10:10 + 5min → the 10:00 window closes
+    _write(
+        src,
+        "b1.ndjson",
+        [
+            ("2024-01-01 10:01:00", "click", 1.0),
+            ("2024-01-01 10:04:00", "click", 2.0),
+            ("2024-01-01 11:00:00", "view", 5.0),
+        ],
+    )
+    _drain(spark, src, sink, cp)
+    out = spark.read.parquet(sink)
+    rows = {(r["window_start"].strftime("%H:%M"), r["event_type"]): r for r in out.collect()}
+    assert ("10:00", "click") in rows
+    assert rows[("10:00", "click")]["n"] == 2
+    assert rows[("10:00", "click")]["total_value"] == 3.0
+
+    # batch 2: a LATE click for the already-finalized 10:00 window → must
+    # be dropped (no second emission, counts unchanged)
+    _write(src, "b2.ndjson", [("2024-01-01 10:02:00", "click", 100.0)])
+    _drain(spark, src, sink, cp)
+    out2 = spark.read.parquet(sink)
+    clicks = [r for r in out2.collect() if r["event_type"] == "click"]
+    assert len(clicks) == 1 and clicks[0]["n"] == 2  # late event dropped
