@@ -82,8 +82,11 @@ def count_reconciliation(
         F.count(lake_key).alias("n_lake"),
         F.countDistinct(lake_key).alias("n_lake_distinct"),
     )
+    # full-outer can't broadcast; both sides aggregate down to group
+    # cardinality (datasets/studies), so a shuffled hash join skips the
+    # sort-merge sorts
     return (
-        s.join(l, "grp", "full_outer")
+        s.join(l.hint("shuffle_hash"), "grp", "full_outer")
         .na.fill(0, ["n_source", "n_lake", "n_lake_distinct"])
         .withColumn("delta", F.col("n_source") - F.col("n_lake_distinct"))
     )
