@@ -68,7 +68,17 @@ def _conform_column(col: Column, actual: T.DataType, wanted: T.DataType) -> Colu
         return F.transform(
             col, lambda x: _conform_column(x, actual.elementType, wanted.elementType)
         )
-    return col.cast(wanted)
+    # Leaf casts are permissive (unresolvable → NULL), matching Glue's
+    # choice behavior rather than ANSI's throw. A decimal-formatted string
+    # ("9.0") still reaches an integral target via the double route; the
+    # direct try comes first so big integers stay exact.
+    if isinstance(actual, T.StringType) and isinstance(
+        wanted, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        return F.coalesce(
+            col.try_cast(wanted), col.try_cast("double").try_cast(wanted)
+        )
+    return col.try_cast(wanted)
 
 
 def conform_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
@@ -85,6 +95,21 @@ def conform_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     return df.select(*cols)
 
 
+def _widen_leaves(dt: T.DataType) -> T.DataType:
+    """Replace every primitive leaf with string, keeping the struct/array
+    shape. Reading JSON through the widened schema captures any scalar as
+    its literal text (ints, doubles, bools, strings alike), so cross-file
+    type drift never NULLs a value — the cast back to the declared type
+    then resolves it, which is exactly ``resolveChoice(match_catalog)``."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _widen_leaves(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_widen_leaves(dt.elementType))
+    return T.StringType()
+
+
 def read_json_dataset(
     spark: SparkSession,
     json_root: str,
@@ -97,20 +122,27 @@ def read_json_dataset(
     stage-1 layout, reference s3_to_json_s3.py:628-639). Partition columns
     (assessmentid/year/month/day) are resolved from the directory layout and
     cast to their declared (string) catalog types — never read from file
-    bodies, which kills the int-in-data/string-in-partition ambiguity the
-    reference resolves with resolveChoice."""
+    bodies, which kills the int-in-data/string-in-partition ambiguity.
+
+    With ``conform=True`` (default) the data columns are read through a
+    leaf-widened (all-string) twin of the declared schema and cast back —
+    full ``resolveChoice(choice="match_catalog")`` semantics (reference
+    json_s3_to_parquet.py:75-78): a file carrying ``"7"`` where an int is
+    declared, or an int where a double is declared, coerces instead of
+    silently NULLing as a strict-schema read would."""
     path = os.path.join(json_root, f"dataset={dataset.name}")
-    df = (
-        spark.read.schema(dataset.full_schema())
-        .option("basePath", path)
-        .json(path)
-    )
     if conform:
-        # Partition columns come from the layout already typed; conforming
-        # the full schema is still a cheap no-op projection for them and
-        # guarantees column order.
-        df = conform_to_schema(df, dataset.full_schema())
-    return df
+        widened = T.StructType(
+            [
+                T.StructField(f.name, _widen_leaves(f.dataType), True)
+                for f in dataset.data_schema().fields
+            ]
+            # partition columns stay declared (they come from the layout)
+            + list(dataset.partition_schema().fields)
+        )
+        df = spark.read.schema(widened).option("basePath", path).json(path)
+        return conform_to_schema(df, dataset.full_schema())
+    return spark.read.schema(dataset.full_schema()).option("basePath", path).json(path)
 
 
 def write_parquet_dataset(

@@ -108,6 +108,31 @@ def test_conform_to_schema_casts_and_fills(spark):
     assert r["missing"] is None
 
 
+def test_choice_type_coercion(spark, registry, tmp_path):
+    # resolveChoice(match_catalog) fidelity: files disagree on leaf types
+    # (string "7" / double 7.5 / int 9 for a declared int; numeric string
+    # for a declared string) — every variant coerces, none NULLs.
+    import json as _json
+    import os
+
+    root = str(tmp_path / "lake")
+    d = os.path.join(
+        root, "dataset=pytest_flat_table", "assessmentid=a1",
+        "year=2022", "month=09", "day=01",
+    )
+    os.makedirs(d)
+    with open(os.path.join(d, "r.ndjson"), "w") as f:
+        f.write(_json.dumps({"recordid": "r1", "stringfield": 12, "intfield": "7"}) + "\n")
+        f.write(_json.dumps({"recordid": "r2", "stringfield": "s", "intfield": 9.0}) + "\n")
+        f.write(_json.dumps({"recordid": "r3", "stringfield": "t", "intfield": 9}) + "\n")
+    df = read_json_dataset(spark, root, registry["pytest_flat_table"])
+    got = {r["recordid"]: r for r in df.collect()}
+    assert got["r1"]["intfield"] == 7  # string "7" → int
+    assert got["r1"]["stringfield"] == "12"  # number → declared string
+    assert got["r2"]["intfield"] == 9  # double 9.0 → int
+    assert got["r3"]["intfield"] == 9
+
+
 def test_json_to_parquet_end_to_end(spark, registry, lake, tmp_path):
     pq = str(tmp_path / "parquet")
     written = run_json_to_parquet(spark, lake, pq, "pytest_nested_table", registry)
