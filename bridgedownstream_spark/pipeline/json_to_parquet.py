@@ -181,6 +181,7 @@ def run_json_to_parquet(
     mode: str = "append",
     source_df: DataFrame | None = None,
     ledger=None,
+    wide_ids: bool = False,
 ) -> dict[str, str]:
     """The stage-2 job for one dataset: read → (ledger anti-join) → conform
     → relationalize (if nested) → write each table as partitioned parquet.
@@ -217,7 +218,11 @@ def run_json_to_parquet(
 
     written: dict[str, str] = {}
     if has_nested_fields(df.schema):
-        tables = relationalize(df, dataset_name, key_cols=key_cols)
+        # wide_ids=True switches surrogate keys to 128-bit md5 strings —
+        # flip it for tables expecting billions of parent rows per path,
+        # where 64-bit birthday collisions become real (see
+        # operators/relationalize.py module docs)
+        tables = relationalize(df, dataset_name, key_cols=key_cols, wide_ids=wide_ids)
         for name, table in tables.items():
             written[name] = write_parquet_dataset(table, parquet_root, name, mode=mode)
     else:

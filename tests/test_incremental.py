@@ -82,6 +82,18 @@ def test_ledger_reset_reprocesses(spark, tmp_path):
     assert spark.read.parquet(f"{pq}/inc_v1").count() == 2
 
 
+def test_ledger_commit_dataframe_and_introspection(spark, tmp_path):
+    ledger = FileLedger(spark, str(tmp_path / "l"))
+    paths = spark.createDataFrame([("f1",), ("f2",)], "file_path string")
+    assert ledger.commit(paths, "ds") == 2
+    assert ledger.commit(["f2", "f3"], "ds") == 1  # dup filtered
+    # the bookmark is introspectable as a plain table (unlike Glue's,
+    # which needed its own script to read)
+    assert {r["file_path"] for r in ledger.processed_files("ds").collect()} == {
+        "f1", "f2", "f3",
+    }
+
+
 def test_streaming_availablenow_incremental(spark, tmp_path):
     json_root, pq, cp = str(tmp_path / "j"), str(tmp_path / "p"), str(tmp_path / "cp")
     _write_batch(spark, json_root, [("r1", [1, 2])])

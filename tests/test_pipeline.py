@@ -186,6 +186,27 @@ def test_partition_pruning_on_lake(spark, registry, lake, tmp_path):
     assert df.count() == 1 and df.collect()[0]["recordid"] == "three"
 
 
+def test_wide_ids_through_pipeline(spark, registry, lake, tmp_path):
+    pq = str(tmp_path / "pq_wide")
+    written = run_json_to_parquet(
+        spark, lake, pq, "pytest_nested_table", registry, wide_ids=True
+    )
+    root = spark.read.parquet(written["pytest_nested_table"])
+    child = spark.read.parquet(written["pytest_nested_table_arrayofobjectsfield"])
+    assert dict(root.dtypes)["arrayofobjectsfield"] == "string"
+    assert dict(child.dtypes)["id"] == "string"
+    joined = root.select(F.col("arrayofobjectsfield").alias("id")).join(child, "id")
+    assert joined.count() == 3
+
+
+def test_registry_from_yaml_path(spark, tmp_path):
+    p = tmp_path / "reg.yaml"
+    p.write_text(REGISTRY_YAML)
+    reg = DatasetRegistry.from_yaml(str(p))
+    assert "pytest_nested_table" in reg
+    assert reg.names() == ["pytest_flat_table", "pytest_nested_table"]
+
+
 def test_flat_table_written_directly(spark, registry, tmp_path):
     root = str(tmp_path / "jsonlake2")
     df = spark.createDataFrame(
