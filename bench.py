@@ -35,9 +35,14 @@ from bridgedownstream_spark.session import get_spark  # noqa: E402
 def materialize(df: DataFrame) -> None:
     """Execute the full plan including every output column."""
     try:
+        # bit_xor, not sum: summing random 64-bit hashes overflows LongType
+        # almost surely beyond ~100 rows, and under ANSI mode (Spark 4
+        # default) that throws at RUNTIME — the query would execute
+        # partially, fail, and re-run via the fallback, double-charging
+        # every timing. XOR is closed over int64.
         df.select(
             F.xxhash64(F.struct(*[F.col(c) for c in df.columns])).alias("h")
-        ).agg(F.count("*"), F.sum("h")).collect()
+        ).agg(F.count("*"), F.expr("bit_xor(h)")).collect()
     except Exception:
         # fall back for column types xxhash64 can't digest
         df.count()
