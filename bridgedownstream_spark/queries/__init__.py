@@ -10,6 +10,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from bridgedownstream_spark.queries import (
+    advanced,
     core,
     llm,
     multimodal_q,
@@ -21,6 +22,7 @@ from bridgedownstream_spark.queries import (
 #: name -> (query_fn, oracle_sql_or_None)
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 REGISTRY.update(core.QUERIES)
+REGISTRY.update(advanced.QUERIES)
 REGISTRY.update(ops.QUERIES)
 REGISTRY.update(llm.QUERIES)
 REGISTRY.update(similarity.QUERIES)

@@ -1,0 +1,397 @@
+"""Advanced time-series / sampling / text-scoring operators.
+
+Operators Spark lacks as single primitives, re-expressed as compositions of
+native DataFrame ops (the custom-operator strategy of SURVEY §7.2): gaps-and-
+islands sessionization, point-in-interval range join, hypertable-style time
+bucketing, event-time range frames, deterministic stratified sampling,
+mergeable cardinality/quantile sketches, and an exact-arithmetic TF-IDF.
+
+Scale notes (100 TB lens) are on each query; the common theme is ONE shuffle
+on the natural key (user/doc/bucket), no cartesian products, broadcast for
+every config-sized side, and integer/decimal arithmetic wherever a value
+feeds an ORDER BY so float noise can never flip cross-engine ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bridgedownstream_spark.queries.util import HASH60, portable_hash60, tbl, ts_str
+
+QUERIES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gaps-and-islands over event time
+# ---------------------------------------------------------------------------
+
+#: 30-minute inactivity gap, in microseconds
+_SESSION_GAP_US = 1_800_000_000
+
+
+@q(
+    "sessionize",
+    f"""
+    WITH t AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > {_SESSION_GAP_US}
+                    OR LAG(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), s AS (
+        SELECT user_id,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM t
+    ), g AS (
+        SELECT user_id, session_id, count(*) AS n_ev FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           max(n_ev) AS max_session_events
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap).
+
+    The classic custom operator the reference's event model implies but Glue
+    never ships: session = island of events whose inter-arrival gap stays
+    under a threshold. Two stacked windows on the SAME (user_id, time) key →
+    Catalyst plans ONE Exchange; the per-session and per-user aggregations
+    reuse that partitioning. At 100 TB: one shuffle of (user_id, us) pairs,
+    skew bounded by per-user event counts; AQE skew-split covers hot users.
+    """
+    ev = tbl(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = (
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > _SESSION_GAP_US)
+            | F.lag("us").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s")
+    )
+    sess = ev.select("user_id", "event_id", "us", new_s).select(
+        "user_id",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("session_id"),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_ev")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_ev").alias("n_events"),
+            F.max("n_ev").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join — point-in-interval
+# ---------------------------------------------------------------------------
+
+_N_BUCKETS = 10
+_BUCKET_W = 50.0  # events.value spans [0, 500)
+
+
+@q(
+    "range_join_buckets",
+    f"""
+    SELECT b.bucket, count(*) AS n, round(sum(e.value), 2) AS total_value
+    FROM events e
+    JOIN (SELECT CAST(i AS INT) AS bucket,
+                 i * {_BUCKET_W} AS lo, (i + 1) * {_BUCKET_W} AS hi
+          FROM range({_N_BUCKETS}) t(i)) b
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.bucket ORDER BY b.bucket
+    """,
+)
+def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (the operator class behind as-of joins
+    and hypertable chunk exclusion).
+
+    The interval side is config-sized → ``broadcast`` turns the non-equi
+    join into a BroadcastNestedLoopJoin: each event row tests ≤10 intervals
+    JVM-side, no shuffle, no cartesian materialization. At 100 TB the fact
+    side streams through map tasks untouched; only the final 10-group agg
+    shuffles (bytes, not rows). For interval tables too big to broadcast,
+    the LSH-bucket pattern in similarity.py (equi-join on a derived bucket
+    key) is the scale path — same trick, coarser key.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    buckets = spark.range(_N_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket"),
+        (F.col("id") * _BUCKET_W).alias("lo"),
+        ((F.col("id") + 1) * _BUCKET_W).alias("hi"),
+    )
+    return (
+        ev.join(
+            F.broadcast(buckets),
+            (ev.value >= buckets.lo) & (ev.value < buckets.hi),
+            "inner",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style time-bucket rollup
+# ---------------------------------------------------------------------------
+
+_BUCKET_US = 900_000_000  # 15 minutes
+
+
+@q(
+    "time_bucket_rollup",
+    f"""
+    SELECT strftime(make_timestamp((epoch_us(ts) // {_BUCKET_US}) * {_BUCKET_US}),
+                    '%Y-%m-%d %H:%M:%S.%f') AS bucket_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    WHERE user_id < 20
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute time_bucket rollup (TimescaleDB hypertable / continuous-
+    aggregate shape) as pure integer epoch arithmetic.
+
+    Epoch-aligned flooring keeps the bucket function a codegen'd projection
+    — no UDF, no session tz dependence — so the rollup is a single partial-
+    agg → shuffle-on-(bucket,type) → final-agg plan. This is the shape a
+    100 TB continuous aggregate wants: map-side combine collapses each scan
+    partition to ≤ (buckets × types) rows before the exchange.
+    """
+    ev = tbl(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    bucket = F.timestamp_micros(
+        (F.unix_micros("ts") - (F.unix_micros("ts") % _BUCKET_US))
+    )
+    return (
+        ev.groupBy(
+            ts_str(bucket).alias("bucket_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time range frame — rolling 1-hour sum
+# ---------------------------------------------------------------------------
+
+_FRAME_US = 3_600_000_000  # 1 hour
+
+
+@q(
+    "rolling_range_frame",
+    f"""
+    SELECT user_id, event_id,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN {_FRAME_US} PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS rolling_1h
+    FROM events WHERE user_id < 30
+    """,
+)
+def rolling_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour sum per user — a RANGE frame over event time.
+
+    The frame bound is physical microseconds, not N rows, so irregular
+    event spacing is handled exactly (ROWS frames can't express this).
+    Summing DECIMAL(18,2), not DOUBLE: range frames make accumulation order
+    engine-internal, and decimal addition is associative-exact, so the
+    result is bit-identical regardless of frame evaluation order — the same
+    reason the ingest pipeline keys surrogate ids on exact types. One
+    shuffle on user_id; frame evaluation is a per-partition sliding
+    accumulator (O(n) per user, not O(n·frame)).
+    """
+    ev = tbl(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_FRAME_US, 0)
+    )
+    rolling = F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(rolling.cast("double"), 2).alias("rolling_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_PCT = 10
+
+
+@q(
+    "stratified_sample",
+    f"""
+    SELECT event_type, count(*) AS n_sampled,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE {HASH60.format(x="CAST(event_id AS VARCHAR)")} % 100 < {_SAMPLE_PCT}
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% per-stratum subsample, deterministic across engines and runs.
+
+    Training-data curation needs repeatable subsampling: membership decided
+    by a content hash (portable md5-60), never an RNG, so re-running over
+    re-shuffled / re-partitioned input selects the SAME rows — the property
+    that makes a 100 TB sample resumable and auditable. The predicate is a
+    pure projection → fully pushed into the scan stage; the only shuffle is
+    the per-stratum agg.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    keep = (
+        portable_hash60(F.col("event_id").cast("string")) % 100 < _SAMPLE_PCT
+    )
+    return (
+        ev.where(keep)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches — HLL cardinality + KLL-style quantiles
+# ---------------------------------------------------------------------------
+
+
+@q("sketch_cardinality", None)  # approximate by definition → rows-only check
+def sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct-user cardinality via HyperLogLog sketches plus
+    approximate value quantiles.
+
+    ``hll_sketch_agg`` builds Apache DataSketches HLL per partition and
+    merges binary sketches at the exchange — the constant-memory, mergeable
+    path that replaces exact count-distinct at 100 TB (exact needs a
+    shuffle of every distinct key; the sketch shuffles ~KB per group).
+    ``approx_percentile`` is the same story for quantiles. Approximate ⇒ no
+    value-hash oracle; the estimates are instead sanity-bounded in pytest
+    against exact counts at test scale.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+            F.approx_count_distinct("event_id").alias("approx_events"),
+            F.approx_percentile(
+                "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10_000)
+            ).alias("value_p50_p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF — exact integer-scaled scoring, top-k terms per document
+# ---------------------------------------------------------------------------
+
+_TOP_TERMS = 3
+
+
+@q(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, term FROM (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(lower(text), '\\W+')) AS term
+            FROM documents)
+        WHERE term <> ''
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ((n.n_docs * 1000) // df.df) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(score AS BIGINT) AS score
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+          FROM scored)
+    WHERE rk <= {_TOP_TERMS}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document, in exact integer arithmetic.
+
+    idf is integer-scaled (``n_docs*1000 // df``) instead of ``ln(N/df)``:
+    all-integer scoring is bit-identical across engines and libm versions,
+    so the ranking (and the oracle hash) can never flip on float noise —
+    the determinism discipline the whole query surface follows.
+
+    Plan: tokenize = codegen'd split+explode (no UDF); tf = one shuffle on
+    (doc_id, term); df reuses the tf result with a map-side partial
+    count-distinct; idf table is term-cardinality-sized and joins back
+    broadcast-hinted; top-k = row_number window on doc_id. At 100 TB the
+    dominant cost is the (doc_id, term) shuffle — exactly the token stream,
+    which is the information-theoretic floor for exact TF-IDF.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\W+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            # `div`, not `/` + cast: float division truncated can disagree
+            # with integer floor-div by 1 ulp; `div` is exact on longs and
+            # matches DuckDB's `//` for non-negative operands.
+            (F.col("tf") * F.expr("(n_docs * 1000) div df")).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_TERMS)
+        .select("doc_id", "term", "score")
+    )

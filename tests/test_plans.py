@@ -72,3 +72,59 @@ def test_exact_dedup_shuffles_digests_not_bodies(spark):
     plan = plan_of(spark, "exact_dedup")
     m = re.search(r"Exchange hashpartitioning\((\w+)", plan)
     assert m and m.group(1).startswith("fingerprint")
+
+
+def test_range_join_is_broadcast_not_cartesian(spark):
+    plan = plan_of(spark, "range_join_buckets")
+    # non-equi point-in-interval join: tiny interval side must broadcast
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_single_exchange(spark):
+    # both windows + both aggregations share the user_id clustering: the
+    # plan may contain exactly ONE hash exchange (plus AQE shuffle reads)
+    plan = plan_of(spark, "sessionize")
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, plan
+
+
+def test_tfidf_tf_shuffle_feeds_window_without_reshuffle(spark):
+    plan = plan_of(spark, "tfidf_top_terms")
+    assert "CartesianProduct" not in plan
+    # df/idf joins back broadcast — term dimension never sort-merges
+    assert "SortMergeJoin" not in plan
+
+
+def test_sketch_estimates_bounded(spark):
+    """HLL / approx-percentile estimates stay within loose error bounds of
+    the exact answers at test scale (the correctness check an approximate
+    operator admits)."""
+    from bridgedownstream_spark.queries.util import tbl
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["sketch_cardinality"][0](spark, SF).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in (
+            tbl(spark, SF, "events")
+            .groupBy("event_type")
+            .agg(
+                F.countDistinct("user_id").alias("users"),
+                F.countDistinct("event_id").alias("events"),
+                F.expr("percentile(value, 0.5)").alias("p50"),
+            )
+            .collect()
+        )
+    }
+    assert set(rows) == set(exact)
+    for et, r in rows.items():
+        e = exact[et]
+        assert abs(r["approx_users"] - e["users"]) <= max(2, 0.05 * e["users"]), et
+        assert abs(r["approx_events"] - e["events"]) <= max(2, 0.05 * e["events"]), et
+        p50, _p95 = r["value_p50_p95"]
+        assert abs(p50 - e["p50"]) <= max(5.0, 0.1 * e["p50"]), et
