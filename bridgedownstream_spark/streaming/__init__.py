@@ -5,6 +5,9 @@
   replacement for Glue job bookmarks.
 - :mod:`.stateful` — custom stateful operator (cross-batch record dedup
   via ``applyInPandasWithState``).
+- :mod:`.windowed` — watermarked event-time windowed aggregation.
+- :mod:`.joins` — stream-stream interval join (watermarked two-sided
+  correlation with bounded state).
 
 The ledger-based alternative (explicit processed-files table) lives in
 :mod:`bridgedownstream_spark.pipeline.ledger`; the streaming checkpoint is
@@ -14,7 +17,13 @@ src/scripts/bookmarks/get-bookmarks.py).
 """
 
 from bridgedownstream_spark.streaming.availablenow import stream_json_to_parquet
+from bridgedownstream_spark.streaming.joins import interval_join_streams
 from bridgedownstream_spark.streaming.stateful import dedup_stream
 from bridgedownstream_spark.streaming.windowed import windowed_counts
 
-__all__ = ["stream_json_to_parquet", "dedup_stream", "windowed_counts"]
+__all__ = [
+    "stream_json_to_parquet",
+    "dedup_stream",
+    "interval_join_streams",
+    "windowed_counts",
+]

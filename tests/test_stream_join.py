@@ -1,0 +1,57 @@
+"""Stream-stream interval join: matches inside the tolerance window join
+exactly once; outside-tolerance and wrong-key rows never join."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from bridgedownstream_spark.streaming.joins import interval_join_streams
+
+SCHEMA = "ts timestamp, recordid string, kind string"
+
+
+def _write(src, name, rows):
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, name), "w") as f:
+        for ts, rid, kind in rows:
+            f.write(json.dumps({"ts": ts, "recordid": rid, "kind": kind}) + "\n")
+
+
+def test_interval_join_streams(spark, tmp_path):
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    sink, cp = str(tmp_path / "o"), str(tmp_path / "cp")
+    _write(
+        lsrc,
+        "uploads.ndjson",
+        [
+            ("2024-01-01 10:00:00", "rec1", "upload"),
+            ("2024-01-01 10:00:00", "rec2", "upload"),
+            ("2024-01-01 10:00:00", "rec3", "upload"),
+        ],
+    )
+    _write(
+        rsrc,
+        "confirms.ndjson",
+        [
+            ("2024-01-01 10:05:00", "rec1", "confirm"),  # in tolerance → joins
+            ("2024-01-01 10:20:00", "rec2", "confirm"),  # too late → dropped
+            ("2024-01-01 10:01:00", "recX", "confirm"),  # unknown key → dropped
+        ],
+    )
+    left = spark.readStream.schema(SCHEMA).json(lsrc)
+    right = spark.readStream.schema(SCHEMA).json(rsrc)
+    joined = interval_join_streams(left, right, key="recordid")
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _id: b.write.mode("append").parquet(sink))
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 1
+    assert rows[0]["recordid"] == "rec1"
+    assert rows[0]["r_kind"] == "confirm"
