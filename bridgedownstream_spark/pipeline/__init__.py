@@ -6,8 +6,14 @@
   partitioned parquet tables (reference src/glue/jobs/json_s3_to_parquet.py).
 - :mod:`.ledger` — processed-files ledger giving job-bookmark-style
   incremental semantics (reference transformation_ctx/job.commit()).
+- :mod:`.compact` — small-file compaction: distributed listing, fragmented
+  partitions rewritten at target file size via dynamic partition overwrite.
 """
 
+from bridgedownstream_spark.pipeline.compact import (
+    compact_dataset,
+    partition_file_stats,
+)
 from bridgedownstream_spark.pipeline.registry import DatasetRegistry
 from bridgedownstream_spark.pipeline.json_to_parquet import (
     conform_to_schema,
@@ -18,7 +24,9 @@ from bridgedownstream_spark.pipeline.json_to_parquet import (
 
 __all__ = [
     "DatasetRegistry",
+    "compact_dataset",
     "conform_to_schema",
+    "partition_file_stats",
     "read_json_dataset",
     "run_json_to_parquet",
     "write_parquet_dataset",
