@@ -1,3 +1,4 @@
+from bridgedownstream_spark.operators.asof import asof_join
 from bridgedownstream_spark.operators.relationalize import (
     has_nested_fields,
     relationalize,
@@ -16,6 +17,7 @@ from bridgedownstream_spark.operators.multimodal import (
 )
 
 __all__ = [
+    "asof_join",
     "has_nested_fields",
     "relationalize",
     "dedup_latest",

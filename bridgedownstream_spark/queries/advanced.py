@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from bridgedownstream_spark.queries.util import HASH60, portable_hash60, tbl, ts_str
+from bridgedownstream_spark.operators.asof import asof_join
+from bridgedownstream_spark.queries.util import (
+    HASH60,
+    TS_STR,
+    portable_hash60,
+    tbl,
+    ts_str,
+)
 
 QUERIES: dict = {}
 
@@ -102,6 +109,53 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_ev").alias("max_session_events"),
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join — two-table, big-big, union-trick plan
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "asof_join_events",
+    f"""
+    WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id, {TS_STR.format(col="p.ts")} AS ts_s, c.click_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's most recent click at or before
+    it — a true two-table as-of join (operators/asof.py), oracle-checked
+    against DuckDB's native ASOF JOIN.
+
+    The plan contains NO join node and exactly ONE exchange: both sides
+    union, shuffle once on user_id, and the latest click carries forward
+    through a running last(ignorenulls) window — the big-big as-of shape
+    that neither broadcasts nor range-explodes (plan-tested). Timestamp
+    ties resolve to the max click_id via the window tiebreak, matching
+    the oracle's deduped-clicks CTE without paying a dedup shuffle.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["click_id"],
+        prefix="", tiebreak_cols=["click_id"],
+    )
+    return joined.select(
+        "user_id", "event_id", ts_str("ts").alias("ts_s"), "click_id"
     )
 
 

@@ -128,3 +128,13 @@ def test_sketch_estimates_bounded(spark):
         assert abs(r["approx_events"] - e["events"]) <= max(2, 0.05 * e["events"]), et
         p50, _p95 = r["value_p50_p95"]
         assert abs(p50 - e["p50"]) <= max(5.0, 0.1 * e["p50"]), et
+
+
+def test_asof_join_has_no_join_node(spark):
+    # the union-trick as-of: one hash exchange on the key, zero join
+    # operators of any kind in the physical plan
+    plan = plan_of(spark, "asof_join_events")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, node
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
