@@ -1,4 +1,5 @@
 from bridgedownstream_spark.operators.asof import asof_join
+from bridgedownstream_spark.operators.skew import salted_join
 from bridgedownstream_spark.operators.relationalize import (
     has_nested_fields,
     relationalize,
@@ -20,6 +21,7 @@ __all__ = [
     "asof_join",
     "has_nested_fields",
     "relationalize",
+    "salted_join",
     "dedup_latest",
     "missing_records",
     "count_reconciliation",
