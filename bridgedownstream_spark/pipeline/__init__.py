@@ -8,6 +8,8 @@
   incremental semantics (reference transformation_ctx/job.commit()).
 - :mod:`.compact` — small-file compaction: distributed listing, fragmented
   partitions rewritten at target file size via dynamic partition overwrite.
+- :mod:`.upsert` — partition-scoped merge-into (the reference's
+  overwrite-by-recordid contract, at lake scale).
 """
 
 from bridgedownstream_spark.pipeline.compact import (
@@ -15,6 +17,7 @@ from bridgedownstream_spark.pipeline.compact import (
     partition_file_stats,
 )
 from bridgedownstream_spark.pipeline.registry import DatasetRegistry
+from bridgedownstream_spark.pipeline.upsert import upsert_dataset
 from bridgedownstream_spark.pipeline.json_to_parquet import (
     conform_to_schema,
     read_json_dataset,
@@ -29,5 +32,6 @@ __all__ = [
     "partition_file_stats",
     "read_json_dataset",
     "run_json_to_parquet",
+    "upsert_dataset",
     "write_parquet_dataset",
 ]
