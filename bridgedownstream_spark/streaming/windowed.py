@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["windowed_counts"]
+__all__ = ["session_counts", "windowed_counts"]
 
 
 def windowed_counts(
@@ -45,5 +45,35 @@ def windowed_counts(
             group_col,
             "n",
             "total_value",
+        )
+    )
+
+
+def session_counts(
+    stream: DataFrame,
+    ts_col: str,
+    group_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization: per-key sessions that close after ``gap``
+    of inactivity (``F.session_window`` — the state store grows each
+    key's open session while events keep arriving and finalizes it once
+    the watermark passes session-end + gap).
+
+    The streaming twin of the batch gaps-and-islands operator
+    (queries/advanced.py::sessionize): same session semantics, expressed
+    as a dynamic window whose end extends with each event instead of a
+    lag/cumsum window pair. State per key = one open session, not event
+    history."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(group_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            group_col,
+            "n_events",
         )
     )

@@ -58,3 +58,38 @@ def test_windowed_counts_with_late_data(spark, tmp_path):
     out2 = spark.read.parquet(sink)
     clicks = [r for r in out2.collect() if r["event_type"] == "click"]
     assert len(clicks) == 1 and clicks[0]["n"] == 2  # late event dropped
+
+
+def test_session_window_counts(spark, tmp_path):
+    from bridgedownstream_spark.streaming.windowed import session_counts
+
+    src, sink, cp = str(tmp_path / "s2"), str(tmp_path / "o2"), str(tmp_path / "cp2")
+    # u1: two events 10 min apart (one session, gap=30m), then one 2 h
+    # later (second session); a far-future event advances the watermark so
+    # every session finalizes within the drain
+    _write(
+        src,
+        "b1.ndjson",
+        [
+            ("2024-01-01 10:00:00", "u1", 1.0),
+            ("2024-01-01 10:10:00", "u1", 1.0),
+            ("2024-01-01 12:00:00", "u1", 1.0),
+            ("2024-01-02 00:00:00", "u2", 1.0),
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    agg = session_counts(stream, "ts", "event_type", gap="30 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _id: b.write.mode("append").parquet(sink))
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["event_type"], r["session_start"].strftime("%H:%M"), r["n_events"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    # u1's sessions both closed; u2's stays open (watermark hasn't passed)
+    assert rows == [("u1", "10:00", 2), ("u1", "12:00", 1)]
