@@ -55,6 +55,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # bare MIN/MAX/COUNT aggregates answer from parquet footer stats
+        # (row groups never decoded) — free for reconciliation counts
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Partition values stay strings (the reference's catalog types every
         # partition key string — table_columns.yaml:38-46); inference would
