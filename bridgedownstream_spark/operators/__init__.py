@@ -1,4 +1,5 @@
 from bridgedownstream_spark.operators.asof import asof_join
+from bridgedownstream_spark.operators.components import connected_components
 from bridgedownstream_spark.operators.skew import salted_join
 from bridgedownstream_spark.operators.relationalize import (
     has_nested_fields,
@@ -19,6 +20,7 @@ from bridgedownstream_spark.operators.multimodal import (
 
 __all__ = [
     "asof_join",
+    "connected_components",
     "has_nested_fields",
     "relationalize",
     "salted_join",

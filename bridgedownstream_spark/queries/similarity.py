@@ -164,8 +164,9 @@ def _band_hash_duck(b: int) -> str:
     return _H60_DUCK.format(x=parts)
 
 
-@q(
-    "near_dup_lsh_pairs",
+#: CTE chain ending in ``pairs(doc_a, doc_b, jaccard)`` — shared by the
+#: pair query and the connected-components dedup oracle
+_PAIRS_CTE_DUCK = (
     _SIG_CTE_DUCK
     + ", bands AS ("
     + " UNION ALL ".join(
@@ -175,13 +176,20 @@ def _band_hash_duck(b: int) -> str:
     + "), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
     "   FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh"
     "   AND a.doc_id < b.doc_id)"
-    " SELECT c.doc_a, c.doc_b,"
-    "        round(len(list_intersect(sa.sh, sb.sh))::DOUBLE"
-    "              / greatest(len(list_distinct(sa.sh || sb.sh)), 1), 3) AS jaccard"
+    ", pairs AS (SELECT c.doc_a, c.doc_b,"
+    "        len(list_intersect(sa.sh, sb.sh))::DOUBLE"
+    "              / greatest(len(list_distinct(sa.sh || sb.sh)), 1) AS jaccard"
     " FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a"
     "             JOIN sh sb ON sb.doc_id = c.doc_b"
     " WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE"
-    "       / greatest(len(list_distinct(sa.sh || sb.sh)), 1) >= 0.5",
+    "       / greatest(len(list_distinct(sa.sh || sb.sh)), 1) >= 0.5)"
+)
+
+
+@q(
+    "near_dup_lsh_pairs",
+    _PAIRS_CTE_DUCK
+    + " SELECT doc_a, doc_b, round(jaccard, 3) AS jaccard FROM pairs",
 )
 def near_dup_lsh_pairs(spark, sf_dir):
     """MinHash-LSH near-duplicate pairs, exact-Jaccard-verified at ≥ 0.5.
@@ -591,3 +599,39 @@ def embedding_near_dup(spark, sf_dir):
         )
         .where(F.col("cos_sim") >= 0.4)
     )
+
+
+@q(
+    "near_dup_components",
+    _PAIRS_CTE_DUCK.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    + ", edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+    "             UNION ALL SELECT doc_b, doc_a FROM pairs)"
+    ", reach AS (SELECT a AS src, b AS dst FROM edges"
+    "            UNION"
+    "            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)"
+    " SELECT src AS doc_id,"
+    "        least(src, min(dst)) AS component,"
+    "        least(src, min(dst)) = src AS keep"
+    " FROM reach GROUP BY src ORDER BY doc_id",
+)
+def near_dup_components(spark, sf_dir):
+    """Near-dup CLUSTERS from the LSH pairs: connected components by
+    iterative min-label propagation (operators/components.py), the dedup
+    decision being keep = (doc == component representative).
+
+    LSH gives pairs; dedup needs transitive closure (a≈b, b≈c ⇒ drop two
+    of three). That closure is the brief's iterative-algorithm class — no
+    single SQL pass expresses it, so the Spark side loops Pregel-style
+    joins to a fixpoint while the oracle uses DuckDB's recursive CTE:
+    two engines, two genuinely different algorithms, one answer."""
+    from bridgedownstream_spark.operators.components import connected_components
+
+    pairs = QUERIES["near_dup_lsh_pairs"][0](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("component") == F.col("node")).alias("keep"),
+    ).orderBy("doc_id")
