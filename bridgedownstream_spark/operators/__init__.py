@@ -15,6 +15,7 @@ from bridgedownstream_spark.operators.reconcile import (
 from bridgedownstream_spark.operators.multimodal import (
     decode_images,
     extract_features,
+    resize_images,
     sample_frames,
 )
 
@@ -31,5 +32,6 @@ __all__ = [
     "replay_quarantine",
     "decode_images",
     "extract_features",
+    "resize_images",
     "sample_frames",
 ]

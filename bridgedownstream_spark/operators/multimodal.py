@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["decode_images", "extract_features", "sample_frames", "MEDIA_META_SCHEMA"]
+__all__ = ["decode_images", "extract_features", "resize_images", "sample_frames", "MEDIA_META_SCHEMA"]
 
 #: Typed metadata carried alongside every media payload.
 MEDIA_META_SCHEMA = T.StructType(
@@ -120,3 +120,57 @@ def sample_frames(
         frames_col,
         F.filter(F.col(frames_col), lambda x, i: i % every_n == 0),
     )
+
+
+def resize_images(
+    df: DataFrame,
+    content_col: str = "content",
+    width: int = 224,
+    height: int = 224,
+    strict: bool = False,
+) -> DataFrame:
+    """Replace each payload with a ``width``×``height`` resized rendition
+    and attach the post-resize ``meta`` struct — the preprocessing step a
+    vision training pipeline runs before feature extraction.
+
+    The stub rendition is deterministic: payload digest material cycled to
+    a byte budget proportional to the target pixel count (so relative
+    sizes behave like a real resample and downstream size accounting is
+    testable). A real deployment replaces only the inner loop with the
+    codec's decode→resample→encode; the Spark contract — binary in,
+    binary out, same partitioning, Arrow batches — is unchanged."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != content_col]
+        + [
+            T.StructField(content_col, T.BinaryType()),
+            T.StructField("meta", MEDIA_META_SCHEMA),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real resize requires an imaging library (PIL et al.) not "
+                "present in this environment; use strict=False for the stub"
+            )
+        n_bytes = max(1, (width * height) // 100)  # stub byte budget
+        for pdf in batches:
+            bodies, metas = [], []
+            for payload in pdf[content_col]:
+                digest = hashlib.md5(bytes(payload)).digest()
+                body = (digest * (n_bytes // len(digest) + 1))[:n_bytes]
+                bodies.append(body)
+                metas.append(
+                    {
+                        "format": "fake/resized",
+                        "width": width,
+                        "height": height,
+                        "n_bytes": len(body),
+                    }
+                )
+            pdf = pdf.copy()
+            pdf[content_col] = bodies
+            pdf["meta"] = metas
+            yield pdf[[f.name for f in out_schema.fields]]
+
+    return df.mapInPandas(resize, schema=out_schema)

@@ -102,3 +102,33 @@ def multimodal_frame_sample(spark, sf_dir):
     return sampled.select(
         "doc_id", "n_frames", F.size("frames").alias("n_sampled")
     )
+
+
+@q(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           'fake/resized' AS format,
+           320 AS width, 240 AS height,
+           768 AS n_bytes,
+           md5(text) AS head_hex
+    FROM documents
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    # Resize preprocessing (stub resample): payload replaced by a
+    # target-proportional rendition (320*240/100 = 768 bytes = the md5
+    # digest cycled 48x). The oracle pins the post-resize metadata and the
+    # first 16 payload bytes (= the digest), proving the binary-out
+    # contract survives the Arrow round-trip byte-exactly.
+    from bridgedownstream_spark.operators.multimodal import resize_images
+
+    resized = resize_images(_payloads(spark, sf_dir), width=320, height=240)
+    return resized.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.lower(F.hex(F.expr("substring(content, 1, 16)"))).alias("head_hex"),
+    )

@@ -56,3 +56,32 @@ def test_sample_frames_native(spark):
     )
     out = sample_frames(df, every_n=3).collect()[0]["frames"]
     assert [bytes(b)[0] for b in out] == [0, 3, 6, 9]
+
+
+def test_resize_images_contract(spark):
+    from bridgedownstream_spark.operators.multimodal import resize_images
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, b"payload-one"), (2, b"payload-two-longer")], "id long, content binary"
+    )
+    out = resize_images(df, width=100, height=100).collect()
+    assert {r["id"] for r in out} == {1, 2}
+    for r in out:
+        assert r["meta"]["width"] == 100 and r["meta"]["height"] == 100
+        assert len(r["content"]) == 100 * 100 // 100  # byte budget
+        assert r["meta"]["n_bytes"] == len(r["content"])
+    # deterministic: same payload → same rendition
+    again = resize_images(df, width=100, height=100).collect()
+    assert sorted(bytes(r["content"]) for r in out) == sorted(
+        bytes(r["content"]) for r in again
+    )
+
+
+def test_resize_strict_raises(spark):
+    import pytest
+    from bridgedownstream_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame([(1, b"x")], "id long, content binary")
+    with pytest.raises(Exception, match="NotImplementedError|imaging"):
+        resize_images(df, strict=True).collect()
