@@ -110,11 +110,16 @@ def _widen_leaves(dt: T.DataType) -> T.DataType:
     return T.StringType()
 
 
+#: column capturing unparseable JSON lines (PERMISSIVE-mode sidecar)
+CORRUPT_COL = "_corrupt_record"
+
+
 def read_json_dataset(
     spark: SparkSession,
     json_root: str,
     dataset: Dataset,
     conform: bool = True,
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """Read one partitioned JSON dataset with its declared schema.
 
@@ -129,20 +134,37 @@ def read_json_dataset(
     full ``resolveChoice(choice="match_catalog")`` semantics (reference
     json_s3_to_parquet.py:75-78): a file carrying ``"7"`` where an int is
     declared, or an int where a double is declared, coerces instead of
-    silently NULLing as a strict-schema read would."""
+    silently NULLing as a strict-schema read would.
+
+    ``keep_corrupt=True`` adds :data:`CORRUPT_COL` holding the raw text of
+    any UNPARSEABLE line (PERMISSIVE mode's sidecar) — without it a
+    corrupt line silently becomes an all-NULL row, indistinguishable from
+    a legitimately empty record. Stage-1 validation normally guarantees
+    none exist; the stage-2 quarantine split (``run_json_to_parquet``)
+    still checks, because lakes are written by more than one producer."""
     path = os.path.join(json_root, f"dataset={dataset.name}")
+    corrupt = (
+        [T.StructField(CORRUPT_COL, T.StringType())] if keep_corrupt else []
+    )
     if conform:
         widened = T.StructType(
             [
                 T.StructField(f.name, _widen_leaves(f.dataType), True)
                 for f in dataset.data_schema().fields
             ]
+            + corrupt
             # partition columns stay declared (they come from the layout)
             + list(dataset.partition_schema().fields)
         )
         df = spark.read.schema(widened).option("basePath", path).json(path)
-        return conform_to_schema(df, dataset.full_schema())
-    return spark.read.schema(dataset.full_schema()).option("basePath", path).json(path)
+        out_schema = dataset.full_schema()
+        if keep_corrupt:
+            out_schema = T.StructType(
+                list(out_schema.fields) + corrupt
+            )
+        return conform_to_schema(df, out_schema)
+    schema = T.StructType(list(dataset.full_schema().fields) + corrupt)
+    return spark.read.schema(schema).option("basePath", path).json(path)
 
 
 def write_parquet_dataset(
@@ -182,6 +204,7 @@ def run_json_to_parquet(
     source_df: DataFrame | None = None,
     ledger=None,
     wide_ids: bool = False,
+    corrupt_root: str | None = None,
 ) -> dict[str, str]:
     """The stage-2 job for one dataset: read → (ledger anti-join) → conform
     → relationalize (if nested) → write each table as partitioned parquet.
@@ -196,9 +219,33 @@ def run_json_to_parquet(
 
     ``source_df`` overrides the JSON read (used by tests / the streaming
     wrapper); it must already carry the partition columns.
+
+    ``corrupt_root`` enables the stage-2 quarantine: unparseable lake
+    lines are captured (see :func:`read_json_dataset` ``keep_corrupt``)
+    and written there with their partition columns, instead of flowing on
+    as indistinguishable all-NULL rows. Stage-1 validation makes this a
+    no-op for this engine's own lake; it defends lakes with other writers.
     """
     ds = registry[dataset_name]
-    df = source_df if source_df is not None else read_json_dataset(spark, json_root, ds)
+    parsed = None
+    if source_df is not None:
+        df = source_df
+    elif corrupt_root is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        # persist before splitting: Spark refuses corrupt-column-only
+        # projections over a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_
+        # COLUMN) — and the two-way split would scan twice anyway
+        parsed = read_json_dataset(
+            spark, json_root, ds, keep_corrupt=True
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        parsed.where(F.col(CORRUPT_COL).isNotNull()).select(
+            F.col(CORRUPT_COL).alias("raw_line"),
+            *[c for c in parsed.columns if c in ds.partition_schema().names],
+        ).write.mode(mode).parquet(corrupt_root)
+        df = parsed.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    else:
+        df = read_json_dataset(spark, json_root, ds)
 
     new_paths: list[str] | None = None
     if ledger is not None:
@@ -214,6 +261,8 @@ def run_json_to_parquet(
     # Empty-input skip (reference json_s3_to_parquet.py:197,225): cheap
     # single-partition probe, not a full count.
     if df.isEmpty():
+        if parsed is not None:
+            parsed.unpersist()
         return {}
 
     written: dict[str, str] = {}
@@ -229,4 +278,6 @@ def run_json_to_parquet(
         written[dataset_name] = write_parquet_dataset(df, parquet_root, dataset_name, mode=mode)
     if ledger is not None and new_paths:
         ledger.commit(new_paths, dataset_name)  # post-write, like job.commit()
+    if parsed is not None:
+        parsed.unpersist()
     return written
