@@ -197,3 +197,39 @@ def quality_score(spark, sf_dir):
         .otherwise(0)
         .alias("passes_length_gate"),
     )
+
+
+#: BPE-ish pre-tokenizer regex (GPT-2-style word/number/punct split,
+#: ASCII classes so Java regex and RE2 agree character-for-character)
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@q(
+    "bpe_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT) AS n_bpe_tokens,
+           CAST(len(string_split(trim(text), ' ')) AS INT) AS n_ws_tokens,
+           round(CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS DOUBLE)
+                 / greatest(len(string_split(trim(text), ' ')), 1), 4)
+               AS tokens_per_word
+    FROM documents
+    """,
+)
+def bpe_token_count(spark, sf_dir):
+    """Subword-proxy token counting: a BPE-style pre-tokenizer regex
+    (letter runs / digit runs / single punctuation) next to the whitespace
+    count, plus their ratio — the cost estimator a training-data pipeline
+    runs before paying for real BPE. Pure regexp_extract_all projection:
+    no UDF, no shuffle, scales with the scan."""
+    d = tbl(spark, sf_dir, "documents")
+    bpe = F.expr(f"size(regexp_extract_all(text, '{_BPE_RE}', 0))")
+    ws = F.size(F.split(F.trim(F.col("text")), " "))
+    return d.select(
+        "doc_id",
+        bpe.cast("int").alias("n_bpe_tokens"),
+        ws.cast("int").alias("n_ws_tokens"),
+        F.round(
+            bpe.cast("double") / F.greatest(ws, F.lit(1)), 4
+        ).alias("tokens_per_word"),
+    )
