@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from bridgedownstream_spark.queries import (
     advanced,
     core,
+    curation,
     llm,
     multimodal_q,
     ops,
@@ -25,6 +26,7 @@ REGISTRY.update(core.QUERIES)
 REGISTRY.update(advanced.QUERIES)
 REGISTRY.update(ops.QUERIES)
 REGISTRY.update(llm.QUERIES)
+REGISTRY.update(curation.QUERIES)
 REGISTRY.update(similarity.QUERIES)
 REGISTRY.update(multimodal_q.QUERIES)
 REGISTRY.update(pipeline_q.QUERIES)

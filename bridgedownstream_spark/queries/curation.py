@@ -1,0 +1,291 @@
+"""Training-data curation operators beyond basic dedup/quality: PII
+redaction, benchmark-contamination checks, repetition stats, weighted
+sampling, shard assignment, and corpus n-gram stats.
+
+These are the remaining ops a 100 TB curation pipeline runs between "raw
+documents" and "training shards". Like :mod:`queries.llm`, every operator
+uses engine-portable primitives (md5, RE2-safe ASCII regexes, array
+lambdas, integer `div`) so each has an exact DuckDB oracle.
+
+Scale notes are per-operator; the common theme is that everything heavy is
+either a pure projection (scales with the scan) or a shuffle on small keys
+(grams/digests), never on document bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bridgedownstream_spark.queries.util import HASH60, portable_hash60, tbl
+
+QUERIES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# RE2-and-Java-compatible ASCII patterns (no backrefs, no lookaround).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+# The synthetic corpus contains no PII, so the detector would only ever see
+# zeros; inject deterministic synthetic PII into every 5th doc (identically
+# in both engines) so the positive path is actually exercised and graded.
+_PII_AUG_SQL = """
+    CASE WHEN doc_id % 5 = 0
+         THEN text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-000-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE text END
+"""
+
+
+@q(
+    "pii_redact",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS body FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(body, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(body, '{_PHONE_RE}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(body, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII detection + redaction: count and mask emails/phone numbers.
+
+    Pure projection (regexp_extract_all / regexp_replace are codegen'd
+    JVM-side) — no shuffle, scales with the scan. The redacted body is
+    returned as an md5 digest so the oracle compare stays 32 bytes/row.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    body = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-000-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    aug = d.select("doc_id", body.alias("body"))
+    return aug.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(body, '{_EMAIL_RE}', 0))")
+        .cast("int")
+        .alias("n_emails"),
+        F.expr(f"size(regexp_extract_all(body, '{_PHONE_RE}', 0))")
+        .cast("int")
+        .alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("body", _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE,
+                "<PHONE>",
+            )
+        ).alias("redacted_md5"),
+    )
+
+
+# Word-shingle generator shared by contamination / repetition / top-k.
+# Spark `sequence(1, n)` DESCENDS when n < 1, so the guard is mandatory.
+def _grams_expr(tok_col: str, n: int) -> str:
+    return (
+        f"CASE WHEN size({tok_col}) >= {n} THEN "
+        f"transform(sequence(1, size({tok_col}) - {n - 1}), "
+        f"i -> array_join(slice({tok_col}, i, {n}), ' ')) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def _grams_sql(tok_col: str, n: int) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(len({tok_col}) - {n - 1}, 0)), "
+        f"i -> array_to_string({tok_col}[i:i+{n - 1}], ' '))"
+    )
+
+
+_NORM_TOKS_SQL = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+_NORM_TOKS_EXPR = "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"
+
+
+@q(
+    "contamination_check",
+    f"""
+    WITH toks AS (SELECT doc_id, {_NORM_TOKS_SQL} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct({_grams_sql("t", 8)})) AS g FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+    train AS (SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0)
+    SELECT train.doc_id,
+           CAST(count(*) AS INT) AS n_grams,
+           CAST(count(bench.g) AS INT) AS n_overlap,
+           round(CAST(count(bench.g) AS DOUBLE) / count(*), 4) AS contamination_ratio
+    FROM train LEFT JOIN bench ON train.g = bench.g
+    GROUP BY 1
+    """,
+)
+def contamination_check(spark, sf_dir):
+    """Benchmark-contamination check: 8-gram overlap of each training doc
+    against a held-out benchmark slice (here: every 20th doc stands in for
+    the eval set).
+
+    Scale path: shingles are DISTINCT'd per doc before the join, the
+    benchmark side is tiny and broadcast, and the join key is the gram
+    string — so the one shuffle is the per-doc count aggregation, sized by
+    shingle count, never by document bodies. This is the standard
+    "n-gram decontamination" pass (GPT-3 appendix C / PaLM style).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(_NORM_TOKS_EXPR).alias("t"))
+    grams = toks.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_grams_expr("t", 8)))).alias("g")
+    )
+    bench = grams.where(F.col("doc_id") % 20 == 0).select("g").distinct()
+    train = grams.where(F.col("doc_id") % 20 != 0)
+    joined = train.join(
+        F.broadcast(bench.withColumnRenamed("g", "bg")),
+        train.g == F.col("bg"),
+        "left",
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_grams"),
+        F.count("bg").cast("int").alias("n_overlap"),
+        F.round(F.count("bg").cast("double") / F.count("*"), 4).alias(
+            "contamination_ratio"
+        ),
+    )
+
+
+@q(
+    "repetition_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    grams AS (SELECT doc_id, unnest({_grams_sql("t", 2)}) AS g FROM toks),
+    per AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS INT) AS n_bigrams,
+           CAST(count(*) AS INT) AS n_unique_bigrams,
+           round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 4) AS dup_bigram_ratio,
+           CAST(max(c) AS INT) AS max_bigram_repeats
+    FROM per GROUP BY 1
+    """,
+)
+def repetition_stats(spark, sf_dir):
+    """Intra-document repetition (Gopher-style quality rule): duplicate
+    bigram fraction and the hottest bigram's multiplicity.
+
+    Two-level aggregation, both keyed on (doc_id[, gram]) — partial
+    aggregation absorbs most of it map-side; nothing wide moves.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("t"))
+    grams = toks.select("doc_id", F.explode(F.expr(_grams_expr("t", 2))).alias("g"))
+    per = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("int").alias("n_bigrams"),
+        F.count("*").cast("int").alias("n_unique_bigrams"),
+        F.round(1.0 - F.count("*").cast("double") / F.sum("c"), 4).alias(
+            "dup_bigram_ratio"
+        ),
+        F.max("c").cast("int").alias("max_bigram_repeats"),
+    )
+
+
+@q(
+    "quality_weighted_sample",
+    f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             len(list_distinct(string_split(trim(text), ' '))) AS uq,
+             len(string_split(trim(text), ' ')) AS nt
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST((10000 * uq) // nt AS BIGINT) AS weight_bp
+    FROM s
+    WHERE {HASH60.format(x="CAST(doc_id AS VARCHAR)")} % 10000
+          < (10000 * uq) // nt
+    """,
+)
+def quality_weighted_sample(spark, sf_dir):
+    """Deterministic quality-weighted sampling: keep each doc with
+    probability proportional to its type-token ratio, decided by a portable
+    hash of doc_id — reproducible across runs, engines, and cluster sizes
+    (no RNG, no partition-order dependence). Pure filter+projection.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    s = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(toks)).alias("uq"),
+        F.size(toks).alias("nt"),
+    )
+    weight = F.expr("(10000 * uq) div nt")
+    return (
+        s.where(
+            portable_hash60(F.col("doc_id").cast("string")) % 10000 < weight
+        ).select("doc_id", "n_chars", weight.cast("bigint").alias("weight_bp"))
+    )
+
+
+@q(
+    "train_shards",
+    f"""
+    SELECT CAST({HASH60.format(x="CAST(doc_id AS VARCHAR)")} % 16 AS INT) AS shard,
+           CAST(count(*) AS INT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def train_shards(spark, sf_dir):
+    """Global deterministic shuffle-to-shards: assign every doc to one of 16
+    training shards by portable hash and report shard balance. At 100 TB
+    this is the final write stage — hash assignment gives uniform shards
+    with no global sort and a single small aggregation to audit balance.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    shard = (portable_hash60(F.col("doc_id").cast("string")) % 16).cast("int")
+    return d.groupBy(shard.alias("shard")).agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@q(
+    "ngram_topk",
+    f"""
+    WITH toks AS (SELECT doc_id, {_NORM_TOKS_SQL} AS t FROM documents),
+    grams AS (SELECT unnest({_grams_sql("t", 2)}) AS bigram FROM toks)
+    SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+    FROM grams GROUP BY 1
+    ORDER BY cnt DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def ngram_topk(spark, sf_dir):
+    """Corpus-level top-k n-grams (vocabulary/boilerplate audit). The
+    groupBy key is the bigram string; partial aggregation collapses each
+    partition's counts before the shuffle, and TakeOrderedAndProject keeps
+    the top-k without a global sort. Tie-break on the gram itself makes the
+    cut deterministic in both engines.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(F.expr(_NORM_TOKS_EXPR).alias("t"))
+    grams = toks.select(F.explode(F.expr(_grams_expr("t", 2))).alias("bigram"))
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
