@@ -41,7 +41,12 @@ def connected_components(
     bigger limit.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Materialize the (symmetrized) edge list ONCE: every round joins
+    # against it, and without this the whole upstream plan (e.g. the
+    # MinHash+LSH pipeline that produced the pairs) re-executes per round.
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -54,23 +59,22 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Carry the previous label through the checkpoint so the
+        # convergence probe is a scan+count of the materialized result,
+        # not another join against the old labels.
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .select(
                 "node",
+                F.col("label").alias("prev"),
                 F.least(
                     "label", F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("prev") != F.col("label")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select(F.col("node"), F.col("label").alias("component"))
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
