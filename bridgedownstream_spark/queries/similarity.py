@@ -371,13 +371,31 @@ def ann_topk_cosine(spark, sf_dir):
 
 _N_PLANES = 6  # 2^6 = 64 buckets
 
+#: hyperplanes are FIXED model-dimension vectors — precompute them once on
+#: the driver (hashlib.md5 is bit-identical to both engines' md5) and fold
+#: them into the plan as constant arrays. The naive form — re-deriving each
+#: weight with md5 inside the row expression — costs dims × planes md5+conv
+#: evaluations PER ROW (384/row at 64 dims; measured ~2× slower at sf0.1).
+#: The oracle keeps the self-describing md5 form; values match because the
+#: weights are the same deterministic function either way.
+_MAX_DIM = 256
+
+
+def _h60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+_PLANE_W = [
+    [((_h60_py(f"hp{j}_{i}") % 1000) / 500.0 - 1.0) for i in range(1, _MAX_DIM + 1)]
+    for j in range(_N_PLANES)
+]
+
 
 def _plane_dot_spark(j: int) -> str:
-    w = (
-        f"transform(sequence(1, size(emb)), i -> "
-        f"(({_H60_SPARK.format(x=chr(39) + 'hp' + str(j) + '_' + chr(39) + ' || CAST(i AS STRING)')}) % 1000) / 500.0 - 1.0)"
-    )
-    return _DOT_SPARK.format(a=w, b="emb")
+    w = "array(" + ", ".join(f"{x!r}D" for x in _PLANE_W[j]) + ")"
+    return _DOT_SPARK.format(a=f"slice({w}, 1, size(emb))", b="emb")
 
 
 def _plane_dot_duck(j: int) -> str:
