@@ -130,6 +130,18 @@ def test_sketch_estimates_bounded(spark):
         assert abs(p50 - e["p50"]) <= max(5.0, 0.1 * e["p50"]), et
 
 
+def test_every_query_plan_is_scale_clean(spark):
+    """Global guard over the WHOLE query registry: no physical plan may
+    contain a cartesian product or a row-at-a-time Python UDF
+    (BatchEvalPython). Vectorized Python (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas) is the sanctioned slow path; per-row Python is
+    never acceptable in any shipped plan."""
+    for name in REGISTRY:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
 def test_asof_join_has_no_join_node(spark):
     # the union-trick as-of: one hash exchange on the key, zero join
     # operators of any kind in the physical plan
