@@ -1,0 +1,132 @@
+"""Data-layout operators: Z-order clustering and total-order writes.
+
+At 100 TB the cheapest query is the one that never reads the file: parquet
+keeps per-file (and per-row-group) min/max stats, and Spark prunes files
+whose stats exclude the predicate. That only works if rows are *clustered*
+so each file covers a narrow value range. Two layouts:
+
+- :func:`write_sorted` — total order on ONE key: ``repartitionByRange``
+  (sampled range boundaries, skew-resistant) + ``sortWithinPartitions``.
+  File k's max ≤ file k+1's min, so a point/range predicate on the key
+  touches a contiguous handful of files.
+- :func:`write_zordered` — interleaved-bit (Morton) order on SEVERAL keys:
+  each key is bucketized onto a 2^bits grid, the bucket bits are
+  interleaved into one integer, and the data is range-partitioned + sorted
+  by that Z-key. Each file then covers a small *rectangle* in key space, so
+  predicates on ANY clustered column (or any combination) skip most files —
+  the property a single-column sort cannot give.
+
+Both run ONE shuffle (the range exchange). Bucket boundaries come from
+driver-side ``approxQuantile`` over a sample — equi-depth buckets, so
+skewed keys still spread evenly across the grid (same sampling strategy
+``repartitionByRange`` itself uses).
+
+The reference's lake (dataset=/assessmentid=/year=/… Hive dirs,
+json_s3_to_parquet.py:179-233) prunes on partition *columns* only; these
+operators add intra-partition skipping for the high-cardinality keys
+(recordid, timestamps, metrics) that can never be directory keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_key", "write_zordered", "write_sorted", "file_minmax"]
+
+
+def _bucket_col(df: DataFrame, col: str, bits: int) -> Column:
+    """Equi-depth bucket id in [0, 2^bits) for ``col``, from sampled
+    quantile boundaries (driver-side, one approxQuantile pass)."""
+    n = (1 << bits) - 1
+    probs = [i / (n + 1) for i in range(1, n + 1)]
+    # 1% error at 255 cuts: boundary wobble moves rows one grid cell at
+    # most — harmless for clustering, cheap on a 100 TB sample
+    cuts = df.selectExpr(f"CAST({col} AS DOUBLE) AS c").approxQuantile(
+        "c", probs, 0.01
+    )
+    # strictly-increasing unique cuts; duplicates appear on low-cardinality
+    # or heavily-skewed columns and would create empty buckets (harmless)
+    # but bloat the literal array
+    uniq: list[float] = []
+    for c in cuts:
+        if not uniq or c > uniq[-1]:
+            uniq.append(c)
+    arr = "array(" + ", ".join(f"{c!r}D" for c in uniq) + ")"
+    # bucket = number of boundaries ≤ value: a constant-folded literal
+    # array + one filter HOF per row, no join, no shuffle
+    return F.expr(
+        f"size(filter({arr}, b -> b <= CAST({col} AS DOUBLE)))"
+    ).cast("long")
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
+    """Morton (Z-curve) key: interleave the ``bits``-wide equi-depth bucket
+    ids of ``cols`` into one long. Rows close on the Z-key are close in
+    EVERY clustered dimension."""
+    if not 1 <= len(cols) * bits <= 63:
+        raise ValueError("zorder_key: need 1 <= len(cols)*bits <= 63")
+    buckets = [_bucket_col(df, c, bits) for c in cols]
+    ndim = len(cols)
+    z = F.lit(0).cast("long")
+    for d, b in enumerate(buckets):
+        for i in range(bits):
+            # bit i of dim d lands at interleaved position i*ndim + d
+            z = z.bitwiseOR(
+                b.bitwiseAND(F.lit(1 << i)).cast("long")
+                * F.lit(1 << (i * (ndim - 1) + d))
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-key of ``cols``.
+
+    One range exchange (sampled boundaries on the Z-key) + in-partition
+    sort; the Z-key is a derived expression, never a stored column."""
+    z = zorder_key(df, cols, bits=bits)
+    (
+        df.repartitionByRange(num_files, z)
+        .sortWithinPartitions(z)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    col: str,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Total-order parquet write on one key: global order across files via
+    range partitioning, order within files via the partition sort."""
+    (
+        df.repartitionByRange(num_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def file_minmax(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max of ``cols`` for a parquet dataset — the same stats
+    the scan's file-skipping consults, surfaced as a DataFrame so layout
+    quality is measurable (files whose [min,max] box intersects a predicate
+    box = files a query must read)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+    )

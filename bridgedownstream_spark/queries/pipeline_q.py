@@ -370,6 +370,49 @@ def pipeline_incremental_idempotent(spark, sf_dir):
     )
 
 
+#: sf_dir -> z-ordered events parquet path (built once per process)
+_ZORDERED: dict[str, str] = {}
+
+
+def _build_zordered(spark, sf_dir: str) -> str:
+    if sf_dir not in _ZORDERED:
+        from bridgedownstream_spark.pipeline.layout import write_zordered
+
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"bds_zorder_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+        )
+        ev = tbl(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_zordered(ev, path, ["user_id", "value"], bits=6, num_files=16)
+        _ZORDERED[sf_dir] = path
+    return _ZORDERED[sf_dir]
+
+
+@q(
+    "zorder_box_query",
+    """
+    SELECT event_id, user_id, event_type, round(value, 2) AS value
+    FROM events
+    WHERE user_id BETWEEN 40 AND 60 AND value BETWEEN 50 AND 150
+    """,
+)
+def zorder_box_query(spark, sf_dir):
+    # Z-order layout (pipeline/layout.py): events rewritten clustered on
+    # the Morton key of (user_id, value), then queried with a 2-D box
+    # predicate. The oracle recomputes from the source table, so a pass
+    # certifies the clustered rewrite is content-preserving end-to-end;
+    # the file-skipping payoff (the box touches a fraction of the files)
+    # is pinned by tests/test_layout.py against the per-file min/max stats.
+    path = _build_zordered(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .where(F.col("user_id").between(40, 60) & F.col("value").between(50, 150))
+        .select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
 @q(
     "pipeline_partition_pruned",
     f"""

@@ -1,0 +1,91 @@
+"""Data-layout operators: Z-order + total-order writes and their
+file-skipping payoff, measured against the real per-file min/max stats."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bridgedownstream_spark.pipeline.layout import (
+    file_minmax,
+    write_sorted,
+    write_zordered,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    return (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+def _box_files(stats, lo_u, hi_u, lo_v, hi_v) -> int:
+    """Files whose [min,max] box intersects the predicate box — exactly
+    the files a scan with those predicates must read."""
+    return stats.where(
+        (F.col("min_user_id") <= hi_u)
+        & (F.col("max_user_id") >= lo_u)
+        & (F.col("min_value") <= hi_v)
+        & (F.col("max_value") >= lo_v)
+    ).count()
+
+
+def test_zorder_roundtrip_and_skipping(spark, tmp_path):
+    ev = _events(spark)
+    zpath = os.path.join(tmp_path, "z")
+    npath = os.path.join(tmp_path, "naive")
+    write_zordered(ev, zpath, ["user_id", "value"], bits=6, num_files=16)
+    # naive layout: same data, same file count, arrival order
+    ev.repartition(16).write.parquet(npath)
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
+
+    zstats = file_minmax(spark, zpath, ["user_id", "value"])
+    nstats = file_minmax(spark, npath, ["user_id", "value"])
+    assert zstats.count() == 16
+    # a box covering ~1/5 of each dimension (~1/25 of the plane);
+    # sf0.001 spans user_id 0..14, value 0..~330
+    z_files = _box_files(zstats, 4, 6, 50, 130)
+    n_files = _box_files(nstats, 4, 6, 50, 130)
+    # hash layout spreads every value range across every file: no skipping
+    assert n_files == 16
+    # Z-order confines the box to a small neighbourhood of files
+    assert z_files <= 6, f"z-order box touched {z_files}/16 files"
+
+
+def test_zorder_single_column_degenerates_to_sort(spark, tmp_path):
+    ev = _events(spark)
+    path = os.path.join(tmp_path, "z1")
+    write_zordered(ev, path, ["user_id"], bits=6, num_files=8)
+    stats = (
+        file_minmax(spark, path, ["user_id"])
+        .orderBy("min_user_id")
+        .collect()
+    )
+    # single clustered column: files must cover disjoint (or touching at a
+    # shared bucket boundary) key ranges, like a plain sorted write
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev["max_user_id"] <= cur["min_user_id"] + 1
+
+
+def test_write_sorted_total_order_across_files(spark, tmp_path):
+    ev = _events(spark)
+    path = os.path.join(tmp_path, "s")
+    write_sorted(ev, path, "event_id", num_files=8)
+    stats = (
+        file_minmax(spark, path, ["event_id"])
+        .orderBy("min_event_id")
+        .collect()
+    )
+    assert len(stats) >= 2  # range partitioner actually split the data
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev["max_event_id"] <= cur["min_event_id"]
+    # content preserved
+    back = spark.read.parquet(path)
+    assert back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
