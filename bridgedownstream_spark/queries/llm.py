@@ -55,6 +55,52 @@ def exact_dedup(spark, sf_dir):
 
 
 @q(
+    "incremental_dedup",
+    f"""
+    WITH corpus AS (
+        SELECT DISTINCT md5({_NORM_SQL.format(c="text")}) AS fp
+        FROM documents WHERE doc_id % 5 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, md5({_NORM_SQL.format(c="text")}) AS fp
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id, md5({_NORM_SQL.format(c="text")}) AS fp
+        FROM documents WHERE doc_id % 35 = 7
+    )
+    SELECT b.doc_id, b.fp AS fingerprint
+    FROM batch b ANTI JOIN corpus c ON b.fp = c.fp
+    """,
+)
+def incremental_dedup(spark, sf_dir):
+    """Cross-batch dedup: admit only new-batch documents whose fingerprint
+    is absent from the already-ingested corpus — the bookmark-style dedup
+    every recurring crawl needs.
+
+    The fixture models a re-crawl: 'corpus' = docs with id % 5 ≠ 0;
+    the incoming batch = the genuinely new docs (id % 5 = 0) UNION the
+    re-crawled corpus docs (id % 35 = 7 — always ∈ corpus, never ∈ new).
+    The anti-join must pass the new docs and reject every replay, so the
+    rejection path is exercised at any scale factor.
+
+    Scale path: the corpus side is the persisted fingerprint table
+    (32 bytes/doc, not bodies), the batch hashes in-flight, and the
+    anti-join shuffles digests only."""
+    d = tbl(spark, sf_dir, "documents")
+    fp = F.md5(_NORM_SPARK(F.col("text"))).alias("fp")
+    corpus = d.where(F.col("doc_id") % 5 != 0).select(fp).distinct()
+    batch = (
+        d.where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", fp)
+        .unionAll(d.where(F.col("doc_id") % 35 == 7).select("doc_id", fp))
+    )
+    return (
+        batch.join(corpus, "fp", "left_anti")
+        .select("doc_id", F.col("fp").alias("fingerprint"))
+    )
+
+
+@q(
     "doc_fingerprint",
     f"""
     SELECT doc_id,

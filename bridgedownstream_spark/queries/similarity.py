@@ -586,6 +586,71 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @q(
+    "ann_quantized_topk",
+    _EMB_CTE_DUCK + f"""
+    , qz AS (
+        SELECT vec_id,
+               list_transform(emb, x -> CAST(round(x * 127.0 /
+                   greatest(list_max(list_transform(emb, y -> abs(y))), 1e-12))
+                   AS BIGINT)) AS qv
+        FROM n
+    )
+    SELECT query_id, neighbor_id, q_dot, CAST(rnk AS INT) AS rnk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+                    i -> q.qv[i] * c.qv[i])) AS BIGINT) AS q_dot,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+                            i -> q.qv[i] * c.qv[i])) AS BIGINT) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM qz q JOIN qz c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    ) WHERE rnk <= {_TOP_K}
+    """,
+)
+def ann_quantized_topk(spark, sf_dir):
+    """Scalar-quantized ANN: embeddings compressed to int8 (per-vector
+    max-abs scale), candidates ranked by the INTEGER dot product.
+
+    The 100 TB story is memory, not speed-of-math: int8 shrinks the
+    resident vector corpus 4× (so 4× more of it fits in executor memory /
+    one broadcast), and integer dots are exact — bigint sums, no float
+    accumulation-order hazard, so the DuckDB oracle matches bit-for-bit.
+    Plan shape matches the brute-force baseline: broadcast query side,
+    one corpus scan, one window."""
+    from pyspark.sql import Window as W
+
+    e = tbl(spark, sf_dir, "embeddings").withColumn(
+        "emb", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    )
+    mx = "greatest(aggregate(emb, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x))), 1e-12d)"
+    qz = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(emb, x -> CAST(round(x * 127.0 / {mx}) AS BIGINT))"
+        ).alias("qv"),
+    )
+    qs = F.broadcast(
+        qz.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+        )
+    )
+    dot = F.expr(
+        "aggregate(zip_with(q_qv, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("q_dot").desc(), F.col("neighbor_id"))
+    return (
+        qs.crossJoin(qz)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), dot.alias("q_dot"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "q_dot", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+@q(
     "embedding_near_dup",
     _BUCKET_CTE_DUCK + f"""
     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
