@@ -35,29 +35,38 @@ from pyspark.sql import functions as F
 __all__ = ["zorder_key", "write_zordered", "write_sorted", "file_minmax"]
 
 
-def _bucket_col(df: DataFrame, col: str, bits: int) -> Column:
-    """Equi-depth bucket id in [0, 2^bits) for ``col``, from sampled
-    quantile boundaries (driver-side, one approxQuantile pass)."""
+def _bucket_cols(df: DataFrame, cols: list[str], bits: int) -> list[Column]:
+    """Equi-depth bucket ids in [0, 2^bits) for every ``cols`` entry, from
+    sampled quantile boundaries — ONE approxQuantile job covers all
+    dimensions."""
     n = (1 << bits) - 1
     probs = [i / (n + 1) for i in range(1, n + 1)]
-    # 1% error at 255 cuts: boundary wobble moves rows one grid cell at
+    # 1% error at the cuts: boundary wobble moves rows one grid cell at
     # most — harmless for clustering, cheap on a 100 TB sample
-    cuts = df.selectExpr(f"CAST({col} AS DOUBLE) AS c").approxQuantile(
-        "c", probs, 0.01
+    doubled = df.select(
+        *[F.col(c).cast("double").alias(f"_q{i}") for i, c in enumerate(cols)]
     )
-    # strictly-increasing unique cuts; duplicates appear on low-cardinality
-    # or heavily-skewed columns and would create empty buckets (harmless)
-    # but bloat the literal array
-    uniq: list[float] = []
-    for c in cuts:
-        if not uniq or c > uniq[-1]:
-            uniq.append(c)
-    arr = "array(" + ", ".join(f"{c!r}D" for c in uniq) + ")"
-    # bucket = number of boundaries ≤ value: a constant-folded literal
-    # array + one filter HOF per row, no join, no shuffle
-    return F.expr(
-        f"size(filter({arr}, b -> b <= CAST({col} AS DOUBLE)))"
-    ).cast("long")
+    all_cuts = doubled.approxQuantile(
+        [f"_q{i}" for i in range(len(cols))], probs, 0.01
+    )
+    out: list[Column] = []
+    for col, cuts in zip(cols, all_cuts):
+        # strictly-increasing unique cuts; duplicates appear on
+        # low-cardinality or heavily-skewed columns and would create empty
+        # buckets (harmless) but bloat the literal array
+        uniq: list[float] = []
+        for c in cuts:
+            if not uniq or c > uniq[-1]:
+                uniq.append(c)
+        arr = "array(" + ", ".join(f"{c!r}D" for c in uniq) + ")"
+        # bucket = number of boundaries ≤ value: a constant-folded literal
+        # array + one filter HOF per row, no join, no shuffle
+        out.append(
+            F.expr(
+                f"size(filter({arr}, b -> b <= CAST({col} AS DOUBLE)))"
+            ).cast("long")
+        )
+    return out
 
 
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
@@ -66,7 +75,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
     EVERY clustered dimension."""
     if not 1 <= len(cols) * bits <= 63:
         raise ValueError("zorder_key: need 1 <= len(cols)*bits <= 63")
-    buckets = [_bucket_col(df, c, bits) for c in cols]
+    buckets = _bucket_cols(df, cols, bits)
     ndim = len(cols)
     z = F.lit(0).cast("long")
     for d, b in enumerate(buckets):
