@@ -61,9 +61,13 @@ def main() -> int:
     spark = get_spark("bench")
     # Warm up the session (JVM, codegen, parquet footers, page cache)
     # outside the timed region so query 1 isn't charged startup costs.
-    for t in ("region", "lineitem", "documents", "embeddings", "events"):
+    # count() alone is answered from footer metadata without touching data
+    # pages — count(col) on every column forces a real full-column read.
+    for t in ("region", "lineitem", "documents", "embeddings", "events",
+              "orders", "customer", "part", "supplier", "nation"):
         try:
-            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            df.agg(*[F.count(c).alias(f"c{i}") for i, c in enumerate(df.columns)]).collect()
         except Exception:  # noqa: BLE001 — missing optional table
             pass
 
