@@ -37,7 +37,13 @@ from bridgedownstream_spark.validation import (
     validate_members,
 )
 
-__all__ = ["route_datasets", "inject_metadata", "write_json_lake", "run_ingest"]
+__all__ = [
+    "route_datasets",
+    "inject_metadata",
+    "write_json_lake",
+    "run_ingest",
+    "ingest_archives",
+]
 
 #: S3-object-metadata fields the manifest must provide per archive
 #: (reference tests/test_s3_to_json_s3.py:173-197).
@@ -223,9 +229,41 @@ def run_ingest(
 
     ``manifest`` must carry ``path`` plus :data:`MANIFEST_FIELDS`.
     """
+    archives = read_archives(spark, archive_path, manifest)
+    return ingest_archives(
+        spark,
+        archives,
+        archive_map=archive_map,
+        schema_store=schema_store,
+        schema_mapping=schema_mapping,
+        dataset_mapping=dataset_mapping,
+        json_root=json_root,
+        quarantine_root=quarantine_root,
+        app_id=app_id,
+        mode=mode,
+        collect_counts=collect_counts,
+    )
+
+
+def ingest_archives(
+    spark: SparkSession,
+    archives: DataFrame,
+    archive_map: dict,
+    schema_store: dict[str, dict],
+    schema_mapping: dict[str, str],
+    dataset_mapping: dict | None,
+    json_root: str,
+    quarantine_root: str | None = None,
+    app_id: str = "mobile-toolbox",
+    mode: str = "append",
+    collect_counts: bool = True,
+) -> dict[str, int]:
+    """Stage-1 body over an already-materialized (path, content, manifest…)
+    archive frame — shared verbatim by the batch job (:func:`run_ingest`)
+    and the streaming job (streaming/ingest_stream.py), so both lifecycles
+    run ONE code path."""
     from pyspark.storagelevel import StorageLevel
 
-    archives = read_archives(spark, archive_path, manifest)
     members = explode_members(archives)
     # schema resolution happens inside the validation UDF (per-executor
     # memo over the config-cardinality combos) — single pass over the

@@ -17,12 +17,14 @@ src/scripts/bookmarks/get-bookmarks.py).
 """
 
 from bridgedownstream_spark.streaming.availablenow import stream_json_to_parquet
+from bridgedownstream_spark.streaming.ingest_stream import stream_ingest
 from bridgedownstream_spark.streaming.joins import interval_join_streams
 from bridgedownstream_spark.streaming.stateful import dedup_stream
 from bridgedownstream_spark.streaming.windowed import session_counts, windowed_counts
 
 __all__ = [
     "stream_json_to_parquet",
+    "stream_ingest",
     "dedup_stream",
     "interval_join_streams",
     "session_counts",
