@@ -684,6 +684,114 @@ def embedding_near_dup(spark, sf_dir):
     )
 
 
+_KM_ITERS = 2
+
+#: squared-L2 distance between emb and c_emb — identical left-to-right
+#: fold order in both engines
+_L2_SPARK = (
+    "aggregate(zip_with(emb, c_emb, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+_L2_DUCK = (
+    "list_sum(list_transform(generate_series(1, len(v.emb)), "
+    "i -> (v.emb[i] - c.c_emb[i]) * (v.emb[i] - c.c_emb[i])))"
+)
+
+
+def _km_assign_duck(src: str, cents: str, out: str) -> str:
+    return (
+        f"{out} AS (SELECT vec_id, emb, cent_id AS cell FROM ("
+        f"  SELECT v.vec_id, v.emb, c.cent_id,"
+        f"         row_number() OVER (PARTITION BY v.vec_id"
+        f"             ORDER BY round({_L2_DUCK}, 6), c.cent_id) AS rn"
+        f"  FROM {src} v CROSS JOIN {cents} c) WHERE rn = 1)"
+    )
+
+
+_KM_MEAN_DUCK = (
+    "{out} AS (SELECT cell, d, "
+    "round(CAST(sum(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c"
+    " FROM (SELECT cell, unnest(generate_series(1, len(emb))) AS d,"
+    "              unnest(emb) AS x FROM {src})"
+    " GROUP BY cell, d)"
+)
+
+
+@q(
+    "kmeans_refine_centroids",
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb"
+    "           FROM embeddings), "
+    f"c0 AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e"
+    f"       WHERE vec_id % 250 = 0 AND vec_id < {250 * _N_CELLS}), "
+    + _km_assign_duck("e", "c0", "a1")
+    + ", "
+    + _KM_MEAN_DUCK.format(out="m1", src="a1")
+    + ", c1 AS (SELECT cell AS cent_id, list(c ORDER BY d) AS c_emb FROM m1 GROUP BY cell), "
+    + _km_assign_duck("e", "c1", "a2")
+    + ", "
+    + _KM_MEAN_DUCK.format(out="m2", src="a2")
+    + " SELECT cell, CAST(d AS INT) AS d, c FROM m2 ORDER BY cell, d",
+)
+def kmeans_refine_centroids(spark, sf_dir):
+    """Lloyd k-means refinement of the IVF coarse quantizer: 2 iterations
+    of assign-to-nearest → per-cell mean, seeded with the same fixed
+    centroids ann_ivf_topk probes. Output = the refined centroids as
+    (cell, dim, component) rows.
+
+    This is the *training* half of IVF that ann_ivf_topk's docstring
+    defers to — expressed in DataFrame ops: assignment is a broadcast
+    join + window argmin (8 centroids ride along; the corpus never
+    shuffles), the mean is posexplode → one narrow-keyed aggregation, and
+    each round's tiny centroid frame is localCheckpointed so iteration
+    lineage stays O(1), exactly the connected-components pattern.
+
+    Oracle parity for an iterative float algorithm: distances round to 6
+    before the argmin (deterministic tie-break by cell id), and the means
+    use exact DECIMAL sums — order-independent across partitions, so the
+    unrolled-CTE DuckDB twin matches hash-for-hash despite the two
+    engines aggregating in different orders. A dyadic double can never be
+    a decimal half-way case, so the double→decimal rounding agrees too."""
+    from pyspark.sql import Window as W
+
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+    )
+    cent = e.where(
+        (F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 250 * _N_CELLS)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("c_emb"))
+    w = W.partitionBy("vec_id").orderBy("dist", "cent_id")
+    means = None
+    for _ in range(_KM_ITERS):
+        assign = (
+            e.crossJoin(F.broadcast(cent))
+            .withColumn("dist", F.round(F.expr(_L2_SPARK), 6))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "emb", F.col("cent_id").alias("cell"))
+        )
+        means = (
+            assign.select("cell", F.posexplode("emb").alias("p", "x"))
+            .select("cell", (F.col("p") + 1).cast("int").alias("d"), "x")
+            .groupBy("cell", "d")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("c")
+            )
+            # materialize this round's result: truncates iterative lineage
+            # and is the frame the next assignment broadcasts from
+            .localCheckpoint(eager=True)
+        )
+        cent = means.groupBy("cell").agg(
+            F.expr("transform(sort_array(collect_list(struct(d, c))), s -> s.c)").alias(
+                "c_emb"
+            )
+        ).select(F.col("cell").alias("cent_id"), "c_emb")
+    return means.orderBy("cell", "d")
+
+
 @q(
     "near_dup_components",
     _PAIRS_CTE_DUCK.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
