@@ -22,10 +22,15 @@ TABLES = (
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet scan → Catalyst gets pushdown/pruning.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark's
-    vectorized reader rejects; read it as raw nanos (``nanosAsLong``) and
-    truncate to microseconds — the same truncation DuckDB applies when it
-    converts TIMESTAMP_NS to its microsecond TIMESTAMP.
+    ``events.ts`` has shipped as both TIMESTAMP(MICROS) (no tz → Spark infers
+    TIMESTAMP_NTZ) and TIMESTAMP(NANOS) parquet across testdata generations.
+    Every query expects plain TIMESTAMP (LTZ), so normalize here:
+
+    - raw nanos (LongType under ``nanosAsLong``): floor to microseconds — the
+      same conversion DuckDB applies for TIMESTAMP_NS → its us TIMESTAMP;
+    - TIMESTAMP_NTZ: cast to TIMESTAMP — numerically identity because the
+      session timezone is pinned UTC (session.py);
+    - TIMESTAMP: pass through.
     """
     if name == "events":
         # nanosAsLong is pinned in get_spark(); re-pin here because the
@@ -34,10 +39,19 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # concurrently-built plan can observe a flip.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # ns → us must FLOOR (DuckDB semantics), not truncate toward zero;
-        # integer-exact for the full bigint range (no double round-trip).
-        floored_us = F.expr("ts div 1000 - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END")
-        return df.withColumn("ts", F.timestamp_micros(floored_us))
+        from pyspark.sql.types import LongType, TimestampNTZType
+
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            # ns → us must FLOOR (DuckDB semantics), not truncate toward
+            # zero; integer-exact for the full bigint range.
+            floored_us = F.expr(
+                "ts div 1000 - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END"
+            )
+            df = df.withColumn("ts", F.timestamp_micros(floored_us))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
