@@ -289,3 +289,130 @@ def ngram_topk(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(20)
     )
+
+
+_CHUNK_W = 32  # tokens per chunk (context-window size)
+_CHUNK_S = 24  # stride: 8-token overlap between consecutive chunks
+
+
+@q(
+    "doc_chunking",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t), 1), {_CHUNK_S})) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {_CHUNK_S} AS INT)       AS chunk_idx,
+           CAST(s AS INT)                           AS start_tok,
+           CAST(len(t[s:s+{_CHUNK_W - 1}]) AS INT)  AS n_tokens,
+           md5(array_to_string(t[s:s+{_CHUNK_W - 1}], ' ')) AS chunk_md5
+    FROM starts
+    """,
+)
+def doc_chunking(spark, sf_dir):
+    """Context-window chunking: split each document into overlapping
+    {W}-token windows at stride {S} — the preprocessing step that turns raw
+    documents into model-sized training/embedding inputs.
+
+    Entirely native (sequence → posexplode → slice): chunking is a pure
+    row-local projection, so it scales with the scan — no shuffle, no UDF.
+    At 100 TB the explode multiplies rows ~n_tokens/stride ×, which is why
+    the chunk payload here is the md5 of the window (what a real pipeline
+    would hash-bucket or embed next), never a copy of the text.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    t = "split(trim(regexp_replace(text, '\\\\s+', ' ')), ' ')"
+    return (
+        d.select(
+            "doc_id",
+            F.expr(t).alias("t"),
+        )
+        # sequence() guard: greatest(n,1) keeps empty docs emitting exactly
+        # one (empty) chunk instead of a descending sequence
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.expr(f"sequence(1, greatest(size(t), 1), {_CHUNK_S})")
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / _CHUNK_S).cast("int").alias("chunk_idx"),
+            F.col("s").cast("int").alias("start_tok"),
+            F.expr(f"CAST(size(slice(t, s, {_CHUNK_W})) AS INT)").alias("n_tokens"),
+            F.expr(f"md5(array_join(slice(t, s, {_CHUNK_W}), ' '))").alias("chunk_md5"),
+        )
+    )
+
+
+_PACK_BUDGET = 2048  # tokens per training sequence/pack
+
+
+@q(
+    "pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                 AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(cum_before // {_PACK_BUDGET} AS INT) AS pack_id,
+           CAST(cum_before % {_PACK_BUDGET} AS INT)  AS pack_offset
+    FROM c
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing: lay documents end-to-end (per source,
+    in doc_id order) into fixed {BUDGET}-token packs, recording each doc's
+    pack id and byte^W token offset. This is the streaming-fill packing
+    used to build pretraining batches without padding waste; docs that
+    straddle a boundary are split at training time by the recorded offset.
+
+    Plan: one window (cumulative sum) partitioned by source — the shuffle
+    key is the corpus/source, so at 100 TB each source packs independently
+    and in parallel. A giant single source would skew one partition; the
+    production remedy is a two-level key (source, shard) where shard comes
+    from the same hash used by train_shards, at the cost of per-shard
+    rather than global contiguity.
+    """
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "size(split(trim(regexp_replace(text, '\\\\s+', ' ')), ' '))"
+        ).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (cum / _PACK_BUDGET).cast("int").alias("pack_id"),
+        (cum % _PACK_BUDGET).cast("int").alias("pack_offset"),
+    )

@@ -826,3 +826,72 @@ def near_dup_components(spark, sf_dir):
         "component",
         (F.col("component") == F.col("node")).alias("keep"),
     ).orderBy("doc_id")
+
+
+@q(
+    "ann_recall",
+    _BUCKET_CTE_DUCK + f"""
+    , brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DOT_DUCK.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 4) DESC,
+                                c.vec_id
+                   ) AS rnk
+            FROM n q JOIN n c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+        ) WHERE rnk <= {_TOP_K}
+    ),
+    lsh AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DOT_DUCK.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 4) DESC,
+                                c.vec_id
+                   ) AS rnk
+            FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < {_N_QUERIES}
+        ) WHERE rnk <= {_TOP_K}
+    )
+    SELECT bf.query_id,
+           CAST(count(ls.neighbor_id) AS INT) AS n_hits,
+           round(count(ls.neighbor_id) / {_TOP_K}.0, 3) AS recall
+    FROM brute bf LEFT JOIN lsh ls
+      ON bf.query_id = ls.query_id AND bf.neighbor_id = ls.neighbor_id
+    GROUP BY bf.query_id
+    """,
+)
+def ann_recall(spark, sf_dir):
+    """Recall@k of the LSH-bucketed ANN against the brute-force ground
+    truth — the quality metric every approximate index must report before
+    it replaces the exact scan.
+
+    Spark side: both existing pipelines run as-is; ground truth is tiny
+    (queries × k rows), so it broadcasts into a left join against the ANN
+    result and the per-query hit count is one small aggregation. At scale
+    this is the standard pattern: recall is measured on a sampled query
+    set, never the full corpus, so the measurement cost is the cost of one
+    brute-force pass over the sample."""
+    truth = QUERIES["ann_topk_cosine"][0](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = QUERIES["ann_lsh_bucketed"][0](spark, sf_dir).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    hits = F.count("a_neighbor_id")
+    return (
+        F.broadcast(truth)
+        .join(
+            approx,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            hits.cast("int").alias("n_hits"),
+            F.round(hits / _TOP_K, 3).alias("recall"),
+        )
+    )
