@@ -1,0 +1,124 @@
+"""Streaming stage 2: NDJSON lake → parquet lake, kept in sync by upsert.
+
+The batch stage-2 job (pipeline/json_to_parquet.py) is bookmarked by the
+file ledger and APPENDS; re-exported records are then reconciled downstream
+by dedup-latest, exactly like the reference (Glue bookmarks + most-recent-
+export filtering, json_s3_to_parquet.py:74,103 + bootstrap_trigger.py:
+222-225). This module is the *continuous* lifecycle for the same contract:
+
+    NDJSON lake file stream (checkpoint = bookmark)
+      → conform to declared schema (resolveChoice)
+      → relationalize (shuffle-free)
+      → partition-scoped UPSERT of every emitted table
+
+Replacing the append with :func:`pipeline.upsert.upsert_dataset` folds the
+reconciliation INTO the sink: a re-exported recordid replaces all of its
+prior rows (root and children) in place, so the parquet lake is always
+dedup-latest — readers skip the A2 window entirely.
+
+Scale: each micro-batch touches only the partitions its records live in
+(partition-scoped upsert), so steady-state cost tracks the arrival rate,
+not lake size. The checkpoint makes restarts exactly-once; availableNow
+makes the same code a cron-driven incremental job or a long-lived daemon.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from bridgedownstream_spark.operators.relationalize import (
+    DEFAULT_KEY_COLS,
+    has_nested_fields,
+    relationalize,
+)
+from bridgedownstream_spark.pipeline.json_to_parquet import (
+    _widen_leaves,
+    conform_to_schema,
+)
+from bridgedownstream_spark.pipeline.registry import Dataset, DatasetRegistry
+from bridgedownstream_spark.pipeline.upsert import upsert_dataset
+
+__all__ = ["sync_batch_to_lake", "stream_upsert_lake"]
+
+
+def sync_batch_to_lake(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    dataset: Dataset,
+    parquet_root: str,
+    key_cols: tuple[str, ...] = DEFAULT_KEY_COLS,
+) -> dict[str, str]:
+    """Conform → relationalize → upsert one (micro-)batch into the lake.
+
+    ``batch_df`` carries the widened data columns plus partition columns
+    (the stream's read schema). Upsert keys on ``recordid``: every table a
+    record relationalizes into replaces ALL rows of that recordid — the
+    only correct contract when a re-export can change a child array's
+    length. Returns ``{table_name: path}`` for the tables touched.
+    """
+    df = conform_to_schema(batch_df, dataset.full_schema())
+    if df.isEmpty():
+        return {}
+    if has_nested_fields(df.schema):
+        tables = relationalize(df, dataset.name, key_cols=key_cols)
+    else:
+        tables = {dataset.name: df}
+    written: dict[str, str] = {}
+    for name, table in tables.items():
+        path = os.path.join(parquet_root, name)
+        parts = [c for c in dataset.partition_cols if c in table.columns]
+        upsert_dataset(
+            spark, path, table, key_cols=["recordid"], partition_cols=parts
+        )
+        written[name] = path
+    return written
+
+
+def stream_upsert_lake(
+    spark: SparkSession,
+    json_root: str,
+    parquet_root: str,
+    dataset_name: str,
+    registry: DatasetRegistry,
+    checkpoint_root: str,
+    key_cols: tuple[str, ...] = DEFAULT_KEY_COLS,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain all NDJSON lake files not yet seen by ``checkpoint_root``
+    through stage 2, upserting into the parquet lake, then return.
+
+    The stream reads through the leaf-widened declared schema (same
+    ``resolveChoice`` semantics as the batch reader — see
+    ``read_json_dataset``); partition columns resolve from the directory
+    layout. Re-running with the same checkpoint processes only files that
+    arrived since the last run; re-exported records replace their prior
+    rows instead of appending duplicates.
+    """
+    ds = registry[dataset_name]
+    path = os.path.join(json_root, f"dataset={ds.name}")
+    widened = T.StructType(
+        [
+            T.StructField(f.name, _widen_leaves(f.dataType), True)
+            for f in ds.data_schema().fields
+        ]
+        + list(ds.partition_schema().fields)
+    )
+    stream = (
+        spark.readStream.schema(widened).option("basePath", path).json(path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sync_batch_to_lake(
+            spark, batch_df, ds, parquet_root, key_cols=key_cols
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_root)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

@@ -1,0 +1,122 @@
+"""Streaming stage 2 (lake sync): the NDJSON lake drains into the parquet
+lake through a checkpointed stream whose sink is a partition-scoped UPSERT —
+new records append, re-exported records replace all their rows (root and
+child), and already-processed files are never reprocessed."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from bridgedownstream_spark.pipeline.registry import DatasetRegistry
+from bridgedownstream_spark.streaming.lake_sync import stream_upsert_lake
+
+REGISTRY = DatasetRegistry(
+    {
+        "tables": {
+            "rec_v1": {
+                "columns": [
+                    {"Name": "recordid", "Type": "string"},
+                    {"Name": "score", "Type": "double"},
+                    {
+                        "Name": "items",
+                        "Type": "array<struct<name:string,value:bigint>>",
+                    },
+                ]
+            }
+        }
+    }
+)
+
+
+def _part_dir(json_root: str, aid: str) -> str:
+    d = os.path.join(
+        json_root, "dataset=rec_v1", f"assessmentid={aid}",
+        "year=2024", "month=3", "day=4",
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _write_records(path: str, records: list[dict]) -> None:
+    with open(path, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+def _rec(rid: str, score: float, values: list[int]) -> dict:
+    return {
+        "recordid": rid,
+        "score": score,
+        "items": [{"name": f"n{v}", "value": v} for v in values],
+    }
+
+
+def test_stream_sync_upserts_reexports(spark, tmp_path):
+    json_root = str(tmp_path / "json")
+    pq_root = str(tmp_path / "parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: two records in partition A, one in partition B
+    a_dir = _part_dir(json_root, "A")
+    b_dir = _part_dir(json_root, "B")
+    _write_records(
+        os.path.join(a_dir, "f1.ndjson"),
+        [_rec("r1", 1.0, [1, 2]), _rec("r2", 2.0, [3])],
+    )
+    _write_records(os.path.join(b_dir, "f2.ndjson"), [_rec("r3", 3.0, [4])])
+    stream_upsert_lake(
+        spark, json_root, pq_root, "rec_v1", REGISTRY, ckpt
+    )
+
+    root = spark.read.parquet(os.path.join(pq_root, "rec_v1"))
+    child = spark.read.parquet(os.path.join(pq_root, "rec_v1_items"))
+    assert root.count() == 3
+    assert child.count() == 4
+
+    # batch 2 (same checkpoint): r1 re-exported with a SHORTER child array
+    # and a new score; r4 brand new. f1/f2 must not be reprocessed.
+    _write_records(
+        os.path.join(a_dir, "f3.ndjson"),
+        [_rec("r1", 9.0, [7]), _rec("r4", 4.0, [8, 9])],
+    )
+    stream_upsert_lake(
+        spark, json_root, pq_root, "rec_v1", REGISTRY, ckpt
+    )
+
+    root = spark.read.parquet(os.path.join(pq_root, "rec_v1"))
+    child = spark.read.parquet(os.path.join(pq_root, "rec_v1_items"))
+    # r1 replaced (not duplicated), r4 added
+    assert root.count() == 4
+    assert root.where("recordid = 'r1'").count() == 1
+    assert root.where("recordid = 'r1'").first()["score"] == 9.0
+    # r1's old 2 child rows replaced by 1; r4 adds 2; r2/r3 untouched
+    got = {
+        (r["recordid"], r["value"])
+        for r in child.select("recordid", "value").collect()
+    }
+    assert got == {("r1", 7), ("r2", 3), ("r3", 4), ("r4", 8), ("r4", 9)}
+    # untouched partition B survived the partition-scoped overwrite
+    assert root.where("assessmentid = 'B'").count() == 1
+
+
+def test_stream_sync_noop_rerun(spark, tmp_path):
+    json_root = str(tmp_path / "json")
+    pq_root = str(tmp_path / "parquet")
+    ckpt = str(tmp_path / "ckpt")
+    _write_records(
+        os.path.join(_part_dir(json_root, "A"), "f1.ndjson"),
+        [_rec("r1", 1.0, [1])],
+    )
+    stream_upsert_lake(spark, json_root, pq_root, "rec_v1", REGISTRY, ckpt)
+    # no new files: the re-run must leave the lake byte-identical
+    before = sorted(
+        r["recordid"]
+        for r in spark.read.parquet(os.path.join(pq_root, "rec_v1")).collect()
+    )
+    stream_upsert_lake(spark, json_root, pq_root, "rec_v1", REGISTRY, ckpt)
+    after = sorted(
+        r["recordid"]
+        for r in spark.read.parquet(os.path.join(pq_root, "rec_v1")).collect()
+    )
+    assert before == after == ["r1"]
