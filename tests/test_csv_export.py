@@ -1,0 +1,94 @@
+"""CSV export: partition-parallel layout with parquet, lossless round-trip
+through the declared schema, JSON serialization of nested columns."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bridgedownstream_spark.sources.csv_export import (
+    read_csv_dataset,
+    write_csv_dataset,
+)
+
+
+def _table(spark):
+    return spark.createDataFrame(
+        [
+            ("r1", 1.5, [1, 2], {"a": "x"}, "A", "2024", "3", "4"),
+            ("r2", None, [], None, "A", "2024", "3", "4"),
+            ("r3", 0.0, [7], {"a": ""}, "B", "2024", "3", "5"),
+        ],
+        T.StructType(
+            [
+                T.StructField("recordid", T.StringType()),
+                T.StructField("score", T.DoubleType()),
+                T.StructField("vals", T.ArrayType(T.LongType())),
+                T.StructField(
+                    "meta", T.StructType([T.StructField("a", T.StringType())])
+                ),
+                T.StructField("assessmentid", T.StringType()),
+                T.StructField("year", T.StringType()),
+                T.StructField("month", T.StringType()),
+                T.StructField("day", T.StringType()),
+            ]
+        ),
+    )
+
+
+def test_csv_round_trip(spark, tmp_path):
+    df = _table(spark)
+    path = write_csv_dataset(df, str(tmp_path), "rec_v1")
+
+    # parquet-parallel hive layout
+    assert os.path.isdir(
+        os.path.join(path, "assessmentid=A", "year=2024", "month=3", "day=4")
+    )
+
+    # nested columns came back as JSON text; scalars kept their types
+    schema = T.StructType(
+        [
+            T.StructField("recordid", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("vals", T.StringType()),
+            T.StructField("meta", T.StringType()),
+            T.StructField("assessmentid", T.StringType()),
+            T.StructField("year", T.StringType()),
+            T.StructField("month", T.StringType()),
+            T.StructField("day", T.StringType()),
+        ]
+    )
+    back = read_csv_dataset(spark, path, schema)
+    rows = {r["recordid"]: r for r in back.collect()}
+    assert len(rows) == 3
+    assert rows["r1"]["score"] == 1.5
+    assert rows["r1"]["vals"] == "[1,2]"
+    assert rows["r1"]["meta"] == '{"a":"x"}'
+    # NULL survives distinct from empty: r2.score is NULL, not 0/""
+    assert rows["r2"]["score"] is None
+    assert rows["r2"]["meta"] is None
+    # JSON text re-parses losslessly
+    reparsed = back.select(
+        "recordid",
+        F.from_json("vals", T.ArrayType(T.LongType())).alias("vals"),
+    ).collect()
+    assert {r["recordid"]: r["vals"] for r in reparsed}["r1"] == [1, 2]
+
+
+def test_csv_partition_pruning(spark, tmp_path):
+    df = _table(spark)
+    path = write_csv_dataset(df, str(tmp_path), "rec_v1")
+    schema = T.StructType(
+        [
+            T.StructField("recordid", T.StringType()),
+            T.StructField("assessmentid", T.StringType()),
+        ]
+    )
+    pruned = read_csv_dataset(spark, path, schema).where(
+        F.col("assessmentid") == "B"
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert pruned.count() == 1
