@@ -263,3 +263,61 @@ def column_profile(spark, sf_dir):
         .select("p.*")
         .orderBy("col_name")
     )
+
+
+@q(
+    "csv_export_roundtrip",
+    """
+    SELECT n_nationkey, n_name,
+           n_name || ', "' || CAST(n_nationkey AS VARCHAR) || '", ' AS note,
+           CAST(n_regionkey AS VARCHAR) AS n_regionkey
+    FROM nation
+    """,
+)
+def csv_export_roundtrip(spark, sf_dir):
+    # The consumer-facing export half of "exporting Bridge data to
+    # Parquet/CSV" (reference README.md:3), certified end-to-end: nation
+    # written as region-partitioned CSV, read back through the declared
+    # schema, compared against the source table. The synthesized note
+    # column carries commas, quotes, and a trailing separator — a pass
+    # proves RFC-4180 quoting/escaping survives the round trip. Partition
+    # values come back as catalog-typed strings (the engine-wide
+    # partition contract), hence the oracle's CAST.
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from bridgedownstream_spark.sources.csv_export import (
+        read_csv_dataset,
+        write_csv_dataset,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bds_csv_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+    )
+    nation = tbl(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        F.expr(
+            "n_name || ', \"' || CAST(n_nationkey AS STRING) || '\", '"
+        ).alias("note"),
+        "n_regionkey",
+    )
+    path = write_csv_dataset(
+        nation,
+        base,
+        "nation",
+        partition_cols=["n_regionkey"],
+        mode="overwrite",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("note", T.StringType()),
+            T.StructField("n_regionkey", T.StringType()),
+        ]
+    )
+    return read_csv_dataset(spark, path, schema)

@@ -76,6 +76,10 @@ def write_csv_dataset(
         # quote/escape defaults are RFC-4180; emit a real NULL marker so
         # empty string and NULL stay distinguishable on read-back
         .option("nullValue", "\\N")
+        # byte-faithful values: Spark's CSV writer/reader trim surrounding
+        # whitespace by default, which would silently corrupt text fields
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
     )
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -96,6 +100,8 @@ def read_csv_dataset(
         .option("header", "true")
         .option("timestampFormat", TS_FORMAT)
         .option("nullValue", "\\N")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .option("basePath", path)
         .csv(path)
     )
