@@ -10,6 +10,9 @@
   partitions rewritten at target file size via dynamic partition overwrite.
 - :mod:`.upsert` — partition-scoped merge-into (the reference's
   overwrite-by-recordid contract, at lake scale).
+- :mod:`.workflow` — the one-call study workflow: checkpointed archive
+  ingest → dataset discovery from the lake layout → incremental stage 2
+  per dataset (the SNS→Lambda→Glue-workflow lifecycle, minus the cloud).
 """
 
 from bridgedownstream_spark.pipeline.compact import (
@@ -24,12 +27,18 @@ from bridgedownstream_spark.pipeline.json_to_parquet import (
     run_json_to_parquet,
     write_parquet_dataset,
 )
+from bridgedownstream_spark.pipeline.workflow import (
+    discover_datasets,
+    run_study_workflow,
+)
 
 __all__ = [
     "DatasetRegistry",
     "compact_dataset",
     "conform_to_schema",
+    "discover_datasets",
     "partition_file_stats",
+    "run_study_workflow",
     "read_json_dataset",
     "run_json_to_parquet",
     "upsert_dataset",
