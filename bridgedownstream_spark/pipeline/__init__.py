@@ -13,6 +13,9 @@
 - :mod:`.workflow` — the one-call study workflow: checkpointed archive
   ingest → dataset discovery from the lake layout → incremental stage 2
   per dataset (the SNS→Lambda→Glue-workflow lifecycle, minus the cloud).
+- :mod:`.rollup` — incrementally-refreshed rollups (continuous
+  aggregates): only new partitions aggregate; late data re-refreshes its
+  partition under dynamic overwrite.
 """
 
 from bridgedownstream_spark.pipeline.compact import (
@@ -27,6 +30,7 @@ from bridgedownstream_spark.pipeline.json_to_parquet import (
     run_json_to_parquet,
     write_parquet_dataset,
 )
+from bridgedownstream_spark.pipeline.rollup import refresh_rollup
 from bridgedownstream_spark.pipeline.workflow import (
     discover_datasets,
     run_study_workflow,
@@ -38,6 +42,7 @@ __all__ = [
     "conform_to_schema",
     "discover_datasets",
     "partition_file_stats",
+    "refresh_rollup",
     "run_study_workflow",
     "read_json_dataset",
     "run_json_to_parquet",

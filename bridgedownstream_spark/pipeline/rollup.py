@@ -1,0 +1,102 @@
+"""Incrementally-refreshed rollups (continuous aggregates) over the lake.
+
+The reference's reporting queries re-aggregate the lake on every run
+(count-reconciliation etl-245/main.py:55-57 rescans each dataset hourly).
+That is O(lake) per refresh; at 100 TB the only sustainable shape is a
+materialized rollup maintained incrementally: aggregate ONLY partitions
+that are not yet in the rollup, append their pre-aggregated rows, and let
+readers aggregate the (tiny) rollup instead of the lake.
+
+This is the Timescale continuous-aggregate / Druid rollup pattern on
+plain parquet:
+
+- the refresh unit is the Hive partition (the lake's natural append
+  grain: a day lands, a day is rolled up);
+- partition discovery costs one metadata-only scan of each side's
+  partition values (partition columns resolve from directory names —
+  Spark never opens a data file for them);
+- late rows landing in an ALREADY-ROLLED partition are handled by
+  explicit re-refresh (``refresh_partitions``) which recomputes just
+  those partitions under dynamic partition overwrite — same contract as
+  the upsert sink.
+
+Readers then run `SELECT ... FROM rollup GROUP BY ...` — an aggregation
+over pre-aggregated per-partition rows, exact for algebraic aggregates
+(count/sum/min/max, and avg as sum+count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["refresh_rollup"]
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    table_path: str,
+    rollup_path: str,
+    group_cols: list[str],
+    aggs: list[Column],
+    partition_cols: list[str],
+    refresh_partitions: list[dict] | None = None,
+) -> int:
+    """Bring the rollup at ``rollup_path`` up to date with ``table_path``.
+
+    ``aggs`` are aliased aggregate columns over the source table, grouped
+    by ``partition_cols + group_cols``; the rollup is written partitioned
+    by ``partition_cols``. Returns the number of partitions refreshed.
+
+    Only source partitions absent from the rollup are aggregated (an
+    anti-join of the two partition-value sets — both metadata-cheap).
+    ``refresh_partitions`` (list of {partition_col: value} dicts) forces
+    recomputation of specific partitions (the late-data path), replacing
+    their rollup rows via dynamic partition overwrite.
+    """
+    src = spark.read.parquet(table_path)
+    src_parts = src.select(*partition_cols).distinct()
+
+    try:
+        existing = spark.read.parquet(rollup_path).select(*partition_cols).distinct()
+        first_write = False
+    except Exception:  # noqa: BLE001 — rollup does not exist yet
+        existing = None
+        first_write = True
+
+    if refresh_partitions:
+        cond = None
+        for spec in refresh_partitions:
+            one = None
+            for c, v in spec.items():
+                p = F.col(c) == F.lit(v)
+                one = p if one is None else (one & p)
+            cond = one if cond is None else (cond | one)
+        todo = src_parts.where(cond)
+        mode = "overwrite"  # dynamic: replaces only the listed partitions
+    elif first_write:
+        todo = src_parts
+        mode = "append"
+    else:
+        todo = src_parts.join(existing, partition_cols, "left_anti")
+        mode = "append"
+
+    # partition-count-scale collect — this is the refresh plan, not data
+    n_todo = todo.count()
+    if n_todo == 0:
+        return 0
+
+    rows = (
+        src.join(F.broadcast(todo), partition_cols, "semi")
+        .groupBy(*partition_cols, *group_cols)
+        .agg(*aggs)
+        # one file per refreshed partition: rollups are small by nature
+        .repartition(*partition_cols)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rows.write.mode(mode).partitionBy(*partition_cols).parquet(rollup_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n_todo

@@ -436,3 +436,62 @@ def pipeline_partition_pruned(spark, sf_dir):
         .groupBy("recordid", "assessmentid")
         .agg(F.count("*").alias("n_items"))
     )
+
+
+#: sf_dir -> rollup path (built once per process: refresh + no-op re-refresh)
+_ROLLUP: dict[str, str] = {}
+
+
+def _build_rollup(spark, sf_dir: str) -> str:
+    if sf_dir not in _ROLLUP:
+        import shutil
+
+        from bridgedownstream_spark.pipeline.rollup import refresh_rollup
+
+        written = _build_lake(spark, sf_dir)
+        roll = os.path.join(written["__base__"], "rollup_items")
+        shutil.rmtree(roll, ignore_errors=True)
+        for _ in range(2):  # second refresh MUST be a 0-partition no-op
+            refresh_rollup(
+                spark,
+                written["rec_v1_items"],
+                roll,
+                group_cols=[],
+                aggs=[
+                    F.count("*").cast("bigint").alias("n"),
+                    F.sum("l_quantity").alias("total"),
+                ],
+                partition_cols=["assessmentid", "year", "month", "day"],
+            )
+        _ROLLUP[sf_dir] = roll
+    return _ROLLUP[sf_dir]
+
+
+@q(
+    "rollup_incremental_equiv",
+    f"""
+    SELECT o_orderstatus AS assessmentid,
+           strftime(o_orderdate, '%Y') AS year,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o_orderkey % {_SAMPLE} = 0
+    GROUP BY 1, 2
+    """,
+)
+def rollup_incremental_equiv(spark, sf_dir):
+    # Continuous-aggregate pattern (pipeline/rollup.py): the child lake
+    # table rolls up per partition, refreshed TWICE — were the second
+    # refresh not a no-op, every partition's rows would append again and
+    # the doubled counts would fail the oracle (which recomputes from the
+    # source tables). Readers aggregate the tiny rollup, never the lake:
+    # this query scans pre-aggregated rows only.
+    roll = _build_rollup(spark, sf_dir)
+    return (
+        _read_table(spark, roll)
+        .groupBy("assessmentid", "year")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_items"),
+            F.round(F.sum("total"), 2).alias("total_qty"),
+        )
+    )
