@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["decode_images", "extract_features", "resize_images", "sample_frames", "MEDIA_META_SCHEMA"]
+__all__ = ["decode_images", "extract_features", "perceptual_hash", "resize_images", "sample_frames", "MEDIA_META_SCHEMA"]
 
 #: Typed metadata carried alongside every media payload.
 MEDIA_META_SCHEMA = T.StructType(
@@ -174,3 +174,48 @@ def resize_images(
             yield pdf[[f.name for f in out_schema.fields]]
 
     return df.mapInPandas(resize, schema=out_schema)
+
+
+def perceptual_hash(
+    df: DataFrame, content_col: str = "content", strict: bool = False
+) -> DataFrame:
+    """Attach a 16-bit average-hash (aHash) ``phash`` per payload.
+
+    Real aHash: decode → grayscale → downsample to a tiny grid → one bit
+    per cell (above/below the mean). The stub keeps every step except the
+    codec: the "grid" is the 16-byte md5 digest of the payload (the same
+    stand-in pixel source the other stubs use), so the hash is
+    deterministic and recomputable by the DuckDB oracle. A real
+    deployment swaps the digest for actual downsampled luma values —
+    the Spark contract (binary in, bigint signature out) is unchanged.
+
+    Unlike the text-side MinHash, near-dup detection over phash is
+    HAMMING-distance based: candidates bucket on the signature's top
+    byte, verification is ``bit_count(phash_a ^ phash_b)`` — both native
+    integer ops, no UDF in the pair path.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("phash", T.LongType())]
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real perceptual hashing requires an imaging library not "
+                "present in this environment; use strict=False for the stub"
+            )
+        for pdf in batches:
+            hashes = []
+            for payload in pdf[content_col]:
+                grid = hashlib.md5(bytes(payload)).digest()  # 16 "pixels"
+                mean = sum(grid) / len(grid)
+                h = 0
+                for i, px in enumerate(grid):
+                    if px > mean:
+                        h |= 1 << i
+                hashes.append(h)
+            pdf = pdf.copy()
+            pdf["phash"] = hashes
+            yield pdf
+
+    return df.mapInPandas(hash_batch, schema=out_schema)

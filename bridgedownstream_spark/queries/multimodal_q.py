@@ -132,3 +132,64 @@ def multimodal_resize(spark, sf_dir):
         F.col("meta.n_bytes").alias("n_bytes"),
         F.lower(F.hex(F.expr("substring(content, 1, 16)"))).alias("head_hex"),
     )
+
+
+_PHASH_DUCK = """
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15),
+                            i -> ('0x' || substr(md5(text), 2*i+1, 2))::BIGINT)
+                 AS bl
+      FROM documents
+    ),
+    m AS (SELECT doc_id, bl, list_sum(bl) / 16.0 AS mean FROM b),
+    p AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(0, 15),
+                  i -> CASE WHEN bl[i+1] > mean THEN 1 << i ELSE 0 END))
+                  AS BIGINT) AS phash
+      FROM m
+    )
+"""
+
+
+@q(
+    "media_phash_pairs",
+    _PHASH_DUCK + """
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, c.phash)) AS INT) AS hamming
+    FROM p a JOIN p c
+      ON (a.phash >> 8) = (c.phash >> 8) AND a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.phash, c.phash)) <= 2
+    """,
+)
+def media_phash_pairs(spark, sf_dir):
+    # Perceptual-hash media dedup: binary payloads → 16-bit aHash
+    # (operators/multimodal.py::perceptual_hash, Pandas-UDF over the
+    # stubbed decode) → candidate pairs bucketed on the hash's TOP BYTE →
+    # hamming verify with native bit_count(a ^ b). The hamming metric is
+    # what separates media dedup from the text-side MinHash (set overlap):
+    # a real pHash puts visually-similar images within a few bits, and the
+    # bucket+verify plan here is exactly that production shape — only the
+    # digest-based stub grid makes "similar" mean "identical payload"
+    # (md5 avalanche), which is also why the oracle can recompute it.
+    # Exact-dup documents share payloads, so planted dups pair at
+    # hamming 0; bucket collisions exercise the 1-2-bit verify band.
+    from bridgedownstream_spark.operators.multimodal import perceptual_hash
+
+    hashed = perceptual_hash(_payloads(spark, sf_dir)).select("doc_id", "phash")
+    a, c = hashed.alias("a"), hashed.alias("c")
+    ham = F.expr("bit_count(a.phash ^ c.phash)")
+    return (
+        a.join(
+            c,
+            (F.expr("a.phash >> 8") == F.expr("c.phash >> 8"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .where(ham <= 2)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )

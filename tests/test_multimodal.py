@@ -85,3 +85,33 @@ def test_resize_strict_raises(spark):
     df = spark.createDataFrame([(1, b"x")], "id long, content binary")
     with pytest.raises(Exception, match="NotImplementedError|imaging"):
         resize_images(df, strict=True).collect()
+
+
+def test_perceptual_hash_pairs_identical_payloads(spark):
+    from bridgedownstream_spark.operators.multimodal import perceptual_hash
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, b"same bytes"), (2, b"same bytes"), (3, b"other bytes")],
+        "doc_id long, content binary",
+    )
+    hashed = perceptual_hash(df)
+    rows = {r["doc_id"]: r["phash"] for r in hashed.collect()}
+    # identical payloads → identical signature (hamming 0)
+    assert rows[1] == rows[2]
+    assert 0 <= rows[1] < (1 << 16)
+    # determinism across invocations
+    again = {r["doc_id"]: r["phash"] for r in perceptual_hash(df).collect()}
+    assert rows == again
+    # hamming verify is a native expression, usable straight on the output
+    ham = (
+        hashed.alias("a")
+        .join(hashed.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            "a.doc_id",
+            "b.doc_id",
+            F.expr("bit_count(a.phash ^ b.phash)").alias("h"),
+        )
+        .where(F.col("h") == 0)
+    )
+    assert ham.count() == 1  # exactly the (1, 2) pair
