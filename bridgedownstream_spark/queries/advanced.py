@@ -449,3 +449,68 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _TOP_TERMS)
         .select("doc_id", "term", "score")
     )
+
+
+@q(
+    "group_median",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS med,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def group_median(spark, sf_dir):
+    """EXACT interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: both interpolate at rank p·(n-1)).
+
+    The exact form needs the group's values together — one shuffle on the
+    group key, sort within group. That is the right tool up to
+    millions-of-rows-per-group; past that the approx_percentile sketch in
+    `sketch_cardinality` is the scale path (bounded memory, mergeable).
+    Keeping both, exact and sketch, is the point: reconciliation reports
+    want exactness, monitoring wants O(1) state."""
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("med"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "unpivot_metrics",
+    """
+    WITH s AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                      l_discount
+               FROM lineitem WHERE l_orderkey % 500 = 0)
+    SELECT l_orderkey, l_linenumber, metric, round(val, 2) AS val
+    FROM s UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    """,
+)
+def unpivot_metrics(spark, sf_dir):
+    """Wide→long unpivot (melt): the inverse of `pivot_daily_events`,
+    turning N measure columns into (metric, val) rows — the shape metric
+    stores and long-format exports want.
+
+    Pure row-local expansion (Spark compiles it to an Expand node): zero
+    shuffle, output = rows × measures, scales with the scan."""
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 500 == 0)
+        .select(
+            "l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount",
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    ).withColumn("val", F.round("val", 2))
