@@ -180,14 +180,33 @@ def prefix_filter(spark, sf_dir):
 def join_revenue_by_nation(spark, sf_dir):
     # J1/J5: fact⋈dims star join; every dim is broadcast (no shuffle of the
     # fact table except the final groupBy) — the 100 TB plan: one shuffle.
+    #
+    # Dimension filters are pushed AHEAD of the big-big join: region→nation
+    # →customer collapse into one small broadcast frame, orders is
+    # broadcast-semi-filtered by it, so the lineitem⋈orders exchange moves
+    # only the ~1/R of orders that can contribute (VERDICT r1's suggested
+    # refinement: shrink the probe side before the one real shuffle).
     li, o = tbl(spark, sf_dir, "lineitem"), tbl(spark, sf_dir, "orders")
     c, n, r = (tbl(spark, sf_dir, t) for t in ("customer", "nation", "region"))
+    n_asia = n.join(
+        F.broadcast(r.where(F.col("r_name") == "ASIA")),
+        n.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    c_asia = c.join(
+        F.broadcast(n_asia), c.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey", "n_name")
+    o_asia = o.join(F.broadcast(c_asia), o.o_custkey == F.col("c_custkey")).select(
+        "o_orderkey", "n_name"
+    )
+    # shuffle_merge pins the fact⋈fact join to the scale-honest shape
+    # (static planning would otherwise broadcast the lineitem PROJECTION
+    # because its 3-column estimate fits the threshold — building a hash
+    # relation over the whole fact table); AQE still converts to broadcast
+    # at runtime from TRUE sizes, picking the genuinely small side.
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
-        .groupBy(n.n_name.alias("nation"))
+        li.hint("shuffle_merge")
+        .join(o_asia, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
             F.count("*").alias("n_items"),
