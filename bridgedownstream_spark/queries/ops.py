@@ -236,7 +236,13 @@ def column_profile(spark, sf_dir):
     count-distinct shuffles each column's values once; swap in the HLL
     sketch variant (sketch_cardinality) when estimates suffice.
     """
-    c = tbl(spark, sf_dir, "customer")
+    return _profile_frame(tbl(spark, sf_dir, "customer")).orderBy("col_name")
+
+
+def _profile_frame(d):
+    """(col_name, n_rows, n_nulls, n_distinct, min_str, max_str) over
+    :data:`_PROFILE_COLS` — one scan, parallel aggregates, then the wide
+    row explodes into the long report shape."""
     aggs = []
     for name, _t in _PROFILE_COLS:
         aggs += [
@@ -245,7 +251,7 @@ def column_profile(spark, sf_dir):
             F.min(name).cast("string").alias(f"{name}__min"),
             F.max(name).cast("string").alias(f"{name}__max"),
         ]
-    wide = c.agg(F.count("*").alias("n_rows"), *aggs)
+    wide = d.agg(F.count("*").alias("n_rows"), *aggs)
     rows = []
     for name, _t in _PROFILE_COLS:
         rows.append(
@@ -258,11 +264,7 @@ def column_profile(spark, sf_dir):
                 F.col(f"{name}__max").alias("max_str"),
             )
         )
-    return (
-        wide.select(F.explode(F.array(*rows)).alias("p"))
-        .select("p.*")
-        .orderBy("col_name")
-    )
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
 
 
 @q(
@@ -321,3 +323,84 @@ def csv_export_roundtrip(spark, sf_dir):
         ]
     )
     return read_csv_dataset(spark, path, schema)
+
+
+def _profile_sql(source: str) -> str:
+    return (
+        "("
+        + " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS col_name, count(*) AS n_rows,
+                   count(*) - count({c}) AS n_nulls,
+                   count(DISTINCT {c}) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_str,
+                   CAST(max({c}) AS VARCHAR) AS max_str
+            FROM {source}
+            """
+            for c, _t in _PROFILE_COLS
+        )
+        + ")"
+    )
+
+
+@q(
+    "profile_drift",
+    f"""
+    WITH cur AS (SELECT * FROM {_profile_sql("customer")}),
+    prev AS (SELECT * FROM {_profile_sql(
+        "(SELECT * FROM customer WHERE c_custkey % 10 <> 0)")})
+    SELECT c.col_name,
+           c.n_rows AS n_rows_cur,
+           p.n_rows AS n_rows_prev,
+           c.n_rows - p.n_rows AS rows_added,
+           round(c.n_nulls::DOUBLE / c.n_rows
+                 - p.n_nulls::DOUBLE / p.n_rows, 6) AS null_rate_delta,
+           c.n_distinct - p.n_distinct AS distinct_delta,
+           (c.min_str <> p.min_str OR c.max_str <> p.max_str) AS minmax_changed
+    FROM cur c JOIN prev p ON c.col_name = p.col_name
+    ORDER BY c.col_name
+    """,
+)
+def profile_drift(spark, sf_dir):
+    """Snapshot-over-snapshot stats drift: profile the current table and
+    the previous load (here a deterministic 90% subset standing in for
+    yesterday's snapshot), join per column, and report row growth,
+    null-rate movement, cardinality change, and min/max boundary shifts —
+    the report that catches a bad upstream export before queries do.
+
+    Two single-pass profiles + a broadcast join on the (columns-count-
+    sized) report rows; at 100 TB the previous profile is read from the
+    last run's persisted report rather than recomputed, making drift
+    detection O(one scan) per load."""
+    cur = _profile_frame(tbl(spark, sf_dir, "customer"))
+    prev = _profile_frame(
+        tbl(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 != 0)
+    ).select(
+        F.col("col_name").alias("p_col_name"),
+        F.col("n_rows").alias("p_n_rows"),
+        F.col("n_nulls").alias("p_n_nulls"),
+        F.col("n_distinct").alias("p_n_distinct"),
+        F.col("min_str").alias("p_min_str"),
+        F.col("max_str").alias("p_max_str"),
+    )
+    null_rate_delta = F.round(
+        F.col("n_nulls").cast("double") / F.col("n_rows")
+        - F.col("p_n_nulls").cast("double") / F.col("p_n_rows"),
+        6,
+    )
+    return (
+        cur.join(F.broadcast(prev), F.col("col_name") == F.col("p_col_name"))
+        .select(
+            "col_name",
+            F.col("n_rows").alias("n_rows_cur"),
+            F.col("p_n_rows").alias("n_rows_prev"),
+            (F.col("n_rows") - F.col("p_n_rows")).alias("rows_added"),
+            null_rate_delta.alias("null_rate_delta"),
+            (F.col("n_distinct") - F.col("p_n_distinct")).alias("distinct_delta"),
+            (
+                (F.col("min_str") != F.col("p_min_str"))
+                | (F.col("max_str") != F.col("p_max_str"))
+            ).alias("minmax_changed"),
+        )
+        .orderBy("col_name")
+    )
