@@ -15,9 +15,11 @@ from bridgedownstream_spark.operators.reconcile import (
 from bridgedownstream_spark.operators.multimodal import (
     decode_images,
     extract_features,
+    perceptual_hash,
     resize_images,
     sample_frames,
 )
+from bridgedownstream_spark.operators.pq import encode_pq, pq_shortlist, train_pq
 
 __all__ = [
     "asof_join",
@@ -25,6 +27,10 @@ __all__ = [
     "has_nested_fields",
     "relationalize",
     "salted_join",
+    "encode_pq",
+    "pq_shortlist",
+    "train_pq",
+    "perceptual_hash",
     "dedup_latest",
     "missing_records",
     "count_reconciliation",
