@@ -92,3 +92,32 @@ def test_csv_partition_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert pruned.count() == 1
+
+
+def test_csv_timestamp_round_trip(spark, tmp_path):
+    import datetime
+
+    from bridgedownstream_spark.sources.csv_export import (
+        read_csv_dataset,
+        write_csv_dataset,
+    )
+
+    ts = datetime.datetime(2024, 3, 4, 12, 34, 56, 789123)
+    df = spark.createDataFrame(
+        [("r1", ts), ("r2", None)], "recordid string, exported_at timestamp"
+    )
+    path = write_csv_dataset(df, str(tmp_path), "t", partition_cols=[])
+    back = read_csv_dataset(
+        spark,
+        path,
+        T.StructType(
+            [
+                T.StructField("recordid", T.StringType()),
+                T.StructField("exported_at", T.TimestampType()),
+            ]
+        ),
+    )
+    rows = {r["recordid"]: r["exported_at"] for r in back.collect()}
+    # microsecond precision survives the ISO text format; NULL stays NULL
+    assert rows["r1"] == ts
+    assert rows["r2"] is None
