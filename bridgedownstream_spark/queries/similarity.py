@@ -895,3 +895,30 @@ def ann_recall(spark, sf_dir):
             F.round(hits / _TOP_K, 3).alias("recall"),
         )
     )
+
+
+@q("pq_ann_shortlist", None)  # rows-only: iterative k-means training is
+# not SQL-expressible; quality is pinned by tests/test_pq.py (measured
+# 15/15 top-3 shortlist recall vs brute force at the test corpus)
+def pq_ann_shortlist(spark, sf_dir):
+    """Product-quantized ANN (operators/pq.py): deterministic per-subspace
+    k-means codebook → 16 B/vector code table → ADC shortlist for the 5
+    query vectors. The plan never shuffles or re-materializes the float
+    corpus: codes join a broadcast (query × subspace × centroid) lookup
+    table and one aggregation sums the partial dots."""
+    from bridgedownstream_spark.operators.pq import (
+        encode_pq,
+        pq_shortlist,
+        train_pq,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    cb = train_pq(emb)
+    codes = encode_pq(emb, cb)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return pq_shortlist(queries, codes, cb, shortlist=10).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "approx_dot",
+        F.col("rnk").cast("int").alias("rnk"),
+    )
