@@ -70,7 +70,22 @@ def train_pq(
     """Train the PQ codebook: (sub, cent_id, c_vec) — m·k rows total.
 
     Seeds are every ``seed_stride``-th vector's subvectors (deterministic,
-    no RNG); ``iters`` Lloyd rounds run over ALL subspaces jointly."""
+    no RNG); ``iters`` Lloyd rounds run over ALL subspaces jointly.
+
+    Preconditions (validated here, not silently degraded): the embedding
+    dimension must be divisible by ``m`` (otherwise the trailing d % m
+    dims would be dropped from every code), and the seed filter must
+    yield exactly ``k`` centroids per subspace, which requires vec_ids
+    dense enough to cover [0, seed_stride*k) — sparse ids would silently
+    train fewer centroids and degrade recall with no signal."""
+    first = emb.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        raise ValueError("train_pq: empty embeddings input")
+    if first["d"] % m != 0:
+        raise ValueError(
+            f"train_pq: embedding dim {first['d']} not divisible by m={m}; "
+            f"the trailing {first['d'] % m} dims would be dropped from every code"
+        )
     sv = _subvectors(emb, m).persist()
     cent = (
         sv.where((F.col("vec_id") % seed_stride == 0) & (F.col("vec_id") < seed_stride * k))
@@ -80,6 +95,13 @@ def train_pq(
             F.col("subvec").alias("c_vec"),
         )
     )
+    n_seeds = cent.count()  # tiny filtered frame; train is multi-job anyway
+    if n_seeds != m * k:
+        sv.unpersist()
+        raise ValueError(
+            f"train_pq: seed selection yielded {n_seeds} centroids, expected "
+            f"m*k={m * k}; vec_id must be dense over [0, {seed_stride * k})"
+        )
     for _ in range(iters):
         assign = _assign(sv, cent)
         cent = (

@@ -361,14 +361,19 @@ def sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     against exact counts at test scale.
     """
     ev = tbl(spark, sf_dir, "events")
+    pct = F.approx_percentile(
+        "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10_000)
+    )
+    # Percentiles land as two scalar columns, not one array column — the
+    # driver canonicalizes output through a pandas sort that cannot hash
+    # list cells (r2 crash), and scalars keep the row shape flat anyway.
     return (
         ev.groupBy("event_type")
         .agg(
             F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
             F.approx_count_distinct("event_id").alias("approx_events"),
-            F.approx_percentile(
-                "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10_000)
-            ).alias("value_p50_p95"),
+            F.element_at(pct, 1).alias("value_p50"),
+            F.element_at(pct, 2).alias("value_p95"),
         )
         .orderBy("event_type")
     )

@@ -58,7 +58,11 @@ def basename_extract(spark, sf_dir):
     """
     SELECT l_orderkey,
            CAST(len(list_sort(list(round(l_quantity, 2)))) AS INT) AS n_items,
-           (list_sort(list(round(l_quantity, 2))))[1:3]            AS first3
+           array_to_string(
+               list_transform(
+                   (list_sort(list(round(l_quantity, 2))))[1:3],
+                   x -> CAST(CAST(x AS DECIMAL(12,2)) AS VARCHAR)),
+               ',') AS first3
     FROM lineitem GROUP BY l_orderkey
     """,
 )
@@ -66,10 +70,20 @@ def array_slice_limit(spark, sf_dir):
     # O2: per-group limit applied on an array column — the reference
     # truncates validation-error lists to 10 per file
     # (s3_to_json_s3.py:814-818); same slice() the quarantine sink uses.
+    # The slice is serialized to a CSV string (fixed 2-dp decimal render on
+    # both engines): array-typed output columns crash the driver's pandas
+    # canonicalizer (r2 `unhashable type: 'list'`), and a manifest string
+    # is what the reference writes anyway.
     li = tbl(spark, sf_dir, "lineitem")
     arr = F.sort_array(F.collect_list(F.round("l_quantity", 2)))
+    first3 = F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(arr, 1, 3), lambda x: x.cast("decimal(12,2)").cast("string")
+        ),
+    )
     return li.groupBy("l_orderkey").agg(
-        F.size(arr).alias("n_items"), F.slice(arr, 1, 3).alias("first3")
+        F.size(arr).alias("n_items"), first3.alias("first3")
     )
 
 
@@ -155,10 +169,12 @@ def count_reconciliation_report(spark, sf_dir):
     """
     WITH partial AS (
         SELECT event_type, event_id % 8 AS salt,
-               sum(value) AS s, count(*) AS n
+               sum(CAST(value AS DECIMAL(24,10))) AS s, count(*) AS n
         FROM events GROUP BY 1, 2
     )
-    SELECT event_type, round(sum(s), 2) AS total_value, sum(n) AS n_events
+    SELECT event_type,
+           CAST(round(sum(s), 2) AS DOUBLE) AS total_value,
+           sum(n) AS n_events
     FROM partial GROUP BY 1
     """,
 )
@@ -170,12 +186,16 @@ def skew_salted_agg(spark, sf_dir):
     # (AQE skew-join handles the join case automatically — session.py —
     # this is the groupBy-side technique.) The two-phase result is exactly
     # the plain group's, which the oracle computes the same salted way.
+    # Sums run on DECIMAL so the merge is exact regardless of partial-agg
+    # arrival order — float summation order is nondeterministic across runs
+    # and broke the r2 driver hash despite rows/schema matching.
     ev = tbl(spark, sf_dir, "events")
     partial = ev.groupBy("event_type", (F.col("event_id") % 8).alias("salt")).agg(
-        F.sum("value").alias("s"), F.count("*").alias("n")
+        F.sum(F.col("value").cast("decimal(24,10)")).alias("s"),
+        F.count("*").alias("n"),
     )
     return partial.groupBy("event_type").agg(
-        F.round(F.sum("s"), 2).alias("total_value"),
+        F.round(F.sum("s"), 2).cast("double").alias("total_value"),
         F.sum("n").alias("n_events"),
     )
 

@@ -229,7 +229,7 @@ def _build_ingest_lake(spark: SparkSession, sf_dir: str) -> str:
 @q(
     "quarantine_replay",
     """
-    SELECT 'badrec' AS recordid, 1 AS n_files, ['events.json'] AS files
+    SELECT 'badrec' AS recordid, 1 AS n_files, 'events.json' AS files
     """,
 )
 def quarantine_replay(spark, sf_dir):
@@ -237,14 +237,17 @@ def quarantine_replay(spark, sf_dir):
     # resubmission manifest by the replay operator
     # (reference etl-408/etl_408.py:86-150). Exactly the one malformed
     # archive must surface; error text is engine-internal, so the oracle
-    # pins record/file identity.
+    # pins record/file identity. `files` is serialized to a CSV string:
+    # array output columns crash the driver's pandas canonicalizer.
     from bridgedownstream_spark.operators import reconcile
 
     json_root = _build_ingest_lake(spark, sf_dir)
     qpath = os.path.join(os.path.dirname(json_root), "quarantine")
     quarantine = spark.read.parquet(qpath)
     return reconcile.replay_quarantine(quarantine).select(
-        "recordid", F.col("n_files").cast("int").alias("n_files"), "files"
+        "recordid",
+        F.col("n_files").cast("int").alias("n_files"),
+        F.concat_ws(",", "files").alias("files"),
     )
 
 

@@ -126,8 +126,8 @@ def test_sketch_estimates_bounded(spark):
         e = exact[et]
         assert abs(r["approx_users"] - e["users"]) <= max(2, 0.05 * e["users"]), et
         assert abs(r["approx_events"] - e["events"]) <= max(2, 0.05 * e["events"]), et
-        p50, _p95 = r["value_p50_p95"]
-        assert abs(p50 - e["p50"]) <= max(5.0, 0.1 * e["p50"]), et
+        assert abs(r["value_p50"] - e["p50"]) <= max(5.0, 0.1 * e["p50"]), et
+        assert r["value_p95"] >= r["value_p50"], et
 
 
 def test_every_query_plan_is_scale_clean(spark):
@@ -140,6 +140,65 @@ def test_every_query_plan_is_scale_clean(spark):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_every_query_output_is_driver_canonicalizable(spark):
+    """Global guard: the correctness harness materializes EVERY registry
+    query's output (rows-only included) and canonicalizes it through a
+    pandas sort that cannot hash container cells — an ArrayType/MapType/
+    StructType output column is a guaranteed harness crash (r2:
+    `array_slice_limit`, `sketch_cardinality` both died with
+    `unhashable type: 'list'`). Serialize containers to strings
+    (concat_ws) or split them into scalar columns before returning."""
+    from pyspark.sql import types as T
+
+    bad = []
+    for name in REGISTRY:
+        df = REGISTRY[name][0](spark, SF)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"container-typed output columns: {bad}"
+
+
+def test_hash_checked_float_outputs_are_stabilized(spark):
+    """Every DoubleType output column of a hash-checked (oracle-paired)
+    query must be produced by an explicit round()/bround() or a cast from
+    an exact type — a raw float aggregate's last bit depends on partial-agg
+    merge order, which flips the driver's value hash run-to-run (r2:
+    `skew_salted_agg`). Rows-only queries are exempt (no value hash)."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    bad = []
+    for name, (fn, oracle) in REGISTRY.items():
+        if oracle is None:
+            continue
+        df = fn(spark, SF)
+        dbl = [f.name for f in df.schema.fields
+               if isinstance(f.dataType, (T.DoubleType, T.FloatType))]
+        if not dbl:
+            continue
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        for c in dbl:
+            # stabilized columns render as `round(...) AS c#n` /
+            # `bround(...) AS c#n` / `cast(... as double) AS c#n`. A
+            # computed alias with NONE of those wrappers is raw-float
+            # output. Columns with no visible alias are scan passthroughs
+            # or localCheckpoint-truncated lineage — those are exact reads,
+            # and the bit-exact verify_local cross-engine compare covers
+            # the rest.
+            aliased = _re.search(r" AS " + _re.escape(c) + r"#\d+", analyzed)
+            if not aliased:
+                continue
+            pat = _re.compile(
+                r"(round|bround)\([^\n]*AS " + _re.escape(c) + r"#\d+"
+                r"|cast\([^\n]*as double\) AS " + _re.escape(c) + r"#\d+"
+            )
+            if not pat.search(analyzed):
+                bad.append(f"{name}.{c}")
+    assert not bad, f"unstabilized float output columns: {bad}"
 
 
 def test_asof_join_has_no_join_node(spark):

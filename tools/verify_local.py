@@ -1,11 +1,15 @@
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — at DRIVER strictness.
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet tables, then compares: row count, column names,
-and order-insensitive values (columns sorted by name, rows sorted). Exact
-comparison for non-floats; floats must match to 1e-9 relative after the
-queries' own rounding (the driver hashes values, so any visible diff here is
-a likely hash mismatch there).
+and order-insensitive values (columns sorted by name, rows sorted). The
+driver hashes canonicalized values, so the compare here is BIT-EXACT: no
+float tolerance (a last-bit float diff is a driver hash mismatch), and any
+list/dict-valued cell is an immediate FAIL (the driver's pandas-sort
+canonicalizer dies on unhashable cells — r2's `array_slice_limit` /
+`sketch_cardinality` crashes). The r2 gate's 1e-9 tolerance + list-aware
+compare green-lit all three of the driver's failures; don't loosen this
+again.
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
 """
@@ -14,6 +18,7 @@ from __future__ import annotations
 
 import math
 import os
+import struct
 import sys
 import time
 
@@ -47,6 +52,20 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return out
 
 
+class UnhashableCell(ValueError):
+    """A list/dict/set cell — crashes the driver's pandas canonicalizer."""
+
+
+def check_hashable(rows: list[tuple], side: str) -> None:
+    for r in rows[:1000]:  # type errors are schema-wide; a prefix suffices
+        for v in r:
+            if isinstance(v, (list, dict, set, bytearray)):
+                raise UnhashableCell(
+                    f"{side} emits a {type(v).__name__}-valued cell "
+                    f"({v!r:.60}) — driver canonicalizer would crash"
+                )
+
+
 def values_equal(a, b) -> bool:
     if a is None or b is None:
         return a is None and b is None
@@ -57,9 +76,9 @@ def values_equal(a, b) -> bool:
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
-    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
-        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+        # bit-exact: the driver hashes values, so ANY representational
+        # difference (incl. last-bit float noise) is a driver mismatch
+        return struct.pack("<d", fa) == struct.pack("<d", fb)
     return a == b
 
 
@@ -70,26 +89,23 @@ def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str, float]:
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     elapsed = time.time() - t0
+    # the driver materializes + canonicalizes even rows-only queries
+    check_hashable(srows, "spark")
     if oracle is None:
         return True, f"rows-only ({len(srows)} rows)", elapsed
     ores = con.execute(oracle)
     ocols = [d[0] for d in ores.description]
     orows = ores.fetchall()
+    check_hashable(orows, "oracle")
     if sorted(scols) != sorted(ocols):
         return False, f"COLUMNS spark={sorted(scols)} oracle={sorted(ocols)}", elapsed
     if len(srows) != len(orows):
         return False, f"ROWCOUNT spark={len(srows)} oracle={len(orows)}", elapsed
     ns, no = normalize(srows, scols), normalize(orows, ocols)
-    exact_mismatch = 0
     for i, (rs, ro) in enumerate(zip(ns, no)):
         if not all(values_equal(a, b) for a, b in zip(rs, ro)):
             return False, f"VALUES row {i}: spark={rs} oracle={ro}", elapsed
-        if rs != ro:
-            exact_mismatch += 1
-    note = f"{len(srows)} rows"
-    if exact_mismatch:
-        note += f" (!! {exact_mismatch} rows equal only within tolerance — driver hash may differ)"
-    return True, note, elapsed
+    return True, f"{len(srows)} rows", elapsed
 
 
 def main() -> int:
