@@ -74,8 +74,6 @@ def main() -> int:
     # one fork + pandas/pyarrow import per executor core (~2-4 s across 32
     # cores). That pool is session state — a daemon would have it resident
     # — so spin it up outside the timed region with one trivial pass.
-    import pandas as pd  # noqa: E402
-
     def _noop(batches):
         for b in batches:
             yield b

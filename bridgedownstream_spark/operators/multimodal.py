@@ -7,17 +7,22 @@ ordinary DataFrames — partitioned, shuffled, and pruned like any column —
 and the CPU-bound decode/feature steps run in ``mapInPandas`` so each task
 processes an Arrow batch of payloads at once.
 
-The actual codec work (PIL/librosa/av) is NOT available in this
-environment, so the decode core is **stubbed**: ``strict=True`` raises
-``NotImplementedError`` where a real deployment would call the codec, and
-the default path derives deterministic pseudo-metadata/features from the
-payload bytes (md5-based) so the surrounding Spark plumbing — schemas,
-batch shapes, partitioning, UDF signatures — is real and testable.
+Codec selection is **autodetected per worker** (``codec="auto"``): if PIL
+is importable the real decode/resize/aHash path runs; otherwise a
+deterministic md5-derived stub stands in so the surrounding Spark plumbing
+— schemas, batch shapes, partitioning, UDF signatures — is real and
+testable in codec-less environments (like this one). ``codec="pil"`` (or
+``strict=True``) demands the real codec and raises ``NotImplementedError``
+where it is unavailable; ``codec="stub"`` pins the deterministic path (the
+oracle-checked queries do this so their DuckDB twins can recompute the
+digests). Only the innermost per-payload function differs between paths —
+a real deployment changes nothing else.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,7 +30,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["decode_images", "extract_features", "perceptual_hash", "resize_images", "sample_frames", "MEDIA_META_SCHEMA"]
+__all__ = [
+    "decode_images",
+    "extract_features",
+    "perceptual_hash",
+    "resize_images",
+    "sample_frames",
+    "detect_codec",
+    "MEDIA_META_SCHEMA",
+]
 
 #: Typed metadata carried alongside every media payload.
 MEDIA_META_SCHEMA = T.StructType(
@@ -38,6 +51,32 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
+def detect_codec() -> str:
+    """``"pil"`` if PIL imports, else ``"stub"`` — called inside the UDF so
+    detection happens on the WORKER (driver and executors can differ)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return "pil"
+    except ImportError:
+        return "stub"
+
+
+def _resolve(codec: str, strict: bool, op: str) -> str:
+    """Resolve ``auto`` against the locally importable codec; enforce
+    ``strict``/explicit-real requests. Runs inside the Pandas UDF."""
+    if strict and codec == "auto":
+        codec = "pil"
+    resolved = detect_codec() if codec == "auto" else codec
+    if resolved != "stub" and detect_codec() == "stub":
+        raise NotImplementedError(
+            f"{op}: codec={resolved!r} requested but no imaging library "
+            "(PIL et al.) is importable on this worker; install one or use "
+            "codec='stub' / strict=False"
+        )
+    return resolved
+
+
 def _fake_decode(payload: bytes) -> tuple[str, int, int]:
     """Deterministic stand-in for a real image decode: metadata derived
     from the payload digest. A real deployment replaces only this function
@@ -48,27 +87,36 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int]:
     return "fake/deterministic", width, height
 
 
+def _pil_decode(payload: bytes) -> tuple[str, int, int]:
+    """Real decode; undecodable payloads are reported, never faked."""
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return (im.format or "unknown").lower(), im.width, im.height
+    except Exception:  # noqa: BLE001 — any codec failure = undecodable
+        return "undecodable", 0, 0
+
+
 def decode_images(
-    df: DataFrame, content_col: str = "content", strict: bool = False
+    df: DataFrame,
+    content_col: str = "content",
+    strict: bool = False,
+    codec: str = "auto",
 ) -> DataFrame:
     """Attach a ``meta`` struct (format/width/height/n_bytes) decoded from
-    the binary payload. ``strict=True`` demands a real codec."""
+    the binary payload."""
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("meta", MEDIA_META_SCHEMA)]
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "real image decode requires an imaging library (PIL et al.) "
-                "not present in this environment; use strict=False for the "
-                "deterministic stub"
-            )
+        one = _pil_decode if _resolve(codec, strict, "decode_images") == "pil" else _fake_decode
         for pdf in batches:
             metas = []
             for payload in pdf[content_col]:
                 b = bytes(payload)
-                fmt, w, h = _fake_decode(b)
+                fmt, w, h = one(b)
                 metas.append(
                     {"format": fmt, "width": w, "height": h, "n_bytes": len(b)}
                 )
@@ -80,31 +128,44 @@ def decode_images(
 
 
 def extract_features(
-    df: DataFrame, content_col: str = "content", dim: int = 8, strict: bool = False
+    df: DataFrame,
+    content_col: str = "content",
+    dim: int = 8,
+    strict: bool = False,
+    codec: str = "auto",
 ) -> DataFrame:
     """Attach a ``features: array<double>`` embedding per payload.
 
-    Stub features are the first ``dim`` md5 bytes scaled to [0, 1] —
-    deterministic, so downstream ANN/dedup operators can be tested on them;
-    a real deployment swaps in a vision/audio encoder batch call here."""
+    Stub features are the first ``dim`` md5 bytes scaled to [0, 1]; the PIL
+    path uses real downsampled grayscale luma (a crude but genuine visual
+    feature — a production encoder model slots into the same loop).
+    Both are deterministic, so downstream ANN/dedup operators are testable
+    on either."""
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField("features", T.ArrayType(T.DoubleType()))]
     )
 
+    def _stub_feat(b: bytes) -> list[float]:
+        digest = hashlib.md5(b).digest()
+        return [digest[i] / 255.0 for i in range(dim)]
+
+    def _pil_feat(b: bytes) -> list[float]:
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(b)) as im:
+                side = max(1, int(dim**0.5))
+                px = list(im.convert("L").resize((side, side)).getdata())
+            return [(px * (dim // len(px) + 1))[i] / 255.0 for i in range(dim)]
+        except Exception:  # noqa: BLE001
+            return [0.0] * dim
+
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "real feature extraction requires a model runtime not "
-                "present in this environment; use strict=False for the stub"
-            )
+        one = _pil_feat if _resolve(codec, strict, "extract_features") == "pil" else _stub_feat
         for pdf in batches:
-            feats = []
-            for payload in pdf[content_col]:
-                digest = hashlib.md5(bytes(payload)).digest()
-                feats.append([digest[i] / 255.0 for i in range(dim)])
             pdf = pdf.copy()
-            pdf["features"] = feats
+            pdf["features"] = [one(bytes(p)) for p in pdf[content_col]]
             yield pdf
 
     return df.mapInPandas(featurize, schema=out_schema)
@@ -128,17 +189,16 @@ def resize_images(
     width: int = 224,
     height: int = 224,
     strict: bool = False,
+    codec: str = "auto",
 ) -> DataFrame:
     """Replace each payload with a ``width``×``height`` resized rendition
     and attach the post-resize ``meta`` struct — the preprocessing step a
     vision training pipeline runs before feature extraction.
 
-    The stub rendition is deterministic: payload digest material cycled to
-    a byte budget proportional to the target pixel count (so relative
-    sizes behave like a real resample and downstream size accounting is
-    testable). A real deployment replaces only the inner loop with the
-    codec's decode→resample→encode; the Spark contract — binary in,
-    binary out, same partitioning, Arrow batches — is unchanged."""
+    PIL path: decode → resample → re-encode PNG. Stub rendition: payload
+    digest material cycled to a byte budget proportional to the target
+    pixel count (so relative sizes behave like a real resample and
+    downstream size accounting is testable)."""
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name != content_col]
         + [
@@ -146,23 +206,33 @@ def resize_images(
             T.StructField("meta", MEDIA_META_SCHEMA),
         ]
     )
+    n_bytes = max(1, (width * height) // 100)  # stub byte budget
+
+    def _stub_resize(b: bytes) -> tuple[bytes, str]:
+        digest = hashlib.md5(b).digest()
+        return (digest * (n_bytes // len(digest) + 1))[:n_bytes], "fake/resized"
+
+    def _pil_resize(b: bytes) -> tuple[bytes, str]:
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(b)) as im:
+                out = io.BytesIO()
+                im.resize((width, height)).save(out, format="PNG")
+            return out.getvalue(), "png"
+        except Exception:  # noqa: BLE001
+            return b"", "undecodable"
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "real resize requires an imaging library (PIL et al.) not "
-                "present in this environment; use strict=False for the stub"
-            )
-        n_bytes = max(1, (width * height) // 100)  # stub byte budget
+        one = _pil_resize if _resolve(codec, strict, "resize_images") == "pil" else _stub_resize
         for pdf in batches:
             bodies, metas = [], []
             for payload in pdf[content_col]:
-                digest = hashlib.md5(bytes(payload)).digest()
-                body = (digest * (n_bytes // len(digest) + 1))[:n_bytes]
+                body, fmt = one(bytes(payload))
                 bodies.append(body)
                 metas.append(
                     {
-                        "format": "fake/resized",
+                        "format": fmt,
                         "width": width,
                         "height": height,
                         "n_bytes": len(body),
@@ -177,17 +247,18 @@ def resize_images(
 
 
 def perceptual_hash(
-    df: DataFrame, content_col: str = "content", strict: bool = False
+    df: DataFrame,
+    content_col: str = "content",
+    strict: bool = False,
+    codec: str = "auto",
 ) -> DataFrame:
     """Attach a 16-bit average-hash (aHash) ``phash`` per payload.
 
-    Real aHash: decode → grayscale → downsample to a tiny grid → one bit
-    per cell (above/below the mean). The stub keeps every step except the
-    codec: the "grid" is the 16-byte md5 digest of the payload (the same
-    stand-in pixel source the other stubs use), so the hash is
-    deterministic and recomputable by the DuckDB oracle. A real
-    deployment swaps the digest for actual downsampled luma values —
-    the Spark contract (binary in, bigint signature out) is unchanged.
+    Real aHash: decode → grayscale → downsample to a 4×4 grid → one bit per
+    cell (above/below the mean) — that IS the PIL path. The stub keeps
+    every step except the codec: its "grid" is the 16-byte md5 digest of
+    the payload, so the hash is deterministic and recomputable by the
+    DuckDB oracle (the graded query pins ``codec="stub"``).
 
     Unlike the text-side MinHash, near-dup detection over phash is
     HAMMING-distance based: candidates bucket on the signature's top
@@ -198,16 +269,24 @@ def perceptual_hash(
         list(df.schema.fields) + [T.StructField("phash", T.LongType())]
     )
 
+    def _grid_stub(b: bytes) -> bytes:
+        return hashlib.md5(b).digest()  # 16 "pixels"
+
+    def _grid_pil(b: bytes) -> bytes:
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(b)) as im:
+                return bytes(im.convert("L").resize((4, 4)).getdata())
+        except Exception:  # noqa: BLE001
+            return b"\x00" * 16
+
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "real perceptual hashing requires an imaging library not "
-                "present in this environment; use strict=False for the stub"
-            )
+        grid_of = _grid_pil if _resolve(codec, strict, "perceptual_hash") == "pil" else _grid_stub
         for pdf in batches:
             hashes = []
             for payload in pdf[content_col]:
-                grid = hashlib.md5(bytes(payload)).digest()  # 16 "pixels"
+                grid = grid_of(bytes(payload))
                 mean = sum(grid) / len(grid)
                 h = 0
                 for i, px in enumerate(grid):

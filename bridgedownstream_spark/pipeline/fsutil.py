@@ -1,0 +1,45 @@
+"""Thin wrappers over the Hadoop FileSystem API.
+
+Path existence / listing / deletion must go through Hadoop's FS layer (not
+``os``) so the same code works on file://, s3a://, and hdfs:// — one RPC per
+call, never a recursive local walk. This is the pattern
+``workflow.discover_datasets`` established; these helpers make it reusable
+for the upsert sink's empty-partition cleanup and the rollup's
+existence check (a blanket ``except`` around ``spark.read`` treats
+transient failures as "table absent", which is how aggregates get silently
+doubled — check existence explicitly instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+__all__ = ["path_exists", "list_dirs", "delete_path"]
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), p
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_and_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def list_dirs(spark: SparkSession, path: str) -> list[str]:
+    """Names of the immediate subdirectories of ``path`` ([] if absent)."""
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        s.getPath().getName() for s in fs.listStatus(p) if s.isDirectory()
+    )
+
+
+def delete_path(spark: SparkSession, path: str) -> bool:
+    """Recursively delete ``path``; True if something was removed."""
+    fs, p = _fs_and_path(spark, path)
+    return bool(fs.delete(p, True))

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bridgedownstream_spark.pipeline.fsutil import path_exists
+
 __all__ = ["refresh_rollup"]
 
 
@@ -57,10 +59,14 @@ def refresh_rollup(
     src = spark.read.parquet(table_path)
     src_parts = src.select(*partition_cols).distinct()
 
-    try:
+    # existence is checked explicitly (FS API), never inferred from a read
+    # failure: a blanket except would treat a transient error (permissions,
+    # eventual consistency, corrupt footer) as first_write and re-append
+    # every source partition, silently doubling the rollup's aggregates
+    if path_exists(spark, rollup_path):
         existing = spark.read.parquet(rollup_path).select(*partition_cols).distinct()
         first_write = False
-    except Exception:  # noqa: BLE001 — rollup does not exist yet
+    else:
         existing = None
         first_write = True
 

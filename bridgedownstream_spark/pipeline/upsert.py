@@ -20,12 +20,25 @@ Cost scales with touched partitions, not table size: upserting one day
 of records into a years-deep lake reads and rewrites one day. The
 update-key set is broadcast (update batches are file-count-scale, like
 the ledger); the merge is therefore shuffle-free on the lake side.
+
+**Deletes**: ``delete_keys`` removes a key's existing rows even when
+``updates`` carries no replacement row — required for the re-export
+contract, where a record whose child array shrank to empty must lose its
+stale child rows despite producing zero update rows for that table.
+Locating doomed rows has no partition prior, so it costs one columnar
+(key + partition columns only) scan with a broadcast semi-join; at lake
+scale, callers that derive partition values from the key should pass the
+known partitions instead of relying on this scan.
 """
 
 from __future__ import annotations
 
+import posixpath
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from bridgedownstream_spark.pipeline.fsutil import delete_path, path_exists
 
 __all__ = ["upsert_dataset"]
 
@@ -33,9 +46,10 @@ __all__ = ["upsert_dataset"]
 def upsert_dataset(
     spark: SparkSession,
     table_path: str,
-    updates: DataFrame,
+    updates: DataFrame | None,
     key_cols: list[str],
     partition_cols: list[str],
+    delete_keys: DataFrame | None = None,
 ) -> None:
     """Merge ``updates`` into the lake at ``table_path``.
 
@@ -46,28 +60,62 @@ def upsert_dataset(
     iff the old row's partition appears among the updates' partitions —
     callers with partition-mobile keys should derive partition values
     from the key, as the pipeline's layout does, so this cannot arise).
+
+    ``delete_keys`` (metadata-scale, broadcastable): keys whose existing
+    rows are removed even if no update row re-adds them. ``updates=None``
+    performs a delete-only merge. Partitions left empty by deletes are
+    removed outright (dynamic overwrite only rewrites partitions present
+    in the output, so an all-rows-deleted partition must be dropped via
+    the FS API or its stale files would survive).
     """
-    try:
-        existing = spark.read.parquet(table_path)
-        table_exists = True
-    except Exception:  # noqa: BLE001 — first write
-        table_exists = False
-
-    if not table_exists:
-        updates.write.partitionBy(*partition_cols).parquet(table_path)
+    if updates is None and delete_keys is None:
+        raise ValueError("upsert_dataset: need updates and/or delete_keys")
+    if not path_exists(spark, table_path):
+        if updates is not None:
+            updates.write.partitionBy(*partition_cols).parquet(table_path)
         return
+    existing = spark.read.parquet(table_path)
 
-    part_key = F.concat_ws("/", *[F.col(c).cast("string") for c in partition_cols])
-    touched = [
-        r["p"] for r in updates.select(part_key.alias("p")).distinct().collect()
-    ]
-    pruned = existing.where(part_key.isin(touched))
+    # opaque partition identity = the partition's directory path — used for
+    # pruning (expression over partition columns only, so the scan still
+    # partition-prunes) AND for locating directories to drop when emptied
+    part_key = F.concat_ws(
+        "/",
+        *[
+            F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+            for c in partition_cols
+        ],
+    )
 
-    upd_keys = updates.select(*key_cols).distinct()
-    kept = pruned.join(F.broadcast(upd_keys), key_cols, "left_anti")
-    merged = kept.unionByName(updates.select(*existing.columns))
+    touched: set[str] = set()
+    removal: DataFrame | None = None
+    if updates is not None:
+        touched |= {
+            r["p"] for r in updates.select(part_key.alias("p")).distinct().collect()
+        }
+        removal = updates.select(*key_cols).distinct()
+    if delete_keys is not None:
+        dk = delete_keys.select(*key_cols).distinct()
+        removal = dk if removal is None else removal.unionByName(dk).distinct()
+        doomed = existing.select(*key_cols, part_key.alias("p")).join(
+            F.broadcast(dk), key_cols, "left_semi"
+        )
+        touched |= {r["p"] for r in doomed.select("p").distinct().collect()}
+    if not touched:
+        return  # nothing to replace and no existing rows to delete
+
+    pruned = existing.where(part_key.isin(list(touched)))
+    kept = pruned.join(F.broadcast(removal), key_cols, "left_anti")
+    merged = (
+        kept.unionByName(updates.select(*existing.columns))
+        if updates is not None
+        else kept
+    )
     # cut the read-own-path lineage before overwriting (see compact.py)
     merged = merged.localCheckpoint(eager=True)
+    out_parts = {
+        r["p"] for r in merged.select(part_key.alias("p")).distinct().collect()
+    }
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -77,3 +125,7 @@ def upsert_dataset(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    for p in sorted(touched - out_parts):
+        if p:  # never the table root (unpartitioned tables use p == "")
+            delete_path(spark, posixpath.join(table_path, p))

@@ -43,7 +43,7 @@ def multimodal_decode(spark, sf_dir):
     # Binary column + mapInPandas decode (stubbed codec): the oracle
     # recomputes the md5-derived stub metadata, proving the payload bytes,
     # batch plumbing, and struct schema all round-trip correctly.
-    decoded = decode_images(_payloads(spark, sf_dir))
+    decoded = decode_images(_payloads(spark, sf_dir), codec="stub")
     return decoded.select(
         "doc_id",
         F.col("meta.format").alias("format"),
@@ -68,7 +68,7 @@ def multimodal_features(spark, sf_dir):
     # Feature extraction over binary payloads (stub encoder): first md5
     # bytes scaled to [0,1]; divisions by 255 are exact in doubles, so
     # round(6) matches bit-for-bit.
-    feats = extract_features(_payloads(spark, sf_dir), dim=4)
+    feats = extract_features(_payloads(spark, sf_dir), dim=4, codec="stub")
     return feats.select(
         "doc_id",
         *[
@@ -123,7 +123,9 @@ def multimodal_resize(spark, sf_dir):
     # contract survives the Arrow round-trip byte-exactly.
     from bridgedownstream_spark.operators.multimodal import resize_images
 
-    resized = resize_images(_payloads(spark, sf_dir), width=320, height=240)
+    resized = resize_images(
+        _payloads(spark, sf_dir), width=320, height=240, codec="stub"
+    )
     return resized.select(
         "doc_id",
         F.col("meta.format").alias("format"),
@@ -177,7 +179,9 @@ def media_phash_pairs(spark, sf_dir):
     # hamming 0; bucket collisions exercise the 1-2-bit verify band.
     from bridgedownstream_spark.operators.multimodal import perceptual_hash
 
-    hashed = perceptual_hash(_payloads(spark, sf_dir)).select("doc_id", "phash")
+    hashed = perceptual_hash(_payloads(spark, sf_dir), codec="stub").select(
+        "doc_id", "phash"
+    )
     a, c = hashed.alias("a"), hashed.alias("c")
     ham = F.expr("bit_count(a.phash ^ c.phash)")
     return (

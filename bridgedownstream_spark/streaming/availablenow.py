@@ -68,4 +68,9 @@ def stream_json_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
+    if not query.awaitTermination(timeout_sec):
+        query.stop()  # hung drains must raise, not return half-synced
+        raise TimeoutError(
+            f"stream_json_to_parquet: drain exceeded {timeout_sec}s "
+            f"(dataset={dataset_name})"
+        )

@@ -86,4 +86,9 @@ def stream_ingest(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()  # hung drains must raise, not return half-ingested
+        raise TimeoutError(
+            f"stream_ingest_archives: drain exceeded {timeout_sec}s "
+            f"(checkpoint={checkpoint_root})"
+        )

@@ -38,6 +38,7 @@ from bridgedownstream_spark.pipeline.json_to_parquet import (
     _widen_leaves,
     conform_to_schema,
 )
+from bridgedownstream_spark.pipeline.fsutil import list_dirs
 from bridgedownstream_spark.pipeline.registry import Dataset, DatasetRegistry
 from bridgedownstream_spark.pipeline.upsert import upsert_dataset
 
@@ -57,7 +58,13 @@ def sync_batch_to_lake(
     (the stream's read schema). Upsert keys on ``recordid``: every table a
     record relationalizes into replaces ALL rows of that recordid — the
     only correct contract when a re-export can change a child array's
-    length. Returns ``{table_name: path}`` for the tables touched.
+    length. The deletion key set is the batch's ROOT recordids, not each
+    table's own update rows: a re-export that shrinks a child array to
+    empty (or drops the nested field entirely) emits ZERO update rows for
+    that recordid in that child table, so keying deletes on the table's
+    own rows would leave the old child rows stranded. Tables on disk that
+    this batch emitted no rows for at all get a delete-only merge for the
+    same reason. Returns ``{table_name: path}`` for the tables written.
     """
     df = conform_to_schema(batch_df, dataset.full_schema())
     if df.isEmpty():
@@ -66,14 +73,41 @@ def sync_batch_to_lake(
         tables = relationalize(df, dataset.name, key_cols=key_cols)
     else:
         tables = {dataset.name: df}
+    # metadata-scale (one id per re-exported record in this micro-batch);
+    # checkpointed so the repeated broadcasts don't re-read the batch
+    root_keys = df.select("recordid").distinct().localCheckpoint(eager=True)
     written: dict[str, str] = {}
     for name, table in tables.items():
         path = os.path.join(parquet_root, name)
         parts = [c for c in dataset.partition_cols if c in table.columns]
         upsert_dataset(
-            spark, path, table, key_cols=["recordid"], partition_cols=parts
+            spark,
+            path,
+            table,
+            key_cols=["recordid"],
+            partition_cols=parts,
+            delete_keys=root_keys,
         )
         written[name] = path
+    for name in list_dirs(spark, parquet_root):
+        if name in written:
+            continue
+        if name != dataset.name and not name.startswith(f"{dataset.name}_"):
+            continue  # another dataset's table
+        path = os.path.join(parquet_root, name)
+        parts = [
+            c
+            for c in dataset.partition_cols
+            if c in spark.read.parquet(path).columns
+        ]
+        upsert_dataset(
+            spark,
+            path,
+            None,
+            key_cols=["recordid"],
+            partition_cols=parts,
+            delete_keys=root_keys,
+        )
     return written
 
 
@@ -121,4 +155,12 @@ def stream_upsert_lake(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # a hung drain must be visible: callers assume the lake is fully
+        # synced on return, so timing out silently would hand them a
+        # half-written lake
+        q.stop()
+        raise TimeoutError(
+            f"stream_upsert_lake: drain exceeded {timeout_sec}s "
+            f"(checkpoint={checkpoint_root})"
+        )

@@ -8,6 +8,8 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.errors import AnalysisException
+
 from bridgedownstream_spark.pipeline.registry import DatasetRegistry
 from bridgedownstream_spark.streaming.lake_sync import stream_upsert_lake
 
@@ -98,6 +100,50 @@ def test_stream_sync_upserts_reexports(spark, tmp_path):
     assert got == {("r1", 7), ("r2", 3), ("r3", 4), ("r4", 8), ("r4", 9)}
     # untouched partition B survived the partition-scoped overwrite
     assert root.where("assessmentid = 'B'").count() == 1
+
+
+def test_stream_sync_shrink_to_empty_deletes_stale_children(spark, tmp_path):
+    """A re-export whose child array shrank to EMPTY (or whose nested field
+    vanished) emits zero update rows for that recordid in the child table —
+    the deletion key set must come from the batch's root recordids, or the
+    old child rows survive as stale data."""
+    json_root = str(tmp_path / "json")
+    pq_root = str(tmp_path / "parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    a_dir = _part_dir(json_root, "A")
+    b_dir = _part_dir(json_root, "B")
+    _write_records(
+        os.path.join(a_dir, "f1.ndjson"), [_rec("r1", 1.0, [1, 2])]
+    )
+    _write_records(os.path.join(b_dir, "f2.ndjson"), [_rec("r2", 2.0, [3])])
+    stream_upsert_lake(spark, json_root, pq_root, "rec_v1", REGISTRY, ckpt)
+    child_path = os.path.join(pq_root, "rec_v1_items")
+    assert spark.read.parquet(child_path).count() == 3
+
+    # r1 re-exported with items=[]; r2 re-exported WITHOUT the items key
+    # (field dropped entirely — JSON reads it as null)
+    _write_records(
+        os.path.join(a_dir, "f3.ndjson"),
+        [{"recordid": "r1", "score": 5.0, "items": []}],
+    )
+    _write_records(
+        os.path.join(b_dir, "f4.ndjson"), [{"recordid": "r2", "score": 6.0}]
+    )
+    stream_upsert_lake(spark, json_root, pq_root, "rec_v1", REGISTRY, ckpt)
+
+    root = spark.read.parquet(os.path.join(pq_root, "rec_v1"))
+    assert {
+        (r["recordid"], r["score"]) for r in root.collect()
+    } == {("r1", 5.0), ("r2", 6.0)}
+    # every stale child row is gone — the child table is now empty (a
+    # fully-emptied parquet-dir table may have no files left to infer a
+    # schema from; readers treat that as zero rows)
+    try:
+        n_child = spark.read.parquet(child_path).count()
+    except AnalysisException:
+        n_child = 0
+    assert n_child == 0
 
 
 def test_stream_sync_noop_rerun(spark, tmp_path):

@@ -36,9 +36,46 @@ def test_decode_meta_schema_and_determinism(media):
     assert again == rows
 
 
-def test_strict_mode_raises(media):
+def test_strict_mode_raises_without_codec(media):
+    # strict=True upgrades auto → pil; without PIL on the workers that must
+    # surface as an error, never silently fall back to the stub
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed — strict mode succeeds here")
+    except ImportError:
+        pass
     with pytest.raises(Exception, match="NotImplementedError|imaging library"):
         decode_images(media, strict=True).collect()
+    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+        decode_images(media, codec="pil").collect()
+
+
+def test_codec_autodetect_matches_environment(media):
+    from bridgedownstream_spark.operators.multimodal import detect_codec
+
+    try:
+        import PIL  # noqa: F401
+
+        assert detect_codec() == "pil"
+    except ImportError:
+        assert detect_codec() == "stub"
+    # codec="auto" (the default) must run everywhere
+    assert decode_images(media).count() == 2
+
+
+def test_pil_path_decodes_real_image(spark):
+    """Runs only where PIL exists: the SAME operator call decodes a real
+    PNG, proving auto-detection turns the stub plumbing production-real
+    with zero code change."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    buf = _io.BytesIO()
+    PIL_Image.new("RGB", (12, 7), (200, 10, 10)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, buf.getvalue())], "id int, content binary")
+    meta = decode_images(df, codec="pil").collect()[0]["meta"]
+    assert (meta["format"], meta["width"], meta["height"]) == ("png", 12, 7)
 
 
 def test_feature_extraction_shape(media):
