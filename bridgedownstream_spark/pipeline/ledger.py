@@ -23,6 +23,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bridgedownstream_spark.pipeline.fsutil import delete_path, path_exists
+
 __all__ = ["FileLedger"]
 
 
@@ -38,12 +40,14 @@ class FileLedger:
         return os.path.join(self.root, f"dataset={dataset}")
 
     def processed_files(self, dataset: str) -> DataFrame:
-        """The ledger as a DataFrame (empty if never committed)."""
+        """The ledger as a DataFrame (empty if never committed). Existence
+        is checked explicitly — a transient read failure must propagate,
+        not masquerade as an empty ledger (which would reprocess and
+        double-append every file)."""
         path = self._path(dataset)
-        try:
-            return self.spark.read.parquet(path).select("file_path")
-        except Exception:  # noqa: BLE001 — missing path ⇒ empty ledger
+        if not path_exists(self.spark, path):
             return self.spark.createDataFrame([], "file_path string")
+        return self.spark.read.parquet(path).select("file_path")
 
     def filter_new(self, df: DataFrame, dataset: str, file_col: str = "_source_file") -> DataFrame:
         """Keep only rows from files not yet in the ledger: a broadcast
@@ -76,7 +80,8 @@ class FileLedger:
 
     def reset(self, dataset: str) -> None:
         """Bookmark reset (schema-change protocol §3e): forget the dataset's
-        processed files so the next run reprocesses everything."""
-        import shutil
-
-        shutil.rmtree(self._path(dataset), ignore_errors=True)
+        processed files so the next run reprocesses everything. Goes
+        through the Hadoop FS API so it works on object stores too."""
+        path = self._path(dataset)
+        if path_exists(self.spark, path):
+            delete_path(self.spark, path)

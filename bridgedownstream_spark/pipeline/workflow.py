@@ -19,6 +19,7 @@ happens here (the per-dataset scans do their own partition-pruned listing).
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -59,6 +60,7 @@ def run_study_workflow(
     work_root: str,
     dataset_mapping: dict | None = None,
     app_id: str = "mobile-toolbox",
+    max_concurrency: int = 4,
 ) -> dict[str, dict[str, str]]:
     """Run the full two-stage pipeline for one batch of archives.
 
@@ -72,6 +74,15 @@ def run_study_workflow(
     Datasets present in the lake but absent from the registry are left
     for a later run (exactly the reference's behavior when the catalog
     lags the data — the crawler sees them, the job has no table yet).
+
+    Stage-2 jobs for distinct datasets run CONCURRENTLY (up to
+    ``max_concurrency`` driver threads, one Spark job group per dataset)
+    — the reference launches one Glue job per dataset in parallel
+    (study-pipeline-infra.j2:112-139), and a small dataset's job would
+    otherwise idle the cluster while a large one's scan runs. Safe
+    because every per-dataset write (parquet tables, ledger partition)
+    lands under dataset-scoped paths; on a shared cluster set
+    ``spark.scheduler.mode=FAIR`` so the pools actually share executors.
 
     Returns ``{dataset: {table: parquet_path}}`` for datasets processed.
     """
@@ -93,17 +104,31 @@ def run_study_workflow(
         app_id=app_id,
     )
     ledger = FileLedger(spark, os.path.join(work_root, "ledger"))
-    written: dict[str, dict[str, str]] = {}
-    for name in discover_datasets(spark, json_root):
-        if name not in registry:
-            continue
-        written[name] = run_json_to_parquet(
-            spark,
-            json_root,
-            parquet_root,
-            name,
-            registry,
-            mode="append",
-            ledger=ledger,
-        )
-    return written
+    names = [n for n in discover_datasets(spark, json_root) if n in registry]
+
+    def _stage2(name: str) -> tuple[str, dict[str, str]]:
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", f"stage2-{name}")
+        sc.setJobGroup(f"stage2-{name}", f"json→parquet: {name}", True)
+        try:
+            return name, run_json_to_parquet(
+                spark,
+                json_root,
+                parquet_root,
+                name,
+                registry,
+                mode="append",
+                ledger=ledger,
+            )
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    if max_concurrency <= 1 or len(names) <= 1:
+        return {name: tables for name, tables in map(_stage2, names)}
+    with ThreadPoolExecutor(
+        max_workers=min(max_concurrency, len(names)),
+        thread_name_prefix="stage2",
+    ) as pool:
+        # ex.map propagates the first failure — a broken dataset fails the
+        # workflow loudly, like a failed Glue job run
+        return {name: tables for name, tables in pool.map(_stage2, names)}

@@ -939,3 +939,50 @@ def pq_ann_shortlist(spark, sf_dir):
         "approx_dot",
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+@q("pq_recall", None)  # rows-only: the PQ side embeds iterative k-means
+# training (not SQL-expressible), so unlike ann_recall there is no DuckDB
+# twin; the recall VALUES are additionally floor-asserted in tests/test_pq.py
+def pq_recall(spark, sf_dir):
+    """Recall of the PQ ADC shortlist against the exact brute-force top-k —
+    the quality metric that decides whether 16 B/vector codes may replace
+    the float corpus for first-pass retrieval (re-rank then restores exact
+    order on the shortlist only).
+
+    Same measurement shape as ann_recall: the ground truth is queries × k
+    rows (tiny → broadcast); the PQ shortlist comes from the cached
+    per-corpus index, so repeated recall audits cost one ADC search, not a
+    retrain. The shortlist is measured at production depth (50 — a
+    shortlist exists to be re-ranked, so it must be ≫ k; recall@k of the
+    10-deep display query would conflate quantization error with
+    truncation)."""
+    from bridgedownstream_spark.operators.pq import pq_shortlist
+
+    truth = QUERIES["ann_topk_cosine"][0](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    emb = tbl(spark, sf_dir, "embeddings")
+    cb, codes = _pq_corpus(spark, sf_dir)
+    approx = pq_shortlist(
+        emb.where(F.col("vec_id") < _N_QUERIES), codes, cb, shortlist=50
+    ).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("vec_id").alias("a_neighbor_id"),
+    )
+    hits = F.count("a_neighbor_id")
+    return (
+        F.broadcast(truth)
+        .join(
+            approx,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            hits.cast("int").alias("n_hits"),
+            F.round(hits / _TOP_K, 3).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

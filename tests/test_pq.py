@@ -95,3 +95,16 @@ def test_adc_shortlist_recall(spark, emb, codebook):
     for r in rerank.collect():
         if (r["query_id"], top1_true[r["query_id"]]) in short_set:
             assert r["vec_id"] == top1_true[r["query_id"]]
+
+
+def test_pq_recall_query_floor(spark):
+    """The registry-level pq_recall audit: every query row reports n_hits /
+    recall, and aggregate recall clears a floor at test scale (so a codebook
+    or cache regression shows up as a number, not just row counts)."""
+    from bridgedownstream_spark.queries import REGISTRY
+
+    rows = REGISTRY["pq_recall"][0](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5  # one row per sample query
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    mean_recall = sum(r["recall"] for r in rows) / len(rows)
+    assert mean_recall >= 2 / 3, f"mean PQ shortlist recall {mean_recall}"

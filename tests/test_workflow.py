@@ -115,6 +115,103 @@ def test_workflow_end_to_end_and_incremental(spark, tmp_path):
     ) == [("r1", 1), ("r1", 2), ("r2", 3), ("r3", 4)]
 
 
+TAPS_SCHEMA = {
+    "$id": "schemas/v1/TapList",
+    "type": "array",
+    "items": {
+        "type": "object",
+        "required": ["tap_id"],
+        "properties": {"tap_id": {"type": "integer"}},
+    },
+}
+TWO_DS_ARCHIVE_MAP = {
+    "assessments": [
+        ARCHIVE_MAP["assessments"][0],
+        {
+            "assessmentIdentifier": "taps",
+            "assessmentRevision": 1,
+            "files": [
+                {"filename": "taps.json", "jsonSchema": "https://example.org/taps"}
+            ],
+        },
+    ],
+    "apps": [],
+    "anyOf": [],
+}
+TWO_DS_REGISTRY = DatasetRegistry(
+    {
+        "tables": {
+            "eventlist_v1": {
+                "columns": [
+                    {"Name": "event_id", "Type": "bigint"},
+                    {"Name": "recordid", "Type": "string"},
+                ]
+            },
+            "taplist_v1": {
+                "columns": [
+                    {"Name": "tap_id", "Type": "bigint"},
+                    {"Name": "recordid", "Type": "string"},
+                ]
+            },
+        }
+    }
+)
+
+
+def test_workflow_runs_datasets_concurrently(spark, tmp_path):
+    """Two datasets in one batch exercise the concurrent stage-2 path (one
+    driver thread + Spark job group per dataset — the reference's
+    one-Glue-job-per-dataset parallelism). Results must be identical to a
+    sequential run."""
+
+    def _tap_zip(path, taps):
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr("taps.json", json.dumps(taps))
+        return str(path)
+
+    arch = tmp_path / "archives"
+    arch.mkdir()
+    rows = [
+        _meta(_zip(arch / "r1.zip", [{"event_id": 1}, {"event_id": 2}]), "r1"),
+        (
+            _tap_zip(arch / "r2.zip", [{"tap_id": 7}]),
+            "r2",
+            "taps",
+            "1",
+            "2024-03-04T00:00:00.000Z",
+            "ios",
+        ),
+    ]
+
+    def run(work, max_concurrency):
+        return run_study_workflow(
+            spark,
+            archive_path=str(arch / "*.zip"),
+            manifest=_manifest(spark, rows),
+            archive_map=TWO_DS_ARCHIVE_MAP,
+            schema_store={
+                "https://example.org/events": EVENTS_SCHEMA,
+                "https://example.org/taps": TAPS_SCHEMA,
+            },
+            schema_mapping={
+                "schemas/v1/EventList": "eventlist_v1",
+                "schemas/v1/TapList": "taplist_v1",
+            },
+            registry=TWO_DS_REGISTRY,
+            work_root=str(tmp_path / work),
+            max_concurrency=max_concurrency,
+        )
+
+    concurrent = run("work_par", 4)
+    sequential = run("work_seq", 1)
+    assert set(concurrent) == set(sequential) == {"eventlist_v1", "taplist_v1"}
+    for written in (concurrent, sequential):
+        ev = spark.read.parquet(written["eventlist_v1"]["eventlist_v1"])
+        assert sorted(r["event_id"] for r in ev.collect()) == [1, 2]
+        taps = spark.read.parquet(written["taplist_v1"]["taplist_v1"])
+        assert [(r["recordid"], r["tap_id"]) for r in taps.collect()] == [("r2", 7)]
+
+
 def test_workflow_skips_unregistered_datasets(spark, tmp_path):
     arch = tmp_path / "archives"
     arch.mkdir()
