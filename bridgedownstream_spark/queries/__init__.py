@@ -65,7 +65,9 @@ _CERTIFYING: tuple[str, ...] = (
     # skew + sketches
     "skew_salted_agg",
     "sketch_cardinality",
-    # pipeline / ingest e2e (S1-S5, S8, J5, F2, N1/N2/N6, V1-V4, §2.11, P7)
+    # pipeline / ingest e2e (S1-S5, S8-S10, J5, F2, N1/N2/N6, V1-V4, §2.11, P7)
+    "listing_scan",             # S9 listing source
+    "workflow_properties",      # S10 manifest-from-messages source
     "ingest_e2e_events",        # S1/S4/J5/F2/N6/V1-V3
     "quarantine_replay",        # S8/V4
     "pipeline_e2e_root",        # S2/S5/N1/N2
@@ -75,9 +77,10 @@ _CERTIFYING: tuple[str, ...] = (
     "zorder_box_query",         # clustered layout
     "rollup_incremental_equiv",  # incremental rollup
     # LLM-pipeline extension families, one representative each
+    # (incremental_dedup / doc_fingerprint yielded to the two S-component
+    # queries above: both passed the driver in r1 AND r2, while S9/S10 had
+    # never had a driver row)
     "exact_dedup",              # dedup family
-    "incremental_dedup",        # cross-batch dedup
-    "doc_fingerprint",          # fingerprinting
     "token_stats",              # text-analysis family
     "near_dup_lsh_pairs",       # MinHash+LSH family
     "near_dup_components",      # clustering family

@@ -252,6 +252,93 @@ def quarantine_replay(spark, sf_dir):
 
 
 @q(
+    "listing_scan",
+    """
+    SELECT 'user' || CAST(user_id AS VARCHAR) || '.zip' AS object_name,
+           'user' || CAST(user_id AS VARCHAR)           AS record_stem
+    FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 10)
+    UNION ALL
+    SELECT 'bad.zip', 'bad'
+    """,
+)
+def listing_scan(spark, sf_dir):
+    # S9: the listing scan — an object-store prefix enumerated as ROWS with
+    # record ids derived from the key (reference's paginated list_objects_v2
+    # loops + k.split('/')[-1].split('.')[0], etl-408/etl_408.py:38-60).
+    # Spark's binaryFile source does the listing distributed; bodies are
+    # never read. The fixture's archive dir derives from the events table,
+    # so the oracle recomputes the expected listing from it.
+    from bridgedownstream_spark.sources.listing import list_lake_files
+
+    json_root = _build_ingest_lake(spark, sf_dir)
+    arch_dir = os.path.join(os.path.dirname(json_root), "archives")
+    return list_lake_files(spark, arch_dir).select("object_name", "record_stem")
+
+
+@q(
+    "workflow_properties",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS recordid,
+           'events' AS assessmentid,
+           '1'      AS assessmentrevision,
+           'user' || CAST(user_id AS VARCHAR) || '.zip' AS object_name
+    FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 10)
+    UNION ALL
+    SELECT 'badrec', 'events', '1', 'bad.zip'
+    """,
+)
+def workflow_properties(spark, sf_dir):
+    # S10: the workflow-properties source — job parameters arrive as a JSON
+    # ``messages`` blob (reference get_workflow_run_properties,
+    # s3_to_json_s3.py:758-782, emitted by the SNS→Glue Lambda) and become
+    # the typed ingest manifest. The blob is synthesized from the same
+    # record population the ingest fixture uses (bounded: ≤11 records), so
+    # the parse path is exercised end-to-end and the oracle recomputes the
+    # manifest from the events table.
+    import json as _json
+
+    from bridgedownstream_spark.sources.listing import manifest_from_messages
+
+    json_root = _build_ingest_lake(spark, sf_dir)
+    arch_dir = os.path.join(os.path.dirname(json_root), "archives")
+    uids = sorted(
+        r["user_id"]
+        for r in tbl(spark, sf_dir, "events")
+        .where(F.col("user_id") < 10)
+        .select("user_id")
+        .distinct()
+        .collect()  # manifest-scale (≤10 ids), never data-scale
+    )
+    messages = [
+        {
+            "path": os.path.join(arch_dir, f"user{u}.zip"),
+            "recordid": str(u),
+            "assessmentid": "events",
+            "assessmentrevision": 1,
+            "uploadedon": "2024-01-02T00:00:00.000Z",
+            "clientinfo": "iPhone 13",
+        }
+        for u in uids
+    ] + [
+        {
+            "path": os.path.join(arch_dir, "bad.zip"),
+            "recordid": "badrec",
+            "assessmentid": "events",
+            "assessmentrevision": 1,
+            "uploadedon": "2024-01-02T00:00:00.000Z",
+            "clientinfo": "iPhone 13",
+        }
+    ]
+    mf = manifest_from_messages(spark, _json.dumps(messages))
+    return mf.select(
+        "recordid",
+        "assessmentid",
+        "assessmentrevision",
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("object_name"),
+    )
+
+
+@q(
     "ingest_e2e_events",
     """
     SELECT event_id, event_type, round(value, 2) AS value,
