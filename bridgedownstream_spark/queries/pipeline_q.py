@@ -363,6 +363,60 @@ def ingest_e2e_events(spark, sf_dir):
 
 
 @q(
+    "stream_sync_e2e",
+    """
+    SELECT event_id, event_type, round(value, 2) AS value,
+           CAST(user_id AS VARCHAR) AS recordid
+    FROM events WHERE user_id < 10
+    """,
+)
+def stream_sync_e2e(spark, sf_dir):
+    # Streaming-family certification with a FULL value-hash oracle: an
+    # availableNow drain is deterministic once it returns, so the streaming
+    # stage-2 path (checkpointed NDJSON file stream → foreachBatch conform →
+    # partition-scoped upsert sink, streaming/lake_sync.py) is oracle-
+    # checkable even though the stream itself is not SQL-expressible. The
+    # oracle recomputes the lake contents from the source events table —
+    # a pass certifies the stream read, the checkpoint lifecycle, and the
+    # upsert sink end-to-end. Re-invocation in-process is the no-op
+    # drain (same checkpoint, no new files): idempotency by construction.
+    from bridgedownstream_spark.pipeline.registry import DatasetRegistry
+    from bridgedownstream_spark.streaming.lake_sync import stream_upsert_lake
+
+    json_root = _build_ingest_lake(spark, sf_dir)
+    base = os.path.dirname(json_root)
+    registry = DatasetRegistry(
+        {
+            "tables": {
+                "eventlist_v1": {
+                    "columns": [
+                        {"Name": "event_id", "Type": "bigint"},
+                        {"Name": "event_type", "Type": "string"},
+                        {"Name": "value", "Type": "double"},
+                        {"Name": "recordid", "Type": "string"},
+                    ]
+                }
+            }
+        }
+    )
+    pq_root = os.path.join(base, "stream_parquet")
+    stream_upsert_lake(
+        spark,
+        json_root,
+        pq_root,
+        "eventlist_v1",
+        registry,
+        checkpoint_root=os.path.join(base, "stream_ckpt"),
+    )
+    return spark.read.parquet(os.path.join(pq_root, "eventlist_v1")).select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        "recordid",
+    )
+
+
+@q(
     "pipeline_e2e_root",
     f"""
     SELECT CAST(o_orderkey AS VARCHAR) AS recordid,
