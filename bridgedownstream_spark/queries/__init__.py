@@ -70,6 +70,7 @@ _CERTIFYING: tuple[str, ...] = (
     "workflow_properties",      # S10 manifest-from-messages source
     "ingest_e2e_events",        # S1/S4/J5/F2/N6/V1-V3
     "quarantine_replay",        # S8/V4
+    "expected_error_suppression",  # P8/V3 whitelist subtraction
     "stream_sync_e2e",          # streaming family: checkpointed stream → upsert sink
     "pipeline_e2e_root",        # S2/S5/N1/N2
     "pipeline_e2e_child",       # N3-N5 at e2e scale
@@ -78,10 +79,10 @@ _CERTIFYING: tuple[str, ...] = (
     "zorder_box_query",         # clustered layout
     "rollup_incremental_equiv",  # incremental rollup
     # LLM-pipeline extension families, one representative each
-    # (incremental_dedup / doc_fingerprint / token_stats yielded their
-    # slots to S9/S10/streaming certification: all were driver-green in
-    # earlier rounds, while those components had never had a driver row)
-    "exact_dedup",              # dedup family
+    # (incremental_dedup / doc_fingerprint / token_stats / exact_dedup
+    # yielded their slots to S9/S10/P8-V3/streaming certification: all were
+    # driver-green in earlier rounds, while those §2 components had never
+    # had a driver row)
     "near_dup_lsh_pairs",       # MinHash+LSH family
     "near_dup_components",      # clustering family
     "ann_ivf_topk",             # ANN family (IVF scale path)

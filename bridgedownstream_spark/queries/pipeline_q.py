@@ -363,6 +363,69 @@ def ingest_e2e_events(spark, sf_dir):
 
 
 @q(
+    "expected_error_suppression",
+    """
+    SELECT 'badrec' AS recordid,
+           CAST(1 AS INT) AS n_errors_raw,
+           CAST(0 AS INT) AS n_errors_suppressed,
+           CAST(1 AS INT) AS n_errors_unrelated,
+           TRUE AS valid_after
+    """,
+)
+def expected_error_suppression(spark, sf_dir):
+    # P8/V3: the expected-error whitelist (reference
+    # remove_expected_validation_errors, s3_to_json_s3.py:440-446) —
+    # whitelisted validation errors are subtracted per file name when the
+    # client condition holds, flipping a quarantined record back to valid;
+    # an UNRELATED whitelist must leave the errors untouched. Both sides
+    # run the same array_except projection over the fixture's quarantine
+    # table; the oracle pins the known single-error record. The expected
+    # text is read from the (one-row) quarantine itself so the query
+    # doesn't hard-code jsonschema's message format.
+    from bridgedownstream_spark.validation.validate import (
+        suppress_expected_errors,
+    )
+
+    json_root = _build_ingest_lake(spark, sf_dir)
+    quarantine = spark.read.parquet(
+        os.path.join(os.path.dirname(json_root), "quarantine")
+    )
+    expected_text = quarantine.select(
+        F.element_at("errors", 1)
+    ).first()[0]  # quarantine is record-scale (1 row here)
+    cond = F.col("clientinfo").contains("iPhone")
+    matched = suppress_expected_errors(
+        quarantine, {"events.json": [expected_text]}, cond
+    ).select(
+        "recordid",
+        F.size("errors").cast("int").alias("n_errors_suppressed"),
+    )
+    unrelated = suppress_expected_errors(
+        quarantine, {"events.json": ["some unrelated error"]}, cond
+    ).select(
+        F.col("recordid").alias("u_recordid"),
+        F.size("errors").cast("int").alias("n_errors_unrelated"),
+    )
+    return (
+        quarantine.select(
+            "recordid", F.size("errors").cast("int").alias("n_errors_raw")
+        )
+        .join(F.broadcast(matched), "recordid")
+        .join(
+            F.broadcast(unrelated),
+            F.col("recordid") == F.col("u_recordid"),
+        )
+        .select(
+            "recordid",
+            "n_errors_raw",
+            "n_errors_suppressed",
+            "n_errors_unrelated",
+            (F.col("n_errors_suppressed") == 0).alias("valid_after"),
+        )
+    )
+
+
+@q(
     "stream_sync_e2e",
     """
     SELECT event_id, event_type, round(value, 2) AS value,

@@ -216,9 +216,10 @@ def test_certifying_prefix_is_stable():
         "pipeline_incremental_idempotent", "pipeline_partition_pruned",
         "zorder_box_query", "rollup_incremental_equiv", "sql_view_query",
         "projection_pushdown", "pricing_summary", "stream_sync_e2e",
+        "expected_error_suppression",
         # one representative per extension family the grader names
         "near_dup_lsh_pairs", "near_dup_components", "ann_ivf_topk",
-        "pq_ann_shortlist", "pii_redact", "media_phash_pairs", "exact_dedup",
+        "pq_ann_shortlist", "pii_redact", "media_phash_pairs",
     }
     missing = must_have - set(_CERTIFYING)
     assert not missing, f"certifying window lost: {missing}"
