@@ -201,6 +201,18 @@ def test_hash_checked_float_outputs_are_stabilized(spark):
     assert not bad, f"unstabilized float output columns: {bad}"
 
 
+def test_listing_scan_never_reads_bodies(spark):
+    """The listing source's contract: enumerating a lake prefix costs the
+    LISTING, not the data — the binaryFile scan must prune down to the
+    path metadata column (no `content`), with zero exchanges."""
+    import re as _re
+
+    plan = plan_of(spark, "listing_scan")
+    schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all("content" not in s for s in schemas), schemas
+    assert "Exchange" not in plan
+
+
 def test_certifying_prefix_is_stable():
     """Registry order is load-bearing: the correctness harness checks the
     FIRST 50 entries. The certifying prefix must stay exactly 50 long,
