@@ -65,3 +65,63 @@ def test_upsert_creates_table_on_first_write(spark, tmp_path):
     )
     upsert_dataset(spark, table, rows, ["recordid"], ["day"])
     assert spark.read.parquet(table).count() == 1
+
+
+def test_upsert_model_based_random_sequence(spark, tmp_path):
+    """Model-based check of the full merge contract: a seeded random
+    sequence of batches — each carrying updates, re-adds, and delete_keys
+    (deletes that no update re-adds) — applied to the lake AND to a plain
+    Python dict model. After every batch the lake must equal the model
+    exactly, including partitions fully emptied by deletes."""
+    import random
+
+    from pyspark.errors import AnalysisException
+
+    rng = random.Random(20260814)
+    table = str(tmp_path / "lake")
+    keys = [f"r{i}" for i in range(12)]
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    # partition derives from the key (the pipeline's layout contract —
+    # upsert's documented precondition for partition-mobile keys)
+    day_of = {k: days[i % len(days)] for i, k in enumerate(keys)}
+
+    model: dict[str, float] = {}
+    for step in range(6):
+        upd_keys = rng.sample(keys, rng.randint(0, 5))
+        del_keys = rng.sample(keys, rng.randint(0, 4))
+        updates = [
+            (k, day_of[k], float(step * 100 + i))
+            for i, k in enumerate(upd_keys)
+        ]
+        for k, _d, v in updates:
+            model[k] = v
+        for k in del_keys:
+            if k not in upd_keys:
+                model.pop(k, None)
+        upd_df = (
+            spark.createDataFrame(
+                updates, "recordid string, day string, value double"
+            )
+            if updates
+            else None
+        )
+        del_df = spark.createDataFrame(
+            [(k,) for k in set(del_keys) | set(upd_keys)] or [("__none__",)],
+            "recordid string",
+        )
+        if upd_df is None and del_df is None:
+            continue
+        upsert_dataset(
+            spark, table, upd_df, ["recordid"], ["day"], delete_keys=del_df
+        )
+        if not os.path.exists(table):
+            assert not model, f"step {step}: lake absent but model={model}"
+            continue
+        try:
+            got = {
+                r["recordid"]: r["value"]
+                for r in spark.read.parquet(table).collect()
+            }
+        except AnalysisException:
+            got = {}  # fully-emptied table has no files to infer from
+        assert got == model, f"step {step}: lake={got} model={model}"
