@@ -11,7 +11,9 @@ canonicalizer dies on unhashable cells — r2's `array_slice_limit` /
 compare green-lit all three of the driver's failures; don't loosen this
 again.
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--window] [sf_dir] [query ...]
+  --window: check only the first 50 registry entries — exactly the prefix
+  the external harness checks.
 """
 
 from __future__ import annotations
@@ -109,8 +111,14 @@ def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str, float]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or list(REGISTRY)
+    args = sys.argv[1:]
+    window = "--window" in args  # only the driver-checked 50-entry prefix
+    if window:
+        args = [a for a in args if a != "--window"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    names = args[1:] or list(REGISTRY)
+    if window and not args[1:]:
+        names = names[:50]
     spark = get_spark("verify-local")
     con = duck_connection(sf_dir)
     failures = 0
