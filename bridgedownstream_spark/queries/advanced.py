@@ -170,7 +170,8 @@ _BUCKET_W = 50.0  # events.value spans [0, 500)
 @q(
     "range_join_buckets",
     f"""
-    SELECT b.bucket, count(*) AS n, round(sum(e.value), 2) AS total_value
+    SELECT b.bucket, count(*) AS n,
+           CAST(round(sum(CAST(e.value AS DECIMAL(24,10))), 2) AS DOUBLE) AS total_value
     FROM events e
     JOIN (SELECT CAST(i AS INT) AS bucket,
                  i * {_BUCKET_W} AS lo, (i + 1) * {_BUCKET_W} AS hi
@@ -206,7 +207,9 @@ def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # DECIMAL sum: exact under any partial-agg merge order
+            F.round(F.sum(F.col("value").cast("decimal(24,10)")), 2)
+            .cast("double").alias("total_value"),
         )
         .orderBy("bucket")
     )
@@ -224,7 +227,8 @@ _BUCKET_US = 900_000_000  # 15 minutes
     f"""
     SELECT strftime(make_timestamp((epoch_us(ts) // {_BUCKET_US}) * {_BUCKET_US}),
                     '%Y-%m-%d %H:%M:%S.%f') AS bucket_start,
-           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+           event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(24,10))), 2) AS DOUBLE) AS total_value
     FROM events
     WHERE user_id < 20
     GROUP BY 1, 2 ORDER BY 1, 2
@@ -249,7 +253,12 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_str(bucket).alias("bucket_start"),
             "event_type",
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # DECIMAL sum: exact under any partial-agg merge order
+            F.round(F.sum(F.col("value").cast("decimal(24,10)")), 2)
+            .cast("double").alias("total_value"),
+        )
         .orderBy("bucket_start", "event_type")
     )
 
@@ -310,7 +319,7 @@ _SAMPLE_PCT = 10
     f"""
     SELECT event_type, count(*) AS n_sampled,
            count(DISTINCT user_id) AS n_users,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(24,10))), 2) AS DOUBLE) AS total_value
     FROM events
     WHERE {HASH60.format(x="CAST(event_id AS VARCHAR)")} % 100 < {_SAMPLE_PCT}
     GROUP BY event_type ORDER BY event_type
@@ -336,7 +345,9 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_sampled"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # DECIMAL sum: exact under any partial-agg merge order
+            F.round(F.sum(F.col("value").cast("decimal(24,10)")), 2)
+            .cast("double").alias("total_value"),
         )
         .orderBy("event_type")
     )

@@ -38,13 +38,13 @@ def q(name: str, oracle: str | None):
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 2)                                        AS avg_qty,
-           round(avg(l_extendedprice), 2)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
+           CAST(round(sum(CAST(l_quantity       AS DECIMAL(24,10))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice  AS DECIMAL(24,10))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,10))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,10))), 2) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity      AS DECIMAL(24,10))) AS DOUBLE) / count(*), 2) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,10))) AS DOUBLE) / count(*), 2) AS avg_price,
+           round(CAST(sum(CAST(l_discount      AS DECIMAL(24,10))) AS DOUBLE) / count(*), 4) AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -53,19 +53,30 @@ def q(name: str, oracle: str | None):
     """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sums run on DECIMAL so every aggregate is exact regardless of
+    # partial-agg merge order (float order is nondeterministic across runs
+    # — the r2 skew_salted_agg lesson applied to the flagship); averages
+    # divide the exact decimal sum in one double op.
     li = tbl(spark, sf_dir, "lineitem")
+    dec = "decimal(24,10)"
+    qty_d = F.col("l_quantity").cast(dec)
+    price_d = F.col("l_extendedprice").cast(dec)
+    disc_d = F.col("l_discount").cast(dec)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price_d = disc_price.cast(dec)
+    charge_d = (disc_price * (1 + F.col("l_tax"))).cast(dec)
+    n = F.count("*")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(qty_d), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price_d), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price_d), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge_d), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty_d).cast("double") / n, 2).alias("avg_qty"),
+            F.round(F.sum(price_d).cast("double") / n, 2).alias("avg_price"),
+            F.round(F.sum(disc_d).cast("double") / n, 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -343,7 +354,7 @@ def sample_per_group(spark, sf_dir):
     SELECT event_type,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           round(sum(value), 2) AS total_value,
+           CAST(round(sum(CAST(value AS DECIMAL(24,10))), 2) AS DOUBLE) AS total_value,
            round(max(value), 2) AS max_value,
            round(min(value), 2) AS min_value
     FROM events GROUP BY event_type ORDER BY event_type
@@ -351,14 +362,16 @@ def sample_per_group(spark, sf_dir):
 )
 def reconcile_counts(spark, sf_dir):
     # A4/A5/A6/A7: the count / count-distinct reconciliation report
-    # (etl-245/main.py:29-63).
+    # (etl-245/main.py:29-63). The sum runs on DECIMAL: exact under any
+    # partial-agg merge order (max/min are order-insensitive already).
     return (
         tbl(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(24,10)")), 2)
+            .cast("double").alias("total_value"),
             F.round(F.max("value"), 2).alias("max_value"),
             F.round(F.min("value"), 2).alias("min_value"),
         )
@@ -612,7 +625,8 @@ def scalar_functions(spark, sf_dir):
     SELECT CASE WHEN event_type = 'purchase' THEN 'revenue'
                 WHEN event_type = 'signup'   THEN 'growth'
                 ELSE 'engagement' END AS category,
-           count(*) AS n, round(sum(value), 2) AS total_value
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(24,10))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY 1 ORDER BY 1
     """,
 )
@@ -626,7 +640,12 @@ def case_when_routing(spark, sf_dir):
     return (
         tbl(spark, sf_dir, "events")
         .groupBy(cat.alias("category"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # DECIMAL sum: exact under any partial-agg merge order
+            F.round(F.sum(F.col("value").cast("decimal(24,10)")), 2)
+            .cast("double").alias("total_value"),
+        )
         .orderBy("category")
     )
 
