@@ -176,7 +176,8 @@ def prefix_filter(spark, sf_dir):
     "join_revenue_by_nation",
     """
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(24,10))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -219,7 +220,11 @@ def join_revenue_by_nation(spark, sf_dir):
         .join(o_asia, li.l_orderkey == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            # DECIMAL sum: exact under any partial-agg merge order
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(24,10)")), 2,
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("nation")
@@ -528,16 +533,23 @@ def intersect_keys(spark, sf_dir):
     "rollup_revenue",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(24,10))), 2) AS DOUBLE)
+               AS revenue,
+           count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
 def rollup_revenue(spark, sf_dir):
+    # DECIMAL sum: exact under any partial-agg merge order
     return (
         tbl(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"), F.count("*").alias("n"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(24,10)")), 2)
+            .cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
     )
 
 
@@ -545,18 +557,25 @@ def rollup_revenue(spark, sf_dir):
     "cube_revenue",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(24,10))), 2) AS DOUBLE)
+               AS revenue,
+           count(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
 def cube_revenue(spark, sf_dir):
     # Grouping sets beyond the reference's needs (§2.4 notes it has none):
-    # full CUBE over the pricing dimensions.
+    # full CUBE over the pricing dimensions. DECIMAL sum: exact under any
+    # partial-agg merge order.
     return (
         tbl(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"), F.count("*").alias("n"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(24,10)")), 2)
+            .cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
     )
 
 

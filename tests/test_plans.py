@@ -198,6 +198,40 @@ def test_hash_checked_float_outputs_are_stabilized(spark):
             )
             if not pat.search(analyzed):
                 bad.append(f"{name}.{c}")
+                continue
+            # round() alone is NOT enough for a group-sum/avg over doubles:
+            # the pre-round float total still depends on partial-agg merge
+            # order, and a value near a .005 boundary flips the rounded
+            # cent run-to-run (r2: skew_salted_agg was round()ed and still
+            # hash-mismatched). Require such sums to run on DECIMAL (or
+            # integer-typed input, which is exact at any order). Window
+            # frame sums are exempt: an ordered frame fixes the addition
+            # sequence, so the float result is run-deterministic.
+            m = _re.search(
+                r"([^\n]{0,300}) AS " + _re.escape(c) + r"#\d+", analyzed
+            )
+            expr = m.group(1) if m else ""
+            if ("sum(" in expr or "avg(" in expr) and not any(
+                s in expr
+                for s in ("decimal", "windowspecdefinition", "bigint")
+            ):
+                # integer sums render their long attribute refs with an L
+                # suffix — exact in any order
+                if _re.search(r"(sum|avg)\(\w+#\d+L\)", expr):
+                    continue
+                # two-phase aggregates sum an ATTRIBUTE whose decimal-ness
+                # is invisible at the ref site (skew_salted_agg sums the
+                # decimal partial `s`) — follow one level of definition
+                ref = _re.search(r"(?:sum|avg)\((\w+)#(\d+)\)", expr)
+                if ref:
+                    d = _re.search(
+                        r"([^\n]{0,300}) AS "
+                        + _re.escape(ref.group(1)) + "#" + ref.group(2)
+                        + r"\b", analyzed,
+                    )
+                    if d and any(s in d.group(1) for s in ("decimal", "bigint")):
+                        continue
+                bad.append(f"{name}.{c}: float group-agg without DECIMAL")
     assert not bad, f"unstabilized float output columns: {bad}"
 
 
