@@ -146,11 +146,25 @@ def main() -> int:
                            "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1)
 
-    # Printed line: headline (certifying-window) queries only, compact
-    # separators, 2-decimal times — and a hard guard that trims the tail of
-    # the headline list rather than ever printing an unparseable line.
+    print(build_report_line(per_query, failures, sf))
+    return 1 if failures else 0
+
+
+def build_report_line(
+    per_query: dict[str, float], failures: dict[str, str], sf: float | None
+) -> str:
+    """ONE JSON line ≤ _TAIL_WINDOW bytes: headline (certifying-window)
+    queries only, compact separators, 2-decimal times — and a hard guard
+    that trims the tail of the headline list rather than ever printing an
+    unparseable line. Full per-query data lives in BENCH_FULL.json."""
     headline = [n for n in _CERTIFYING if n in per_query]
-    report = dict(full)
+    report = {
+        "metric": "total_query_seconds",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(per_query),
+    }
     if failures:  # full messages live in BENCH_FULL.json
         report["failures"] = {n: m[:60] for n, m in failures.items()}
     while True:
@@ -158,10 +172,8 @@ def main() -> int:
         report["queries_reported"] = len(headline)
         line = json.dumps(report, separators=(",", ":"))
         if len(line) <= _TAIL_WINDOW or not headline:
-            break
+            return line
         headline.pop()
-    print(line)
-    return 1 if failures else 0
 
 
 if __name__ == "__main__":

@@ -115,6 +115,20 @@ def _shingled(spark, sf_dir):
     )
 
 
+def _shingled_for(spark, sf_dir, doc_ids):
+    """Shingles for a SUBSET of docs: semi-join the raw table to the
+    (broadcast) id set before the shingle expressions run, so the split/
+    transform work is proportional to the subset, not the corpus."""
+    d = tbl(spark, sf_dir, "documents").join(
+        F.broadcast(doc_ids.select("doc_id")), "doc_id", "semi"
+    )
+    return (
+        d.withColumn("words", F.expr(_WORDS_SPARK))
+        .withColumn("sh", F.expr(_SHINGLES_SPARK))
+        .select("doc_id", "sh")
+    )
+
+
 def _signatures(spark, sf_dir, persist: bool = False):
     """(doc_id, sh, m0..m7) — narrow projection over one scan.
 
@@ -196,9 +210,13 @@ def near_dup_lsh_pairs(spark, sf_dir):
 
     Plan: signatures (narrow) → band explode → shuffle on band hash only →
     candidate self-join inside buckets → verify join fetches the two
-    shingle sets per *candidate* (not per pair in the corpus)."""
+    shingle sets per *candidate* (not per pair in the corpus). The verify
+    side computes shingles ONLY for candidate docs: documents are
+    semi-joined to the (broadcast, tiny) candidate id set BEFORE the
+    shingle expression runs, so verify cost scales with the candidate
+    count, never the corpus — at 100 TB re-shingling the whole corpus
+    twice (once per pair side) would dwarf the LSH phase itself."""
     sig = _signatures(spark, sf_dir, persist=True)
-    sh = _shingled(spark, sf_dir)
     r = _N_HASHES // _BANDS
     bands = sig.selectExpr(
         "doc_id",
@@ -219,6 +237,21 @@ def near_dup_lsh_pairs(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # the candidate set is consumed by three plan branches (pair broadcast,
+    # id-set broadcast, and transitively the verify join) — persist it so
+    # the band self-join runs ONCE; at scale this is the "checkpoint the
+    # candidate set" step every LSH dedup pipeline has
+    from pyspark.storagelevel import StorageLevel
+
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    # restrict the shingle computation to docs that appear in a candidate
+    # pair — the semi-join key set is broadcast (it is at most 2×|cand|)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingled_for(spark, sf_dir, cand_ids)
     sa, sb = sh.alias("sa"), sh.alias("sb")
     jac = F.col("n_common").cast("double") / F.greatest(F.col("n_union"), F.lit(1))
     # broadcast the candidate side (pair ids, tiny) so the shingle table
