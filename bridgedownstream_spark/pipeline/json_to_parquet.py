@@ -247,37 +247,53 @@ def run_json_to_parquet(
     else:
         df = read_json_dataset(spark, json_root, ds)
 
+    from pyspark.storagelevel import StorageLevel
+
     new_paths: list[str] | None = None
     if ledger is not None:
         df = df.withColumn("_source_file", F.input_file_name())
         df = ledger.filter_new(df, dataset_name)
-        # file-count-scale collect: the paths to commit after the writes
-        new_paths = [
-            r["_source_file"]
-            for r in df.select("_source_file").distinct().collect()
-        ]
-        df = df.drop("_source_file")
 
-    # Empty-input skip (reference json_s3_to_parquet.py:197,225): cheap
-    # single-partition probe, not a full count.
-    if df.isEmpty():
+    # Persist the (delta) batch ONCE before fan-out: the ledger path
+    # collect, the empty probe, and EVERY table write otherwise re-scan and
+    # re-parse the JSON lake — 4+ full scans per run. The batch is
+    # delta-sized under a ledger (only files absent from it), which is
+    # exactly the frame a 100 TB incremental job materializes before
+    # multi-table writes.
+    df = cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if ledger is not None:
+            # file-count-scale collect: the paths to commit after the
+            # writes. This job also fills the cache, and its result decides
+            # emptiness for free (every row carries a source file) — no
+            # separate isEmpty scan.
+            new_paths = [
+                r["_source_file"]
+                for r in df.select("_source_file").distinct().collect()
+            ]
+            df = df.drop("_source_file")
+            if not new_paths:
+                return {}
+        # Empty-input skip (reference json_s3_to_parquet.py:197,225):
+        # cheap single-partition probe, not a full count.
+        elif df.isEmpty():
+            return {}
+
+        written: dict[str, str] = {}
+        if has_nested_fields(df.schema):
+            # wide_ids=True switches surrogate keys to 128-bit md5 strings —
+            # flip it for tables expecting billions of parent rows per path,
+            # where 64-bit birthday collisions become real (see
+            # operators/relationalize.py module docs)
+            tables = relationalize(df, dataset_name, key_cols=key_cols, wide_ids=wide_ids)
+            for name, table in tables.items():
+                written[name] = write_parquet_dataset(table, parquet_root, name, mode=mode)
+        else:
+            written[dataset_name] = write_parquet_dataset(df, parquet_root, dataset_name, mode=mode)
+        if ledger is not None and new_paths:
+            ledger.commit(new_paths, dataset_name)  # post-write, like job.commit()
+        return written
+    finally:
+        cached.unpersist()
         if parsed is not None:
             parsed.unpersist()
-        return {}
-
-    written: dict[str, str] = {}
-    if has_nested_fields(df.schema):
-        # wide_ids=True switches surrogate keys to 128-bit md5 strings —
-        # flip it for tables expecting billions of parent rows per path,
-        # where 64-bit birthday collisions become real (see
-        # operators/relationalize.py module docs)
-        tables = relationalize(df, dataset_name, key_cols=key_cols, wide_ids=wide_ids)
-        for name, table in tables.items():
-            written[name] = write_parquet_dataset(table, parquet_root, name, mode=mode)
-    else:
-        written[dataset_name] = write_parquet_dataset(df, parquet_root, dataset_name, mode=mode)
-    if ledger is not None and new_paths:
-        ledger.commit(new_paths, dataset_name)  # post-write, like job.commit()
-    if parsed is not None:
-        parsed.unpersist()
-    return written
