@@ -109,15 +109,21 @@ def main() -> int:
     # cycle itself is certified by the correctness gate and timed by
     # tests/test_pipeline.py. Without this the first pipeline query in the
     # process is charged the whole fixture build (r2: 3.6-3.8 s each).
-    try:
-        from bridgedownstream_spark.queries import pipeline_q as _pq_mod
+    from bridgedownstream_spark.queries import pipeline_q as _pq_mod
 
-        _pq_mod._build_lake(spark, sf_dir)
-        _pq_mod._build_ingest_lake(spark, sf_dir)
-        _pq_mod._build_zordered(spark, sf_dir)
-        _pq_mod._build_rollup(spark, sf_dir)
-    except Exception:  # noqa: BLE001 — fixture build is best-effort here
-        pass
+    for _builder in (
+        _pq_mod._build_lake,
+        _pq_mod._build_ingest_lake,
+        _pq_mod._build_zordered,
+        _pq_mod._build_rollup,
+    ):
+        # per-builder: one failing fixture must neither skip the remaining
+        # builds nor hide its error — the affected queries would silently
+        # absorb the build cost (or fail) inside the timed region
+        try:
+            _builder(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001 — warmup is best-effort
+            print(f"warmup: {_builder.__name__} failed: {e!r}", file=sys.stderr)
 
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -158,6 +164,7 @@ def build_report_line(
     that trims the tail of the headline list rather than ever printing an
     unparseable line. Full per-query data lives in BENCH_FULL.json."""
     headline = [n for n in _CERTIFYING if n in per_query]
+    fail_names = list(failures)
     report = {
         "metric": "total_query_seconds",
         "value": round(sum(per_query.values()), 3),
@@ -165,15 +172,22 @@ def build_report_line(
         "sf": sf,
         "n_queries": len(per_query),
     }
-    if failures:  # full messages live in BENCH_FULL.json
-        report["failures"] = {n: m[:60] for n, m in failures.items()}
     while True:
         report["queries"] = {n: round(per_query[n], 2) for n in headline}
         report["queries_reported"] = len(headline)
+        if failures:  # full messages live in BENCH_FULL.json
+            report["failures"] = {n: failures[n][:60] for n in fail_names}
+            report["n_failures"] = len(failures)
         line = json.dumps(report, separators=(",", ":"))
-        if len(line) <= _TAIL_WINDOW or not headline:
+        if len(line) <= _TAIL_WINDOW or not (headline or fail_names):
             return line
-        headline.pop()
+        # trim the timing detail first, then the failure detail — the
+        # mass-failure case (every query failing, per_query empty) must
+        # still print a parseable line, so failures trim too
+        if headline:
+            headline.pop()
+        else:
+            fail_names.pop()
 
 
 if __name__ == "__main__":

@@ -7,16 +7,20 @@ ordinary DataFrames — partitioned, shuffled, and pruned like any column —
 and the CPU-bound decode/feature steps run in ``mapInPandas`` so each task
 processes an Arrow batch of payloads at once.
 
-Codec selection is **autodetected per worker** (``codec="auto"``): if PIL
-is importable the real decode/resize/aHash path runs; otherwise a
-deterministic md5-derived stub stands in so the surrounding Spark plumbing
-— schemas, batch shapes, partitioning, UDF signatures — is real and
-testable in codec-less environments (like this one). ``codec="pil"`` (or
-``strict=True``) demands the real codec and raises ``NotImplementedError``
-where it is unavailable; ``codec="stub"`` pins the deterministic path (the
-oracle-checked queries do this so their DuckDB twins can recompute the
-digests). Only the innermost per-payload function differs between paths —
-a real deployment changes nothing else.
+Codec selection is **resolved once on the driver** (``codec="auto"``): if
+PIL is importable there, the real decode/resize/aHash path runs; otherwise
+a deterministic md5-derived stub stands in so the surrounding Spark
+plumbing — schemas, batch shapes, partitioning, UDF signatures — is real
+and testable in codec-less environments (like this one). Resolving on the
+driver (not per worker) makes the choice uniform across the job: per-task
+detection on a heterogeneous cluster would silently mix real and stub
+outputs in one DataFrame. A worker that lacks the driver-resolved real
+codec fails its task loudly (ImportError) instead of falling back.
+``codec="pil"`` (or ``strict=True``) demands the real codec and raises
+``NotImplementedError`` where it is unavailable; ``codec="stub"`` pins the
+deterministic path (the oracle-checked queries do this so their DuckDB
+twins can recompute the digests). Only the innermost per-payload function
+differs between paths — a real deployment changes nothing else.
 """
 
 from __future__ import annotations
@@ -52,8 +56,8 @@ MEDIA_META_SCHEMA = T.StructType(
 
 
 def detect_codec() -> str:
-    """``"pil"`` if PIL imports, else ``"stub"`` — called inside the UDF so
-    detection happens on the WORKER (driver and executors can differ)."""
+    """``"pil"`` if PIL imports here, else ``"stub"`` — called on the
+    driver at DataFrame-construction time (see ``_resolve``)."""
     try:
         import PIL.Image  # noqa: F401
 
@@ -63,8 +67,10 @@ def detect_codec() -> str:
 
 
 def _resolve(codec: str, strict: bool, op: str) -> str:
-    """Resolve ``auto`` against the locally importable codec; enforce
-    ``strict``/explicit-real requests. Runs inside the Pandas UDF."""
+    """Resolve ``auto`` against the DRIVER's importable codec; enforce
+    ``strict``/explicit-real requests. Called at DataFrame-construction
+    time so one concrete codec is captured in the UDF closure and every
+    task of the job uses the same path."""
     if strict and codec == "auto":
         codec = "pil"
     resolved = detect_codec() if codec == "auto" else codec
@@ -110,8 +116,9 @@ def decode_images(
         list(df.schema.fields) + [T.StructField("meta", MEDIA_META_SCHEMA)]
     )
 
+    one = _pil_decode if _resolve(codec, strict, "decode_images") == "pil" else _fake_decode
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        one = _pil_decode if _resolve(codec, strict, "decode_images") == "pil" else _fake_decode
         for pdf in batches:
             metas = []
             for payload in pdf[content_col]:
@@ -161,8 +168,9 @@ def extract_features(
         except Exception:  # noqa: BLE001
             return [0.0] * dim
 
+    one = _pil_feat if _resolve(codec, strict, "extract_features") == "pil" else _stub_feat
+
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        one = _pil_feat if _resolve(codec, strict, "extract_features") == "pil" else _stub_feat
         for pdf in batches:
             pdf = pdf.copy()
             pdf["features"] = [one(bytes(p)) for p in pdf[content_col]]
@@ -223,8 +231,9 @@ def resize_images(
         except Exception:  # noqa: BLE001
             return b"", "undecodable"
 
+    one = _pil_resize if _resolve(codec, strict, "resize_images") == "pil" else _stub_resize
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        one = _pil_resize if _resolve(codec, strict, "resize_images") == "pil" else _stub_resize
         for pdf in batches:
             bodies, metas = [], []
             for payload in pdf[content_col]:
@@ -281,8 +290,9 @@ def perceptual_hash(
         except Exception:  # noqa: BLE001
             return b"\x00" * 16
 
+    grid_of = _grid_pil if _resolve(codec, strict, "perceptual_hash") == "pil" else _grid_stub
+
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        grid_of = _grid_pil if _resolve(codec, strict, "perceptual_hash") == "pil" else _grid_stub
         for pdf in batches:
             hashes = []
             for payload in pdf[content_col]:

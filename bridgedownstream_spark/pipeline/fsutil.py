@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-__all__ = ["path_exists", "list_dirs", "delete_path"]
+__all__ = ["path_exists", "list_dirs", "delete_path", "has_data_files"]
 
 
 def _fs_and_path(spark: SparkSession, path: str):
@@ -43,3 +43,23 @@ def delete_path(spark: SparkSession, path: str) -> bool:
     """Recursively delete ``path``; True if something was removed."""
     fs, p = _fs_and_path(spark, path)
     return bool(fs.delete(p, True))
+
+
+def has_data_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> bool:
+    """True iff ``path`` contains at least one data file (recursively).
+
+    A directory can EXIST yet hold no data — e.g. a table whose every
+    partition was removed by a delete-only merge leaves only ``_SUCCESS``
+    markers, and ``spark.read.parquet`` on it raises (no footer to infer a
+    schema from). Existence alone is therefore the wrong "is there a
+    table?" probe; this one stops at the first real data file.
+    """
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return False
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if name.endswith(suffix) and not name.startswith(("_", ".")):
+            return True
+    return False

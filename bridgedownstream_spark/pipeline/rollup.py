@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bridgedownstream_spark.pipeline.fsutil import path_exists
+from bridgedownstream_spark.pipeline.fsutil import has_data_files
 
 __all__ = ["refresh_rollup"]
 
@@ -59,11 +59,12 @@ def refresh_rollup(
     src = spark.read.parquet(table_path)
     src_parts = src.select(*partition_cols).distinct()
 
-    # existence is checked explicitly (FS API), never inferred from a read
-    # failure: a blanket except would treat a transient error (permissions,
-    # eventual consistency, corrupt footer) as first_write and re-append
-    # every source partition, silently doubling the rollup's aggregates
-    if path_exists(spark, rollup_path):
+    # existence is checked explicitly (FS API, data files not bare dirs),
+    # never inferred from a read failure: a blanket except would treat a
+    # transient error (permissions, eventual consistency, corrupt footer)
+    # as first_write and re-append every source partition, silently
+    # doubling the rollup's aggregates
+    if has_data_files(spark, rollup_path):
         existing = spark.read.parquet(rollup_path).select(*partition_cols).distinct()
         first_write = False
     else:

@@ -34,13 +34,38 @@ known partitions instead of relying on this scan.
 from __future__ import annotations
 
 import posixpath
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bridgedownstream_spark.pipeline.fsutil import delete_path, path_exists
+from bridgedownstream_spark.pipeline.fsutil import delete_path, has_data_files
 
 __all__ = ["upsert_dataset"]
+
+#: Spark's directory name for a NULL (or empty-string) partition value
+_HIVE_DEFAULT = "__HIVE_DEFAULT_PARTITION__"
+
+#: partition VALUES must round-trip to directory names verbatim for the
+#: empty-partition cleanup to address the right paths; Spark %-escapes
+#: anything outside roughly this set, which this module does not replicate
+_PATH_SAFE = re.compile(r"^[A-Za-z0-9._\- ]+$")
+
+
+def _check_path_safe(part_keys: set[str]) -> None:
+    for p in part_keys:
+        for seg in p.split("/"):
+            if not seg:
+                continue
+            val = seg.split("=", 1)[1] if "=" in seg else seg
+            if val != _HIVE_DEFAULT and not _PATH_SAFE.match(val):
+                raise ValueError(
+                    f"upsert_dataset: partition value {val!r} (in {p!r}) "
+                    "contains characters Spark %-escapes in directory "
+                    "names; the FS-level empty-partition cleanup would "
+                    "address the wrong path. Use path-safe partition "
+                    "values (the pipeline's layout does)."
+                )
 
 
 def upsert_dataset(
@@ -70,22 +95,34 @@ def upsert_dataset(
     """
     if updates is None and delete_keys is None:
         raise ValueError("upsert_dataset: need updates and/or delete_keys")
-    if not path_exists(spark, table_path):
+    # first-write probe on DATA files, not directory existence: a table
+    # whose every partition was removed by a delete-only merge leaves an
+    # existing-but-empty directory that spark.read.parquet cannot infer a
+    # schema from — it must be treated as absent, not read
+    if not has_data_files(spark, table_path):
         if updates is not None:
-            updates.write.partitionBy(*partition_cols).parquet(table_path)
+            updates.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+                table_path
+            )
         return
     existing = spark.read.parquet(table_path)
 
     # opaque partition identity = the partition's directory path — used for
     # pruning (expression over partition columns only, so the scan still
-    # partition-prunes) AND for locating directories to drop when emptied
-    part_key = F.concat_ws(
-        "/",
-        *[
-            F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
-            for c in partition_cols
-        ],
-    )
+    # partition-prunes) AND for locating directories to drop when emptied.
+    # NULL/empty values map to Spark's __HIVE_DEFAULT_PARTITION__ exactly as
+    # the writer lays them out — a raw NULL would collapse the whole
+    # segment out of concat_ws and alias DIFFERENT partitions onto one key
+    # (worst case: the cleanup deletes a parent directory holding live
+    # sibling partitions).
+    def _seg(c: str):
+        s = F.col(c).cast("string")
+        return F.concat(
+            F.lit(f"{c}="),
+            F.when(s.isNull() | (s == ""), F.lit(_HIVE_DEFAULT)).otherwise(s),
+        )
+
+    part_key = F.concat_ws("/", *[_seg(c) for c in partition_cols])
 
     touched: set[str] = set()
     removal: DataFrame | None = None
@@ -103,6 +140,10 @@ def upsert_dataset(
         touched |= {r["p"] for r in doomed.select("p").distinct().collect()}
     if not touched:
         return  # nothing to replace and no existing rows to delete
+    # fail BEFORE any write: a non-path-safe partition value would be laid
+    # out %-escaped by Spark while the cleanup below addresses the raw
+    # string — deleting the wrong (or no) directory
+    _check_path_safe(touched)
 
     pruned = existing.where(part_key.isin(list(touched)))
     kept = pruned.join(F.broadcast(removal), key_cols, "left_anti")

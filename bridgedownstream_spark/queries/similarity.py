@@ -129,16 +129,15 @@ def _shingled_for(spark, sf_dir, doc_ids):
     )
 
 
-def _signatures(spark, sf_dir, persist: bool = False):
+def _signatures(spark, sf_dir):
     """(doc_id, sh, m0..m7) — narrow projection over one scan.
 
-    ``persist=True`` materializes ONLY the minhash columns (doc_id + 8
-    bigints — the expensive md5 work), so the band self-join's two branches
-    compute signatures once; shingles are recomputed lazily by consumers
-    that need them (they cost a split, not 8 md5 passes). This mirrors the
-    at-scale design: materialize the signature table, keep raw shingles
-    virtual."""
-    sig = (
+    Deliberately NOT persisted here: the one consumer that reads it more
+    than once (the band self-join) is itself materialized exactly once per
+    corpus into the persisted `_LSH_CACHE` candidate frame, and everything
+    downstream reads that. This mirrors the at-scale design: checkpoint
+    the candidate set, keep signatures and raw shingles virtual."""
+    return (
         _shingled(spark, sf_dir)
         .withColumn("hv", F.expr(_HV_SPARK))
         .select(
@@ -147,11 +146,6 @@ def _signatures(spark, sf_dir, persist: bool = False):
             *[F.expr(_minhash_spark(k)).alias(f"m{k}") for k in range(_N_HASHES)],
         )
     )
-    if persist:
-        from pyspark.storagelevel import StorageLevel
-
-        sig = sig.drop("sh").persist(StorageLevel.MEMORY_AND_DISK)
-    return sig
 
 
 @q(
@@ -176,6 +170,67 @@ def _band_hash_duck(b: int) -> str:
     r = _N_HASHES // _BANDS
     parts = " || '_' || ".join(f"CAST(m{b * r + i} AS VARCHAR)" for i in range(r))
     return _H60_DUCK.format(x=parts)
+
+
+#: per-corpus LSH candidate cache: stamped corpus key → persisted candidate
+#: pair frame. One invocation persisted (and leaked) a fresh signature +
+#: candidate frame each call — and the pair query runs at least twice per
+#: session (directly and via near_dup_components) — so the cache both
+#: bounds the persisted-block footprint at one frame per corpus and makes
+#: the second consumer free. The key stamps the corpus file's identity, so
+#: a regenerated corpus recomputes instead of serving stale candidates.
+_LSH_CACHE: dict[str, object] = {}
+
+
+def _corpus_stamp(sf_dir: str) -> str:
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        return f"{sf_dir}|{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        return f"{sf_dir}|nostat"
+
+
+def _lsh_candidates(spark, sf_dir):
+    """Persisted (doc_a, doc_b) LSH candidate pairs for the corpus.
+
+    The candidate set is consumed by several plan branches per query (pair
+    broadcast, id-set broadcast, verify join) and by every query built on
+    the pairs — persisting it is the "checkpoint the candidate set" step
+    every LSH dedup pipeline has."""
+    key = _corpus_stamp(sf_dir)
+    if key not in _LSH_CACHE:
+        from pyspark.storagelevel import StorageLevel
+
+        for stale in [k for k in _LSH_CACHE if k.startswith(f"{sf_dir}|")]:
+            _LSH_CACHE.pop(stale).unpersist()
+        sig = _signatures(spark, sf_dir)
+        bands = sig.selectExpr(
+            "doc_id",
+            "stack("
+            + str(_BANDS)
+            + ", "
+            + ", ".join(f"{b}, {_band_hash_spark(b)}" for b in range(_BANDS))
+            + ") AS (band, bh)",
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _LSH_CACHE[key] = cand
+    return _LSH_CACHE[key]
 
 
 #: CTE chain ending in ``pairs(doc_a, doc_b, jaccard)`` — shared by the
@@ -216,34 +271,7 @@ def near_dup_lsh_pairs(spark, sf_dir):
     shingle expression runs, so verify cost scales with the candidate
     count, never the corpus — at 100 TB re-shingling the whole corpus
     twice (once per pair side) would dwarf the LSH phase itself."""
-    sig = _signatures(spark, sf_dir, persist=True)
-    r = _N_HASHES // _BANDS
-    bands = sig.selectExpr(
-        "doc_id",
-        "stack("
-        + str(_BANDS)
-        + ", "
-        + ", ".join(f"{b}, {_band_hash_spark(b)}" for b in range(_BANDS))
-        + ") AS (band, bh)",
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    # the candidate set is consumed by three plan branches (pair broadcast,
-    # id-set broadcast, and transitively the verify join) — persist it so
-    # the band self-join runs ONCE; at scale this is the "checkpoint the
-    # candidate set" step every LSH dedup pipeline has
-    from pyspark.storagelevel import StorageLevel
-
-    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = _lsh_candidates(spark, sf_dir)
     # restrict the shingle computation to docs that appear in a candidate
     # pair — the semi-join key set is broadcast (it is at most 2×|cand|)
     cand_ids = (
@@ -956,26 +984,32 @@ def _pq_index_dir(sf_dir: str) -> str:
 
 
 def _pq_corpus(spark, sf_dir):
-    if sf_dir not in _PQ_INDEX:
-        import os
+    import os
 
+    # memo key = the STAMPED index dir, not sf_dir: keying by sf_dir would
+    # bypass the mtime/size invalidation for the rest of the process once
+    # an entry is cached — a corpus regenerated in place at the same path
+    # would keep serving the stale codebook with no error
+    base = _pq_index_dir(sf_dir)
+    if base not in _PQ_INDEX:
         from bridgedownstream_spark.operators.pq import encode_pq, train_pq
-        from bridgedownstream_spark.pipeline.fsutil import path_exists
+        from bridgedownstream_spark.pipeline.fsutil import has_data_files
 
-        base = _pq_index_dir(sf_dir)
         cb_path = os.path.join(base, "codebook")
         codes_path = os.path.join(base, "codes")
-        if not (path_exists(spark, cb_path) and path_exists(spark, codes_path)):
+        if not (
+            has_data_files(spark, cb_path) and has_data_files(spark, codes_path)
+        ):
             emb = tbl(spark, sf_dir, "embeddings")
             train_pq(emb).write.mode("overwrite").parquet(cb_path)
             encode_pq(emb, spark.read.parquet(cb_path)).write.mode(
                 "overwrite"
             ).parquet(codes_path)
-        _PQ_INDEX[sf_dir] = (
+        _PQ_INDEX[base] = (
             spark.read.parquet(cb_path),
             spark.read.parquet(codes_path),
         )
-    return _PQ_INDEX[sf_dir]
+    return _PQ_INDEX[base]
 
 
 @q("pq_ann_shortlist", None)  # rows-only: iterative k-means training is

@@ -38,7 +38,7 @@ from bridgedownstream_spark.pipeline.json_to_parquet import (
     _widen_leaves,
     conform_to_schema,
 )
-from bridgedownstream_spark.pipeline.fsutil import list_dirs
+from bridgedownstream_spark.pipeline.fsutil import has_data_files, list_dirs
 from bridgedownstream_spark.pipeline.registry import Dataset, DatasetRegistry
 from bridgedownstream_spark.pipeline.upsert import upsert_dataset
 
@@ -51,6 +51,7 @@ def sync_batch_to_lake(
     dataset: Dataset,
     parquet_root: str,
     key_cols: tuple[str, ...] = DEFAULT_KEY_COLS,
+    all_dataset_names: list[str] | None = None,
 ) -> dict[str, str]:
     """Conform → relationalize → upsert one (micro-)batch into the lake.
 
@@ -65,6 +66,15 @@ def sync_batch_to_lake(
     own rows would leave the old child rows stranded. Tables on disk that
     this batch emitted no rows for at all get a delete-only merge for the
     same reason. Returns ``{table_name: path}`` for the tables written.
+
+    ``all_dataset_names`` (the registry's name list) disambiguates table
+    ownership in a shared ``parquet_root``: a directory named
+    ``gait_v1_steps`` could be dataset ``gait_v1``'s child table OR the
+    root table of a sibling dataset literally named ``gait_v1_steps`` —
+    the delete-only merge must never run against another dataset's table,
+    so a directory is claimed by the LONGEST registered dataset name that
+    prefixes it. Without the list, the bare ``{name}``/``{name}_`` prefix
+    match is used (single-dataset roots only).
     """
     df = conform_to_schema(batch_df, dataset.full_schema())
     if df.isEmpty():
@@ -94,7 +104,21 @@ def sync_batch_to_lake(
             continue
         if name != dataset.name and not name.startswith(f"{dataset.name}_"):
             continue  # another dataset's table
+        if all_dataset_names is not None:
+            owner = max(
+                (
+                    d
+                    for d in all_dataset_names
+                    if name == d or name.startswith(f"{d}_")
+                ),
+                key=len,
+                default=dataset.name,
+            )
+            if owner != dataset.name:
+                continue  # a longer-named sibling dataset owns this table
         path = os.path.join(parquet_root, name)
+        if not has_data_files(spark, path):
+            continue  # already emptied — nothing to delete, nothing to read
         parts = [
             c
             for c in dataset.partition_cols
@@ -146,7 +170,8 @@ def stream_upsert_lake(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sync_batch_to_lake(
-            spark, batch_df, ds, parquet_root, key_cols=key_cols
+            spark, batch_df, ds, parquet_root, key_cols=key_cols,
+            all_dataset_names=registry.names(),
         )
 
     q = (

@@ -44,6 +44,18 @@ def test_line_with_failures_still_fits_and_parses():
     assert all(len(m) <= 60 for m in parsed["failures"].values())
 
 
+def test_mass_failure_line_fits_and_parses():
+    """Every query failing (empty per_query) is exactly when the line must
+    stay parseable — that is the diagnostic the harness records."""
+    failures = {f"query_name_{i}": "PythonException: " + "y" * 200 for i in range(95)}
+    line = bench.build_report_line({}, failures, 0.1)
+    assert len(line) <= bench._TAIL_WINDOW
+    parsed = json.loads(line)
+    assert parsed["n_failures"] == 95
+    assert parsed["value"] == 0
+    assert len(parsed["failures"]) >= 1  # some detail survives the trim
+
+
 def test_trimming_never_yields_unparseable_line():
     """Even with absurdly long names the builder trims instead of
     overflowing (and keeps the summary fields)."""

@@ -125,3 +125,67 @@ def test_upsert_model_based_random_sequence(spark, tmp_path):
         except AnalysisException:
             got = {}  # fully-emptied table has no files to infer from
         assert got == model, f"step {step}: lake={got} model={model}"
+
+
+def test_upsert_revives_fully_emptied_table(spark, tmp_path):
+    """A delete-only merge can empty the whole table (dir remains, zero
+    data files). The next upsert must treat that as a first write — not
+    crash trying to infer a schema from an empty directory."""
+    table = str(tmp_path / "lake")
+    rows = spark.createDataFrame(
+        [("r1", "d1", 1.0)], "recordid string, day string, value double"
+    )
+    upsert_dataset(spark, table, rows, ["recordid"], ["day"])
+    upsert_dataset(
+        spark, table, None, ["recordid"], ["day"],
+        delete_keys=spark.createDataFrame([("r1",)], "recordid string"),
+    )
+    assert os.path.exists(table)  # the emptied dir is the crash trigger
+    upsert_dataset(spark, table, rows, ["recordid"], ["day"])
+    got = spark.read.parquet(table).collect()
+    assert [(r["recordid"], r["value"]) for r in got] == [("r1", 1.0)]
+
+
+def test_upsert_null_partition_value_isolated(spark, tmp_path):
+    """A NULL partition value must map to Spark's
+    __HIVE_DEFAULT_PARTITION__ directory, NOT collapse out of the partition
+    key — a collapsed key would alias the parent directory and the
+    empty-partition cleanup would delete live sibling partitions."""
+    table = str(tmp_path / "lake")
+    rows = spark.createDataFrame(
+        [("r1", "d1", None, 1.0), ("r2", "d1", "h2", 2.0)],
+        "recordid string, day string, hour string, value double",
+    )
+    upsert_dataset(spark, table, rows, ["recordid"], ["day", "hour"])
+    upsert_dataset(
+        spark, table, None, ["recordid"], ["day", "hour"],
+        delete_keys=spark.createDataFrame([("r1",)], "recordid string"),
+    )
+    got = spark.read.parquet(table).collect()
+    assert [(r["recordid"], r["value"]) for r in got] == [("r2", 2.0)]
+    # the emptied NULL-hour dir is gone; the sibling hour dir survives
+    assert not os.path.exists(
+        os.path.join(table, "day=d1", "hour=__HIVE_DEFAULT_PARTITION__")
+    )
+    assert os.path.exists(os.path.join(table, "day=d1", "hour=h2"))
+
+
+def test_upsert_rejects_unsafe_partition_values(spark, tmp_path):
+    """Partition values Spark would %-escape in directory names are
+    rejected before any write: the FS-level cleanup addresses raw strings,
+    so letting them through risks deleting the wrong path."""
+    import pytest
+
+    table = str(tmp_path / "lake")
+    upsert_dataset(
+        spark, table,
+        spark.createDataFrame(
+            [("r1", "d1", 1.0)], "recordid string, day string, value double"
+        ),
+        ["recordid"], ["day"],
+    )
+    bad = spark.createDataFrame(
+        [("r2", "d:2", 2.0)], "recordid string, day string, value double"
+    )
+    with pytest.raises(ValueError, match="path-safe"):
+        upsert_dataset(spark, table, bad, ["recordid"], ["day"])

@@ -117,8 +117,17 @@ def main() -> int:
         args = [a for a in args if a != "--window"]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     names = args[1:] or list(REGISTRY)
-    if window and not args[1:]:
-        names = names[:50]
+    if window:
+        prefix = list(REGISTRY)[:50]
+        if args[1:]:
+            # honor BOTH filters: explicit names outside the harness's
+            # 50-entry prefix are an error, not a silent full-registry run
+            outside = [n for n in names if n not in prefix]
+            if outside:
+                print(f"--window: not in the 50-entry prefix: {outside}")
+                return 2
+        else:
+            names = prefix
     spark = get_spark("verify-local")
     con = duck_connection(sf_dir)
     failures = 0
