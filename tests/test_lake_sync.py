@@ -166,3 +166,54 @@ def test_stream_sync_noop_rerun(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(pq_root, "rec_v1")).collect()
     )
     assert before == after == ["r1"]
+
+
+def test_sync_skips_sibling_dataset_tables(spark, tmp_path):
+    """A directory named ``rec_v1_extra`` in the shared parquet root could
+    be rec_v1's child table OR the root table of a sibling dataset
+    literally named ``rec_v1_extra``. With the registry's name list, the
+    delete-only stale-table merge must leave the sibling's table alone —
+    its recordids are shared across a study's datasets, so a wrong-owner
+    merge silently deletes live rows."""
+    from bridgedownstream_spark.pipeline.registry import DatasetRegistry
+    from bridgedownstream_spark.streaming.lake_sync import sync_batch_to_lake
+
+    two = DatasetRegistry(
+        {
+            "tables": {
+                "rec_v1": {
+                    "columns": [
+                        {"Name": "recordid", "Type": "string"},
+                        {"Name": "score", "Type": "double"},
+                    ]
+                },
+                "rec_v1_extra": {
+                    "columns": [
+                        {"Name": "recordid", "Type": "string"},
+                        {"Name": "score", "Type": "double"},
+                    ]
+                },
+            }
+        }
+    )
+    pq_root = str(tmp_path / "parquet")
+    parts = ("a1", "2024", "3", "4")
+    part_schema = (
+        "recordid string, score double, assessmentid string, "
+        "year string, month string, day string"
+    )
+    sibling = spark.createDataFrame([("rA", 1.0, *parts)], part_schema)
+    sync_batch_to_lake(
+        spark, sibling, two["rec_v1_extra"], pq_root,
+        all_dataset_names=two.names(),
+    )
+    # sync rec_v1 with the SAME recordid: without ownership resolution the
+    # stale-table loop would delete rA from rec_v1_extra's root table
+    mine = spark.createDataFrame([("rA", 9.0, *parts)], part_schema)
+    sync_batch_to_lake(
+        spark, mine, two["rec_v1"], pq_root, all_dataset_names=two.names()
+    )
+    extra = spark.read.parquet(os.path.join(pq_root, "rec_v1_extra"))
+    assert [(r["recordid"], r["score"]) for r in extra.collect()] == [("rA", 1.0)]
+    mine_out = spark.read.parquet(os.path.join(pq_root, "rec_v1"))
+    assert [(r["recordid"], r["score"]) for r in mine_out.collect()] == [("rA", 9.0)]
