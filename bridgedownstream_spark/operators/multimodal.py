@@ -77,8 +77,9 @@ def _resolve(codec: str, strict: bool, op: str) -> str:
     if resolved != "stub" and detect_codec() == "stub":
         raise NotImplementedError(
             f"{op}: codec={resolved!r} requested but no imaging library "
-            "(PIL et al.) is importable on this worker; install one or use "
-            "codec='stub' / strict=False"
+            "(PIL et al.) is importable on the DRIVER, where the codec is "
+            "resolved for the whole job; install one there (executors need "
+            "it too) or use codec='stub' / strict=False"
         )
     return resolved
 

@@ -46,7 +46,13 @@ def delete_path(spark: SparkSession, path: str) -> bool:
 
 
 def has_data_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> bool:
-    """True iff ``path`` contains at least one data file (recursively).
+    """True iff ``path`` contains at least one VISIBLE data file,
+    recursively, applying the same hidden-path rule Spark's readers do:
+    any path component starting with ``_`` or ``.`` hides the whole
+    subtree. (A flat ``listFiles`` sweep would count parquet files inside
+    ``_temporary``/``.staging`` left by a crashed write — files
+    ``spark.read.parquet`` ignores — and report a readable table where the
+    reader sees none.)
 
     A directory can EXIST yet hold no data — e.g. a table whose every
     partition was removed by a delete-only merge leaves only ``_SUCCESS``
@@ -57,9 +63,14 @@ def has_data_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> 
     fs, p = _fs_and_path(spark, path)
     if not fs.exists(p):
         return False
-    it = fs.listFiles(p, True)
-    while it.hasNext():
-        name = it.next().getPath().getName()
-        if name.endswith(suffix) and not name.startswith(("_", ".")):
-            return True
+    stack = [p]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue  # hidden file OR hidden subtree
+            if st.isDirectory():
+                stack.append(st.getPath())
+            elif name.endswith(suffix):
+                return True
     return False

@@ -226,41 +226,37 @@ def run_json_to_parquet(
     as indistinguishable all-NULL rows. Stage-1 validation makes this a
     no-op for this engine's own lake; it defends lakes with other writers.
     """
+    from pyspark.storagelevel import StorageLevel
+
     ds = registry[dataset_name]
-    parsed = None
+    keep_corrupt = corrupt_root is not None and source_df is None
     if source_df is not None:
         df = source_df
-    elif corrupt_root is not None:
-        from pyspark.storagelevel import StorageLevel
-
-        # persist before splitting: Spark refuses corrupt-column-only
-        # projections over a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_
-        # COLUMN) — and the two-way split would scan twice anyway
-        parsed = read_json_dataset(
-            spark, json_root, ds, keep_corrupt=True
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        parsed.where(F.col(CORRUPT_COL).isNotNull()).select(
-            F.col(CORRUPT_COL).alias("raw_line"),
-            *[c for c in parsed.columns if c in ds.partition_schema().names],
-        ).write.mode(mode).parquet(corrupt_root)
-        df = parsed.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     else:
-        df = read_json_dataset(spark, json_root, ds)
-
-    from pyspark.storagelevel import StorageLevel
+        df = read_json_dataset(spark, json_root, ds, keep_corrupt=keep_corrupt)
 
     new_paths: list[str] | None = None
     if ledger is not None:
+        # the ledger filter runs BEFORE the corrupt split so quarantine
+        # rows are incremental too: filtering after would re-append every
+        # already-ledgered file's corrupt rows on each run
         df = df.withColumn("_source_file", F.input_file_name())
         df = ledger.filter_new(df, dataset_name)
 
     # Persist the (delta) batch ONCE before fan-out: the ledger path
-    # collect, the empty probe, and EVERY table write otherwise re-scan and
-    # re-parse the JSON lake — 4+ full scans per run. The batch is
-    # delta-sized under a ledger (only files absent from it), which is
-    # exactly the frame a 100 TB incremental job materializes before
-    # multi-table writes.
-    df = cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    # collect, the empty probe, the corrupt split, and EVERY table write
+    # otherwise re-scan and re-parse the JSON lake — 4+ full scans per
+    # run. The batch is delta-sized under a ledger (only files absent from
+    # it), which is exactly the frame a 100 TB incremental job
+    # materializes before multi-table writes. (Persisting also satisfies
+    # Spark's refusal of corrupt-column-only projections over a raw JSON
+    # scan — QUERY_ONLY_CORRUPT_RECORD_COLUMN.) A caller-supplied
+    # source_df without ledger columns is the CALLER's frame — persisting
+    # and unpersisting it here would evict a cache they may rely on.
+    own_frame = df is not source_df
+    cached = df = (
+        df.persist(StorageLevel.MEMORY_AND_DISK) if own_frame else df
+    )
     try:
         if ledger is not None:
             # file-count-scale collect: the paths to commit after the
@@ -279,6 +275,13 @@ def run_json_to_parquet(
         elif df.isEmpty():
             return {}
 
+        if keep_corrupt:
+            df.where(F.col(CORRUPT_COL).isNotNull()).select(
+                F.col(CORRUPT_COL).alias("raw_line"),
+                *[c for c in df.columns if c in ds.partition_schema().names],
+            ).write.mode(mode).parquet(corrupt_root)
+            df = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
         written: dict[str, str] = {}
         if has_nested_fields(df.schema):
             # wide_ids=True switches surrogate keys to 128-bit md5 strings —
@@ -294,6 +297,5 @@ def run_json_to_parquet(
             ledger.commit(new_paths, dataset_name)  # post-write, like job.commit()
         return written
     finally:
-        cached.unpersist()
-        if parsed is not None:
-            parsed.unpersist()
+        if own_frame:
+            cached.unpersist()

@@ -52,20 +52,31 @@ _HIVE_DEFAULT = "__HIVE_DEFAULT_PARTITION__"
 _PATH_SAFE = re.compile(r"^[A-Za-z0-9._\- ]+$")
 
 
-def _check_path_safe(part_keys: set[str]) -> None:
+def _check_path_safe(part_keys: set[str], partition_cols: list[str]) -> None:
+    """Reject partition keys whose VALUES would not round-trip to directory
+    names verbatim. Validated structurally, not just per-character: a value
+    containing ``/`` splits into extra segments (caught by the count and
+    ``col=`` prefix checks — naive per-segment validation would pass it),
+    and a value containing ``=`` or any other character Spark %-escapes
+    fails the charset check."""
     for p in part_keys:
-        for seg in p.split("/"):
-            if not seg:
-                continue
-            val = seg.split("=", 1)[1] if "=" in seg else seg
-            if val != _HIVE_DEFAULT and not _PATH_SAFE.match(val):
-                raise ValueError(
-                    f"upsert_dataset: partition value {val!r} (in {p!r}) "
-                    "contains characters Spark %-escapes in directory "
-                    "names; the FS-level empty-partition cleanup would "
-                    "address the wrong path. Use path-safe partition "
-                    "values (the pipeline's layout does)."
-                )
+        segs = p.split("/") if p else []
+        ok = len(segs) == len(partition_cols) and all(
+            seg.startswith(f"{col}=")
+            and (
+                (val := seg[len(col) + 1:]) == _HIVE_DEFAULT
+                or _PATH_SAFE.match(val)
+            )
+            for col, seg in zip(partition_cols, segs)
+        )
+        if not ok:
+            raise ValueError(
+                f"upsert_dataset: partition key {p!r} does not round-trip "
+                "to a directory path (a value contains '/', '=', or other "
+                "characters Spark %-escapes); the FS-level empty-partition "
+                "cleanup would address the wrong path. Use path-safe "
+                "partition values (the pipeline's layout does)."
+            )
 
 
 def upsert_dataset(
@@ -95,17 +106,6 @@ def upsert_dataset(
     """
     if updates is None and delete_keys is None:
         raise ValueError("upsert_dataset: need updates and/or delete_keys")
-    # first-write probe on DATA files, not directory existence: a table
-    # whose every partition was removed by a delete-only merge leaves an
-    # existing-but-empty directory that spark.read.parquet cannot infer a
-    # schema from — it must be treated as absent, not read
-    if not has_data_files(spark, table_path):
-        if updates is not None:
-            updates.write.mode("overwrite").partitionBy(*partition_cols).parquet(
-                table_path
-            )
-        return
-    existing = spark.read.parquet(table_path)
 
     # opaque partition identity = the partition's directory path — used for
     # pruning (expression over partition columns only, so the scan still
@@ -124,12 +124,39 @@ def upsert_dataset(
 
     part_key = F.concat_ws("/", *[_seg(c) for c in partition_cols])
 
-    touched: set[str] = set()
-    removal: DataFrame | None = None
+    # the updates' partition keys are validated on EVERY path, including
+    # the first write — a table created with %-escaped values would be
+    # writable exactly once and never mergeable again
+    upd_parts: set[str] = set()
     if updates is not None:
-        touched |= {
+        upd_parts = {
             r["p"] for r in updates.select(part_key.alias("p")).distinct().collect()
         }
+        _check_path_safe(upd_parts, partition_cols)
+
+    # first-write probe on DATA files, not directory existence: a table
+    # whose every partition was removed by a delete-only merge leaves an
+    # existing-but-empty directory that spark.read.parquet cannot infer a
+    # schema from — it must be treated as absent, not read
+    if not has_data_files(spark, table_path):
+        if updates is not None:
+            if has_data_files(spark, table_path, suffix=""):
+                # the dir exists and holds visible NON-parquet files: this
+                # is not an emptied table (those keep only _SUCCESS-style
+                # markers) — overwriting would destroy foreign data
+                raise ValueError(
+                    f"upsert_dataset: {table_path} exists with non-parquet "
+                    "contents; refusing to overwrite"
+                )
+            updates.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+                table_path
+            )
+        return
+    existing = spark.read.parquet(table_path)
+
+    touched: set[str] = set(upd_parts)
+    removal: DataFrame | None = None
+    if updates is not None:
         removal = updates.select(*key_cols).distinct()
     if delete_keys is not None:
         dk = delete_keys.select(*key_cols).distinct()
@@ -142,8 +169,9 @@ def upsert_dataset(
         return  # nothing to replace and no existing rows to delete
     # fail BEFORE any write: a non-path-safe partition value would be laid
     # out %-escaped by Spark while the cleanup below addresses the raw
-    # string — deleting the wrong (or no) directory
-    _check_path_safe(touched)
+    # string — deleting the wrong (or no) directory. (Covers the doomed
+    # partitions of EXISTING rows too, not just the updates'.)
+    _check_path_safe(touched, partition_cols)
 
     pruned = existing.where(part_key.isin(list(touched)))
     kept = pruned.join(F.broadcast(removal), key_cols, "left_anti")

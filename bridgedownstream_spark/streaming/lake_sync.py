@@ -45,13 +45,26 @@ from bridgedownstream_spark.pipeline.upsert import upsert_dataset
 __all__ = ["sync_batch_to_lake", "stream_upsert_lake"]
 
 
+def _expected_tables(
+    spark: SparkSession, dataset: Dataset, key_cols: tuple[str, ...]
+) -> set[str]:
+    """The exact table names ``dataset``'s CURRENT schema relationalizes
+    into — computed schema-only (empty frame, driver-side, no jobs), so it
+    reproduces relationalize's real naming including struct-flatten
+    renames rather than guessing from prefixes."""
+    df = spark.createDataFrame([], dataset.full_schema())
+    if has_nested_fields(df.schema):
+        return set(relationalize(df, dataset.name, key_cols=key_cols))
+    return {dataset.name}
+
+
 def sync_batch_to_lake(
     spark: SparkSession,
     batch_df: DataFrame,
     dataset: Dataset,
     parquet_root: str,
     key_cols: tuple[str, ...] = DEFAULT_KEY_COLS,
-    all_dataset_names: list[str] | None = None,
+    registry: DatasetRegistry | None = None,
 ) -> dict[str, str]:
     """Conform → relationalize → upsert one (micro-)batch into the lake.
 
@@ -67,14 +80,19 @@ def sync_batch_to_lake(
     this batch emitted no rows for at all get a delete-only merge for the
     same reason. Returns ``{table_name: path}`` for the tables written.
 
-    ``all_dataset_names`` (the registry's name list) disambiguates table
-    ownership in a shared ``parquet_root``: a directory named
-    ``gait_v1_steps`` could be dataset ``gait_v1``'s child table OR the
-    root table of a sibling dataset literally named ``gait_v1_steps`` —
-    the delete-only merge must never run against another dataset's table,
-    so a directory is claimed by the LONGEST registered dataset name that
-    prefixes it. Without the list, the bare ``{name}``/``{name}_`` prefix
-    match is used (single-dataset roots only).
+    ``registry`` disambiguates table ownership in a shared
+    ``parquet_root``: a directory named ``gait_v1_steps`` could be dataset
+    ``gait_v1``'s child table OR a table of a sibling dataset literally
+    named ``gait_v1_steps`` — the delete-only merge must never run against
+    another dataset's table. Ownership is resolved from the registered
+    datasets' SCHEMAS (each dataset's current relationalize table set,
+    computed schema-only); a directory in no current set (a historical
+    table of a since-dropped field) falls back to the longest registered
+    dataset name that prefixes it, and a directory claimed by two
+    datasets' schemas raises — that deployment is genuinely ambiguous and
+    guessing deletes someone's rows. Without the registry, the bare
+    ``{name}``/``{name}_`` prefix match is used (single-dataset roots
+    only).
     """
     df = conform_to_schema(batch_df, dataset.full_schema())
     if df.isEmpty():
@@ -99,23 +117,41 @@ def sync_batch_to_lake(
             delete_keys=root_keys,
         )
         written[name] = path
+    mine: set[str] = set()
+    other_tables: dict[str, set[str]] = {}
+    if registry is not None:
+        mine = _expected_tables(spark, dataset, key_cols)
+        for dn in registry.names():
+            if dn != dataset.name:
+                other_tables[dn] = _expected_tables(spark, registry[dn], key_cols)
     for name in list_dirs(spark, parquet_root):
         if name in written:
             continue
         if name != dataset.name and not name.startswith(f"{dataset.name}_"):
             continue  # another dataset's table
-        if all_dataset_names is not None:
-            owner = max(
-                (
-                    d
-                    for d in all_dataset_names
-                    if name == d or name.startswith(f"{d}_")
-                ),
-                key=len,
-                default=dataset.name,
-            )
-            if owner != dataset.name:
-                continue  # a longer-named sibling dataset owns this table
+        if registry is not None:
+            claimants = [dn for dn, ts in other_tables.items() if name in ts]
+            if name in mine and claimants:
+                raise ValueError(
+                    f"sync_batch_to_lake: table dir {name!r} is produced by "
+                    f"both dataset {dataset.name!r} and {claimants!r} — "
+                    "ambiguous ownership; separate their parquet roots"
+                )
+            if claimants:
+                continue  # a sibling dataset's CURRENT table
+            if name not in mine:
+                # historical table (dropped field): longest-name owner
+                owner = max(
+                    (
+                        d
+                        for d in [dataset.name, *other_tables]
+                        if name == d or name.startswith(f"{d}_")
+                    ),
+                    key=len,
+                    default=dataset.name,
+                )
+                if owner != dataset.name:
+                    continue
         path = os.path.join(parquet_root, name)
         if not has_data_files(spark, path):
             continue  # already emptied — nothing to delete, nothing to read
@@ -171,7 +207,7 @@ def stream_upsert_lake(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sync_batch_to_lake(
             spark, batch_df, ds, parquet_root, key_cols=key_cols,
-            all_dataset_names=registry.names(),
+            registry=registry,
         )
 
     q = (

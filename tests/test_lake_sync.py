@@ -204,15 +204,12 @@ def test_sync_skips_sibling_dataset_tables(spark, tmp_path):
     )
     sibling = spark.createDataFrame([("rA", 1.0, *parts)], part_schema)
     sync_batch_to_lake(
-        spark, sibling, two["rec_v1_extra"], pq_root,
-        all_dataset_names=two.names(),
+        spark, sibling, two["rec_v1_extra"], pq_root, registry=two
     )
     # sync rec_v1 with the SAME recordid: without ownership resolution the
     # stale-table loop would delete rA from rec_v1_extra's root table
     mine = spark.createDataFrame([("rA", 9.0, *parts)], part_schema)
-    sync_batch_to_lake(
-        spark, mine, two["rec_v1"], pq_root, all_dataset_names=two.names()
-    )
+    sync_batch_to_lake(spark, mine, two["rec_v1"], pq_root, registry=two)
     extra = spark.read.parquet(os.path.join(pq_root, "rec_v1_extra"))
     assert [(r["recordid"], r["score"]) for r in extra.collect()] == [("rA", 1.0)]
     mine_out = spark.read.parquet(os.path.join(pq_root, "rec_v1"))
