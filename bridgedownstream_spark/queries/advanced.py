@@ -163,8 +163,12 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Range join — point-in-interval
 # ---------------------------------------------------------------------------
 
-_N_BUCKETS = 10
-_BUCKET_W = 50.0  # events.value spans [0, 500)
+#: cover [0, 800) — comfortably past the testdata's observed max (~560);
+#: an interval table that under-covers the domain silently DROPS rows from
+#: the inner join (both engines shared the stale [0, 500) bound, so the
+#: oracle couldn't see the loss)
+_N_BUCKETS = 16
+_BUCKET_W = 50.0
 
 
 @q(

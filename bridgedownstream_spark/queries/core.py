@@ -204,10 +204,16 @@ def join_revenue_by_nation(spark, sf_dir):
         F.broadcast(r.where(F.col("r_name") == "ASIA")),
         n.n_regionkey == F.col("r_regionkey"),
     ).select("n_nationkey", "n_name")
+    # region/nation are BOUNDED dims → forced broadcast is always right.
+    # customer (and the orders projection derived from it) GROWS with the
+    # data, so those joins carry no broadcast hint: the planner/AQE
+    # broadcast them from true sizes while they fit the threshold and fall
+    # back to shuffle joins at scale — a forced broadcast of a
+    # fact-derived frame is how 100 TB star joins OOM their executors.
     c_asia = c.join(
         F.broadcast(n_asia), c.c_nationkey == F.col("n_nationkey")
     ).select("c_custkey", "n_name")
-    o_asia = o.join(F.broadcast(c_asia), o.o_custkey == F.col("c_custkey")).select(
+    o_asia = o.join(c_asia, o.o_custkey == F.col("c_custkey")).select(
         "o_orderkey", "n_name"
     )
     # shuffle_merge pins the fact⋈fact join to the scale-honest shape
@@ -257,11 +263,17 @@ def anti_join_missing(spark, sf_dir):
 @q(
     "anti_join_union",
     """
-    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders
-    WHERE o_orderkey NOT IN (
-        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
-        UNION
-        SELECT l_orderkey FROM lineitem WHERE l_tax > 0.07
+    -- NOT EXISTS, not NOT IN: a single NULL l_orderkey would turn NOT IN
+    -- into UNKNOWN for every order (0 rows) while Spark's left_anti join
+    -- ignores NULL keys — the two must share null semantics to stay
+    -- equivalent on any data
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM (
+            SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+            UNION
+            SELECT l_orderkey FROM lineitem WHERE l_tax > 0.07
+        ) u WHERE u.l_orderkey = o.o_orderkey
     )
     """,
 )

@@ -32,6 +32,13 @@ def q(name: str, oracle: str | None):
 # RE2-and-Java-compatible ASCII patterns (no backrefs, no lookaround).
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+#: Spark SQL single-quoted literals PROCESS backslash escapes (an
+#: unrecognized escape like \. silently drops the backslash, turning the
+#: regex's literal dot into any-char), while DuckDB literals and the
+#: Python-API pattern argument pass backslashes through verbatim. Any
+#: pattern embedded in an F.expr/spark.sql string must use this doubled
+#: form or the three paths match DIFFERENT regexes.
+_EMAIL_RE_SPARK_SQL = _EMAIL_RE.replace("\\", "\\\\")
 
 # The synthetic corpus contains no PII, so the detector would only ever see
 # zeros; inject deterministic synthetic PII into every 5th doc (identically
@@ -78,7 +85,7 @@ def pii_redact(spark, sf_dir):
     aug = d.select("doc_id", body.alias("body"))
     return aug.select(
         "doc_id",
-        F.expr(f"size(regexp_extract_all(body, '{_EMAIL_RE}', 0))")
+        F.expr(f"size(regexp_extract_all(body, '{_EMAIL_RE_SPARK_SQL}', 0))")
         .cast("int")
         .alias("n_emails"),
         F.expr(f"size(regexp_extract_all(body, '{_PHONE_RE}', 0))")
@@ -138,11 +145,15 @@ def contamination_check(spark, sf_dir):
     against a held-out benchmark slice (here: every 20th doc stands in for
     the eval set).
 
-    Scale path: shingles are DISTINCT'd per doc before the join, the
-    benchmark side is tiny and broadcast, and the join key is the gram
-    string — so the one shuffle is the per-doc count aggregation, sized by
-    shingle count, never by document bodies. This is the standard
-    "n-gram decontamination" pass (GPT-3 appendix C / PaLM style).
+    Scale path: shingles are DISTINCT'd per doc before the join and the
+    join key is the gram string, so the only wide shuffles are gram-sized,
+    never document bodies. The benchmark side carries NO broadcast hint:
+    real benchmark suites are bounded (MBs) and the planner/AQE broadcast
+    them from true sizes, but this fixture's stand-in (5% of the corpus)
+    GROWS with the data — force-broadcasting a data-proportional side is
+    the classic contamination-check OOM, so the choice is left adaptive.
+    This is the standard "n-gram decontamination" pass (GPT-3 appendix C /
+    PaLM style).
     """
     d = tbl(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.expr(_NORM_TOKS_EXPR).alias("t"))
@@ -152,7 +163,7 @@ def contamination_check(spark, sf_dir):
     bench = grams.where(F.col("doc_id") % 20 == 0).select("g").distinct()
     train = grams.where(F.col("doc_id") % 20 != 0)
     joined = train.join(
-        F.broadcast(bench.withColumnRenamed("g", "bg")),
+        bench.withColumnRenamed("g", "bg"),
         train.g == F.col("bg"),
         "left",
     )

@@ -158,42 +158,63 @@ _PHASH_DUCK = """
 @q(
     "media_phash_pairs",
     _PHASH_DUCK + """
-    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-           CAST(bit_count(xor(a.phash, c.phash)) AS INT) AS hamming
-    FROM p a JOIN p c
-      ON (a.phash >> 8) = (c.phash >> 8) AND a.doc_id < c.doc_id
-    WHERE bit_count(xor(a.phash, c.phash)) <= 2
+    , bands AS (
+        SELECT doc_id, phash, 0 AS band, phash >> 10 AS bv FROM p
+        UNION ALL SELECT doc_id, phash, 1, (phash >> 5) & 31 FROM p
+        UNION ALL SELECT doc_id, phash, 2, phash & 31 FROM p
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.phash AS pa,
+                        c.doc_id AS doc_b, c.phash AS pb
+        FROM bands a JOIN bands c
+          ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(pa, pb)) <= 2
     """,
 )
 def media_phash_pairs(spark, sf_dir):
     # Perceptual-hash media dedup: binary payloads → 16-bit aHash
     # (operators/multimodal.py::perceptual_hash, Pandas-UDF over the
-    # stubbed decode) → candidate pairs bucketed on the hash's TOP BYTE →
-    # hamming verify with native bit_count(a ^ b). The hamming metric is
-    # what separates media dedup from the text-side MinHash (set overlap):
-    # a real pHash puts visually-similar images within a few bits, and the
-    # bucket+verify plan here is exactly that production shape — only the
-    # digest-based stub grid makes "similar" mean "identical payload"
-    # (md5 avalanche), which is also why the oracle can recompute it.
+    # stubbed decode) → candidates via 3-BAND PIGEONHOLE → hamming verify
+    # with native bit_count(a ^ b). Banding, not a single top-byte bucket:
+    # for a hamming-≤2 match, at most 2 bits differ, so the pair agrees
+    # EXACTLY on at least one of 3 disjoint bands (pigeonhole) — the
+    # equi-join on (band, band_value) therefore has full recall, where a
+    # top-byte bucket silently missed every pair whose differing bits fell
+    # in the top byte AND made the join key just 256-valued (N²/256 hidden
+    # quadratic growth). A production pHash is 64-bit with the same plan
+    # shape (3 bands of ~21 bits — join keys rich enough that candidates
+    # track true near-dups); the 16-bit stub keeps the oracle recomputable.
     # Exact-dup documents share payloads, so planted dups pair at
-    # hamming 0; bucket collisions exercise the 1-2-bit verify band.
+    # hamming 0; band collisions exercise the 1-2-bit verify band.
     from bridgedownstream_spark.operators.multimodal import perceptual_hash
 
     hashed = perceptual_hash(_payloads(spark, sf_dir), codec="stub").select(
         "doc_id", "phash"
     )
-    a, c = hashed.alias("a"), hashed.alias("c")
-    ham = F.expr("bit_count(a.phash ^ c.phash)")
-    return (
+    bands = hashed.selectExpr(
+        "doc_id",
+        "phash",
+        "stack(3, 0, phash >> 10, 1, (phash >> 5) & 31, 2, phash & 31)"
+        " AS (band, bv)",
+    )
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
         a.join(
             c,
-            (F.expr("a.phash >> 8") == F.expr("c.phash >> 8"))
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bv") == F.col("c.bv"))
             & (F.col("a.doc_id") < F.col("c.doc_id")),
         )
-        .where(ham <= 2)
         .select(
             F.col("a.doc_id").alias("doc_a"),
+            F.col("a.phash").alias("pa"),
             F.col("c.doc_id").alias("doc_b"),
-            ham.cast("int").alias("hamming"),
+            F.col("c.phash").alias("pb"),
         )
+        .distinct()
+    )
+    ham = F.expr("bit_count(pa ^ pb)")
+    return cand.where(ham <= 2).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )

@@ -666,7 +666,14 @@ def _build_rollup(spark, sf_dir: str) -> str:
                 group_cols=[],
                 aggs=[
                     F.count("*").cast("bigint").alias("n"),
-                    F.sum("l_quantity").alias("total"),
+                    # DECIMAL partial: the rollup's stored totals stay
+                    # exact under any merge order (repo-wide discipline;
+                    # integer-valued l_quantity happens to be exact in
+                    # double today, but the stored aggregate should not
+                    # depend on that)
+                    F.sum(F.col("l_quantity").cast("decimal(24,10)")).alias(
+                        "total"
+                    ),
                 ],
                 partition_cols=["assessmentid", "year", "month", "day"],
             )
@@ -680,7 +687,8 @@ def _build_rollup(spark, sf_dir: str) -> str:
     SELECT o_orderstatus AS assessmentid,
            strftime(o_orderdate, '%Y') AS year,
            CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(l_quantity), 2) AS total_qty
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(24,10))), 2) AS DOUBLE)
+               AS total_qty
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o_orderkey % {_SAMPLE} = 0
     GROUP BY 1, 2
@@ -699,6 +707,7 @@ def rollup_incremental_equiv(spark, sf_dir):
         .groupBy("assessmentid", "year")
         .agg(
             F.sum("n").cast("bigint").alias("n_items"),
-            F.round(F.sum("total"), 2).alias("total_qty"),
+            # the stored partials are DECIMAL; the re-aggregate stays exact
+            F.round(F.sum("total"), 2).cast("double").alias("total_qty"),
         )
     )

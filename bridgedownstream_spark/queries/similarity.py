@@ -182,15 +182,15 @@ def _band_hash_duck(b: int) -> str:
 _LSH_CACHE: dict[str, object] = {}
 
 
-def _corpus_stamp(sf_dir: str) -> str:
+def _corpus_stamp(sf_dir: str, table: str = "documents") -> str:
     import os
 
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(src)
-        return f"{sf_dir}|{st.st_size}_{int(st.st_mtime)}"
+        return f"{sf_dir}|{table}|{st.st_size}_{int(st.st_mtime)}"
     except OSError:
-        return f"{sf_dir}|nostat"
+        return f"{sf_dir}|{table}|nostat"
 
 
 def _lsh_candidates(spark, sf_dir):
@@ -430,7 +430,14 @@ def ann_topk_cosine(spark, sf_dir):
     )
 
 
-_N_PLANES = 6  # 2^6 = 64 buckets
+#: 2^6 = 64 buckets — sized for the TEST corpus (2k vectors → ~30 per
+#: bucket). The bucket count is the quadratic-growth throttle: same-bucket
+#: pair volume is ~N²/2^planes, so a production deployment must scale
+#: planes with the corpus (planes ≈ log2(N / target_bucket_size), e.g. 20+
+#: planes at 10^8 vectors, or the multi-table banding near_dup_lsh_pairs
+#: uses) — a FIXED plane count at growing N degenerates toward an
+#: all-pairs join divided by a constant.
+_N_PLANES = 6
 
 #: hyperplanes are FIXED model-dimension vectors — precompute them once on
 #: the driver (hashlib.md5 is bit-identical to both engines' md5) and fold
@@ -482,18 +489,37 @@ _BUCKET_SPARK = _bucket_expr([_plane_dot_spark(j) for j in range(_N_PLANES)])
 _BUCKET_DUCK = _bucket_expr([_plane_dot_duck(j) for j in range(_N_PLANES)])
 
 
+#: stamped corpus key → the ONE persisted bucketed-embeddings frame.
+#: Un-memoized, every ann_lsh_bucketed / embedding_near_dup / ann_recall
+#: invocation persisted (and leaked) a fresh copy — the same hazard the
+#: _LSH_CACHE comment documents for candidate pairs.
+_BUCKETED_CACHE: dict[str, object] = {}
+
+
 def _bucketed(spark, sf_dir):
     """(vec_id, emb, nrm, bucket) — signed random-hyperplane LSH bucket,
-    derived from the deterministic md5 hyperplanes. Persisted: both sides
-    of the bucket join (and the query subset) reuse one computation of the
+    derived from the deterministic md5 hyperplanes. Persisted once per
+    corpus: both sides of the bucket join (and the query subset, and every
+    query built on the buckets) reuse one computation of the
     384-md5-per-row projection instead of one per branch."""
-    from pyspark.storagelevel import StorageLevel
+    key = _corpus_stamp(sf_dir, "embeddings")
+    if key not in _BUCKETED_CACHE:
+        from pyspark.storagelevel import StorageLevel
 
-    return (
-        _emb_norms(spark, sf_dir)
-        .withColumn("bucket", F.expr(_BUCKET_SPARK))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+        # evict same-corpus entries with a DIFFERENT stamp only (a
+        # current-stamp |ivf sibling entry is live, not stale)
+        for stale in [
+            k
+            for k in _BUCKETED_CACHE
+            if k.startswith(f"{sf_dir}|embeddings|") and not k.startswith(key)
+        ]:
+            _BUCKETED_CACHE.pop(stale).unpersist()
+        _BUCKETED_CACHE[key] = (
+            _emb_norms(spark, sf_dir)
+            .withColumn("bucket", F.expr(_BUCKET_SPARK))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return _BUCKETED_CACHE[key]
 
 
 _BUCKET_CTE_DUCK = (
@@ -611,14 +637,25 @@ def ann_ivf_topk(spark, sf_dir):
         6,
     )
     wa = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
-    assign = (
-        e.crossJoin(cent)
-        .withColumn("ccos", ccos)
-        .withColumn("rc", F.row_number().over(wa))
-        .where(F.col("rc") == 1)
-        .select("vec_id", "emb", "nrm", "cent_id")
-        .persist()
-    )
+    key = _corpus_stamp(sf_dir, "embeddings") + "|ivf"
+    if key not in _BUCKETED_CACHE:  # shared stamped store; see _bucketed
+        for stale in [
+            k
+            for k in _BUCKETED_CACHE
+            if k.startswith(f"{sf_dir}|embeddings|")
+            and k.endswith("|ivf")
+            and k != key
+        ]:
+            _BUCKETED_CACHE.pop(stale).unpersist()
+        _BUCKETED_CACHE[key] = (
+            e.crossJoin(cent)
+            .withColumn("ccos", ccos)
+            .withColumn("rc", F.row_number().over(wa))
+            .where(F.col("rc") == 1)
+            .select("vec_id", "emb", "nrm", "cent_id")
+            .persist()
+        )
+    assign = _BUCKETED_CACHE[key]
     qs = assign.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
@@ -721,8 +758,12 @@ def ann_quantized_topk(spark, sf_dir):
     """,
 )
 def embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs without a cartesian product:
-    only same-LSH-bucket pairs are scored; ≥ 0.4 cosine flags a dup (threshold tuned to the synthetic corpus, where the most similar pairs sit near 0.5-0.6)."""
+    """Embedding-cosine near-duplicate pairs: only same-LSH-bucket pairs
+    are scored; ≥ 0.4 cosine flags a dup (threshold tuned to the synthetic
+    corpus, where the most similar pairs sit near 0.5-0.6). Pair volume is
+    ~N²/2^planes — bounded only while the plane count tracks the corpus
+    size (see the _N_PLANES note), exactly like every hyperplane-LSH
+    dedup."""
     b = _bucketed(spark, sf_dir)
     a, c = b.alias("a"), b.alias("c")
     cos = F.round(
