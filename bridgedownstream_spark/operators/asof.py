@@ -59,13 +59,24 @@ def asof_join(
     if missing:
         raise ValueError(f"tiebreak_cols must be in value_cols: {sorted(missing)}")
 
+    from pyspark.sql import types as T
+
+    # The carried payload is ONE struct holding the whole right row's
+    # value columns — never the columns independently. Per-column
+    # last(ignorenulls) would skip a NULL in one column while taking the
+    # sibling columns from a NEWER right row, emitting a mixed
+    # "frankenstein" row no right record ever contained; the struct is
+    # non-null whenever a right row exists (even with all-NULL members),
+    # so ignorenulls carries exactly the latest right ROW.
+    vals_type = T.StructType([
+        T.StructField(c, right.schema[c].dataType) for c in value_cols
+    ])
     lcols = [c for c in left.columns]
     l_tagged = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(v)
-          for c, v in zip(value_cols, out_vals)],
+        F.lit(None).cast(vals_type).alias("__vals"),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -73,14 +84,14 @@ def asof_join(
           for c in lcols],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(v) for c, v in zip(value_cols, out_vals)],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__vals"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     # right (side=0) sorts before left (side=1) at equal __ts → <= matches;
     # tiebreaks only reorder right rows within one (__ts, __side) group
-    # (they are NULL on left rows, whose mutual order is irrelevant)
+    # (the struct is NULL on left rows, whose mutual order is irrelevant)
     order = [F.col("__ts"), F.col("__side")] + [
-        F.col(f"{prefix}{c}") for c in (tiebreak_cols or [])
+        F.col("__vals").getField(c) for c in (tiebreak_cols or [])
     ]
     w = (
         W.partitionBy(*key_cols)
@@ -90,6 +101,10 @@ def asof_join(
     carried = unioned.select(
         *lcols,
         "__side",
-        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in out_vals],
+        F.last("__vals", ignorenulls=True).over(w).alias("__vals"),
     )
-    return carried.where(F.col("__side") == 1).drop("__side")
+    return carried.where(F.col("__side") == 1).select(
+        *lcols,
+        *[F.col("__vals").getField(c).alias(v)
+          for c, v in zip(value_cols, out_vals)],
+    )

@@ -73,6 +73,16 @@ def compact_dataset(
     Returns ``{partition: n_output_files}`` for every compacted partition
     (empty dict ⇒ nothing needed). Only partitions with more than
     ``min_files`` files AND mean file size below target are touched.
+
+    **Concurrency contract**: compaction is read-snapshot → dynamic
+    overwrite, with NO coordination against concurrent writers — rows
+    committed into a selected partition between the snapshot
+    (localCheckpoint) and the overwrite are LOST. Do not run it while an
+    upsert/lake-sync writer may touch the same partitions; schedule it
+    the way table formats schedule OPTIMIZE — against quiesced (e.g.
+    closed-date) partitions, or under an external lock. It also toggles
+    the session-level ``partitionOverwriteMode`` conf, so it must not
+    share a SparkSession with concurrent writers mid-flight.
     """
     stats = partition_file_stats(spark, table_path).collect()
     todo: dict[str, int] = {}

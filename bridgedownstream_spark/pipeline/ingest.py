@@ -155,6 +155,12 @@ def inject_metadata(members: DataFrame) -> DataFrame:
                     j = None
                 if j is None:
                     body = rec.body
+                    if "\n" in body or "\r" in body:
+                        # the lake sink is LINE-oriented: a multiline
+                        # unparseable body would be split into one garbage
+                        # record per physical line. Wrap it into a single
+                        # JSON line, byte-recoverable and clearly marked.
+                        body = json.dumps({"__unparseable_body__": body})
                 elif schema_identifier == "ArchiveMetadata":
                     j.update(parts)
                     for c in meta_cols:

@@ -71,22 +71,27 @@ def refresh_rollup(
         existing = None
         first_write = True
 
-    if refresh_partitions:
-        cond = None
-        for spec in refresh_partitions:
-            one = None
-            for c, v in spec.items():
-                p = F.col(c) == F.lit(v)
-                one = p if one is None else (one & p)
-            cond = one if cond is None else (cond | one)
-        todo = src_parts.where(cond)
-        mode = "overwrite"  # dynamic: replaces only the listed partitions
-    elif first_write:
+    if first_write:
         todo = src_parts
         mode = "append"
     else:
-        todo = src_parts.join(existing, partition_cols, "left_anti")
-        mode = "append"
+        missing = src_parts.join(existing, partition_cols, "left_anti")
+        if refresh_partitions:
+            cond = None
+            for spec in refresh_partitions:
+                one = None
+                for c, v in spec.items():
+                    p = F.col(c) == F.lit(v)
+                    one = p if one is None else (one & p)
+                cond = one if cond is None else (cond | one)
+            # the late-data partitions AND any newly-arrived partitions:
+            # a "bring it up to date" call that names late partitions must
+            # not silently skip the normal new-partition sync
+            todo = src_parts.where(cond).unionByName(missing).distinct()
+            mode = "overwrite"  # dynamic: replaces named, creates new
+        else:
+            todo = missing
+            mode = "append"
 
     # partition-count-scale collect — this is the refresh plan, not data
     n_todo = todo.count()

@@ -32,6 +32,10 @@ __all__ = ["read_archives", "explode_members", "MEMBER_SCHEMA"]
 
 #: Output schema of :func:`explode_members` (before the manifest columns,
 #: which are carried through).
+#: marker member emitted for an archive whose zip cannot be opened — it
+#: fails validation by construction, routing the record to quarantine
+CORRUPT_ARCHIVE_MEMBER = "__corrupt_archive__"
+
 MEMBER_FIELDS = [
     T.StructField("path", T.StringType()),
     T.StructField("member_path", T.StringType()),
@@ -87,14 +91,29 @@ def explode_members(archives: DataFrame, suffix: str = ".json") -> DataFrame:
                 meta = {c: getattr(rec, c) for c in meta_cols}
                 try:
                     zf = zipfile.ZipFile(io.BytesIO(rec.content))
-                except zipfile.BadZipFile:
+                except zipfile.BadZipFile as e:
+                    # NEVER drop silently: a corrupt upload must surface.
+                    # The marker member fails validation downstream, so
+                    # the whole record lands in the quarantine table where
+                    # reconciliation and replay can see it.
+                    rows.append(
+                        {
+                            "path": rec.path,
+                            "member_path": "",
+                            "file_name": CORRUPT_ARCHIVE_MEMBER,
+                            "body": str(e),
+                            "self_ref_schema_url": None,
+                            **meta,
+                        }
+                    )
                     continue
                 with zf:
                     self_ref = _self_ref_schemas(zf)
                     for member_path in zf.namelist():
                         if not member_path.endswith(suffix):
                             continue
-                        file_name = os.path.basename(member_path)
+                        orig_name = os.path.basename(member_path)
+                        file_name = orig_name
                         if file_name == "microphone.json":
                             file_name = "microphone_levels.json"
                         with zf.open(member_path) as fh:
@@ -105,7 +124,14 @@ def explode_members(archives: DataFrame, suffix: str = ".json") -> DataFrame:
                                 "member_path": member_path,
                                 "file_name": file_name,
                                 "body": body,
-                                "self_ref_schema_url": self_ref.get(file_name),
+                                # self-ref schemas are declared under the
+                                # archive's OWN (pre-rename) filenames —
+                                # look up the canonical name first, then
+                                # the original, so the rename cannot drop
+                                # an always-wins override
+                                "self_ref_schema_url": self_ref.get(
+                                    file_name, self_ref.get(orig_name)
+                                ),
                                 **meta,
                             }
                         )

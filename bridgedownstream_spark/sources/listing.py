@@ -34,12 +34,19 @@ def list_lake_files(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .select("path", "length", "modificationTime")
     )
+    object_name = F.regexp_extract("path", r"([^/]+)$", 1)
     return df.select(
         F.regexp_replace("path", "^file:/*", "/").alias("path"),
         "length",
         "modificationTime",
-        F.regexp_extract("path", r"([^/]+)$", 1).alias("object_name"),
-        F.regexp_extract("path", r"([^/]+?)(?:\.[^./]+)?$", 1).alias("record_stem"),
+        object_name.alias("object_name"),
+        # FIRST-dot truncation, exactly the reference's
+        # split('/')[-1].split('.')[0]: a multi-dot name like
+        # 'rec-abc.v2.ndjson' must yield 'rec-abc' — the previous
+        # strip-last-extension regex yielded 'rec-abc.v2', so ids derived
+        # here never matched the source of truth and reconciliation would
+        # flag present records as missing forever
+        F.split(object_name, "\\.").getItem(0).alias("record_stem"),
     )
 
 

@@ -20,7 +20,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bridgedownstream_spark.pipeline.json_to_parquet import run_json_to_parquet
+from pyspark.sql import types as T
+
+from bridgedownstream_spark.pipeline.json_to_parquet import (
+    _widen_leaves,
+    conform_to_schema,
+    run_json_to_parquet,
+)
 from bridgedownstream_spark.pipeline.registry import DatasetRegistry
 from bridgedownstream_spark.operators.relationalize import DEFAULT_KEY_COLS
 from bridgedownstream_spark.sources.ndjson import dataset_path
@@ -44,8 +50,20 @@ def stream_json_to_parquet(
     everything (the bookmark-reset analogue)."""
     ds = registry[dataset_name]
     src = dataset_path(json_root, dataset_name)
+    # Read through the LEAF-WIDENED schema, exactly like the batch reader
+    # (read_json_dataset) and lake_sync: reading a drifted scalar (e.g.
+    # "7" where the registry declares int) through the strict declared
+    # schema would make PERMISSIVE mode silently NULL it — the batch path
+    # coerces it instead, and batch/stream must produce the same lake.
+    widened = T.StructType(
+        [
+            T.StructField(f.name, _widen_leaves(f.dataType), True)
+            for f in ds.data_schema().fields
+        ]
+        + list(ds.partition_schema().fields)
+    )
     stream = (
-        spark.readStream.schema(ds.full_schema())
+        spark.readStream.schema(widened)
         .option("basePath", src)
         .json(src)
     )
@@ -59,7 +77,7 @@ def stream_json_to_parquet(
             registry,
             key_cols=key_cols,
             mode="append",
-            source_df=batch_df,
+            source_df=conform_to_schema(batch_df, ds.full_schema()),
         )
 
     query = (

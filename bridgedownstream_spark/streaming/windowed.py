@@ -27,24 +27,31 @@ def windowed_counts(
     group_col: str,
     window_duration: str = "10 minutes",
     watermark: str = "5 minutes",
+    sum_col: str | None = "value",
 ) -> DataFrame:
-    """Count events per (event-time window, group) with a watermark.
+    """Count events per (event-time window, group) with a watermark;
+    ``sum_col`` (optional) adds a ``total_value`` sum — pass ``None`` for
+    streams without a numeric value column.
 
     In append output mode a window's row emits exactly once, when the
     watermark (max event time seen minus ``watermark``) passes the window
     end; events arriving after that are dropped by the state store — the
     deterministic late-data contract.
     """
+    sum_col = sum_col if sum_col in stream.columns else None
+    aggs = [F.count("*").alias("n")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("total_value"))
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_duration), F.col(group_col))
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .agg(*aggs)
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
             group_col,
             "n",
-            "total_value",
+            *(["total_value"] if sum_col is not None else []),
         )
     )
 

@@ -52,22 +52,18 @@ def resolve_schema_url(
                 return file.get("jsonSchema")
         # NB: reference returns early only when the filename matches;
         # otherwise falls through to app scope (s3_to_json_s3.py:249-257).
-    # 2. app scope: default orgs, then anyOf
+    # 2. app scope: default orgs FIRST (first match wins), anyOf only as
+    # the fallback — a later scope must never overwrite an earlier match
     for app in archive_map.get("apps", []):
         if app.get("appId") != app_id:
             continue
-        url = None
         for default_org in app.get("default", []):
             for f in default_org.get("files", []):
-                if f.get("filename") == file_name:
-                    url = f.get("jsonSchema")
-                    break
+                if f.get("filename") == file_name and f.get("jsonSchema"):
+                    return f["jsonSchema"]
         for f in app.get("anyOf", []):
-            if f.get("filename") == file_name:
-                url = f.get("jsonSchema")
-                break
-        if url is not None:
-            return url
+            if f.get("filename") == file_name and f.get("jsonSchema"):
+                return f["jsonSchema"]
     # 3. inter-app scope
     for f in archive_map.get("anyOf", []):
         if f.get("filename") == file_name and "jsonSchema" in f:

@@ -28,6 +28,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bridgedownstream_spark.sources.archive import (
+    CORRUPT_ARCHIVE_MEMBER as _CORRUPT_ARCHIVE_MEMBER,
+)
+
 __all__ = [
     "validate_members",
     "suppress_expected_errors",
@@ -137,7 +141,13 @@ def validate_members(
                 else list(pdf["schema_url"])
             )
             errs = []
-            for body, url in zip(pdf["body"], urls):
+            for file_name, body, url in zip(pdf["file_name"], pdf["body"], urls):
+                if file_name == _CORRUPT_ARCHIVE_MEMBER:
+                    # marker from explode_members: the archive's zip could
+                    # not be opened — always invalid, so the record
+                    # quarantines instead of vanishing
+                    errs.append([f"corrupt archive: {body}"])
+                    continue
                 if url is None or pd.isna(url):
                     errs.append([])
                     continue

@@ -33,3 +33,18 @@ def test_asof_clash_guard(spark):
     df = spark.createDataFrame([("a", 1, "x")], "k string, ts int, v string")
     with pytest.raises(ValueError, match="collide"):
         asof_join(df, df, ["k"], "ts", "ts", ["v"], prefix="")
+
+
+def test_asof_null_value_column_carries_whole_row(spark):
+    """The match is the latest right ROW, even when that row holds NULLs:
+    per-column last(ignorenulls) would skip the NULL and splice in an
+    older row's value — a mixed row no right record ever contained."""
+    left = spark.createDataFrame([("u1", 30, "p1")], "k string, ts int, pid string")
+    right = spark.createDataFrame(
+        [("u1", 1, 5, 7), ("u1", 2, None, 9)],
+        "k string, ts int, a int, b int",
+    )
+    row = asof_join(left, right, ["k"], "ts", "ts", ["a", "b"]).collect()[0]
+    # latest right row is (ts=2, a=NULL, b=9) — a must be NULL, not 5
+    assert row["asof_a"] is None
+    assert row["asof_b"] == 9

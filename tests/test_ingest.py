@@ -222,3 +222,48 @@ def test_stage1_to_stage2_chain(spark, ingested, tmp_path):
 def test_ingest_counts(ingested):
     assert ingested["counts"]["valid_members"] == 3  # rec1×2 + rec3×1
     assert ingested["counts"]["quarantined_members"] == 1
+
+
+def test_corrupt_archive_quarantines_not_vanishes(spark, tmp_path):
+    """A truncated/corrupt zip must surface in the quarantine table (as a
+    __corrupt_archive__ member with the zip error), never silently vanish
+    from the pipeline."""
+    from bridgedownstream_spark.pipeline.ingest import run_ingest
+    from bridgedownstream_spark.sources.archive import CORRUPT_ARCHIVE_MEMBER
+
+    arch = tmp_path / "archives"
+    arch.mkdir()
+    _zip(arch / "good.zip", {"weather.json": {"temperature": 1.0, "type": "weather"}})
+    (arch / "bad.zip").write_bytes(b"this is not a zip archive")
+    manifest = spark.createDataFrame(
+        [
+            (str(arch / "good.zip"), "recG", "spelling", "3",
+             "2022-09-02T10:11:12.000Z", "iPhone 13"),
+            (str(arch / "bad.zip"), "recB", "spelling", "3",
+             "2022-09-02T10:11:12.000Z", "iPhone 13"),
+        ],
+        "path string, recordid string, assessmentid string, "
+        "assessmentrevision string, uploadedon string, clientinfo string",
+    )
+    q_root = str(tmp_path / "quarantine")
+    run_ingest(
+        spark,
+        archive_path=str(arch / "*.zip"),
+        manifest=manifest,
+        archive_map=ARCHIVE_MAP,
+        schema_store=SCHEMA_STORE,
+        schema_mapping=SCHEMA_MAPPING,
+        dataset_mapping=None,
+        json_root=str(tmp_path / "json"),
+        quarantine_root=q_root,
+        collect_counts=False,
+    )
+    q = spark.read.parquet(q_root)
+    rows = q.collect()
+    assert {r["recordid"] for r in rows} == {"recB"}
+    (r,) = rows
+    assert r["file_name"] == CORRUPT_ARCHIVE_MEMBER
+    assert any("corrupt archive" in e for e in r["errors"])
+    # the good record still reaches the lake
+    lake = spark.read.option("recursiveFileLookup", "true").text(str(tmp_path / "json"))
+    assert any("recG" in row["value"] for row in lake.collect())
