@@ -199,37 +199,56 @@ def _lsh_candidates(spark, sf_dir):
     The candidate set is consumed by several plan branches per query (pair
     broadcast, id-set broadcast, verify join) and by every query built on
     the pairs — persisting it is the "checkpoint the candidate set" step
-    every LSH dedup pipeline has."""
+    every LSH dedup pipeline has. Like the PQ index, the checkpoint is
+    ALSO an offline on-disk artifact (parquet keyed by the corpus file's
+    identity): a dedup pipeline computes signatures + bands once per
+    corpus version and every later consumer — including fresh processes —
+    loads the pair table instead of re-running the band self-join."""
     key = _corpus_stamp(sf_dir)
     if key not in _LSH_CACHE:
+        import os
+        import tempfile
+
         from pyspark.storagelevel import StorageLevel
+
+        from bridgedownstream_spark.pipeline.fsutil import has_data_files
 
         for stale in [k for k in _LSH_CACHE if k.startswith(f"{sf_dir}|")]:
             _LSH_CACHE.pop(stale).unpersist()
-        sig = _signatures(spark, sf_dir)
-        bands = sig.selectExpr(
-            "doc_id",
-            "stack("
-            + str(_BANDS)
-            + ", "
-            + ", ".join(f"{b}, {_band_hash_spark(b)}" for b in range(_BANDS))
-            + ") AS (band, bh)",
+        sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+        stamp = key.rsplit("|", 1)[1]
+        disk = os.path.join(
+            tempfile.gettempdir(), f"bds_lshcand_{sf_name}_{stamp}"
         )
-        a, b = bands.alias("a"), bands.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bh") == F.col("b.bh"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+        if not has_data_files(spark, disk):
+            sig = _signatures(spark, sf_dir)
+            bands = sig.selectExpr(
+                "doc_id",
+                "stack("
+                + str(_BANDS)
+                + ", "
+                + ", ".join(f"{b}, {_band_hash_spark(b)}" for b in range(_BANDS))
+                + ") AS (band, bh)",
             )
-            .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            a, b = bands.alias("a"), bands.alias("b")
+            (
+                a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                )
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(disk)
             )
-            .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        _LSH_CACHE[key] = spark.read.parquet(disk).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        _LSH_CACHE[key] = cand
     return _LSH_CACHE[key]
 
 
