@@ -42,6 +42,8 @@ _TAIL_WINDOW = 1900
 
 def materialize(df: DataFrame) -> None:
     """Execute the full plan including every output column."""
+    from pyspark.errors import AnalysisException
+
     try:
         # bit_xor, not sum: summing random 64-bit hashes overflows LongType
         # almost surely beyond ~100 rows, and under ANSI mode (Spark 4
@@ -51,14 +53,21 @@ def materialize(df: DataFrame) -> None:
         df.select(
             F.xxhash64(F.struct(*[F.col(c) for c in df.columns])).alias("h")
         ).agg(F.count("*"), F.expr("bit_xor(h)")).collect()
-    except Exception:
-        # fall back for column types xxhash64 can't digest
+    except AnalysisException:
+        # PLAN-time only: column types xxhash64 can't digest. A runtime
+        # failure must propagate into the failures report — count() would
+        # prune the projected expressions and mask a query that cannot
+        # actually be materialized as a timed success.
         df.count()
 
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = sys.argv[1:] or list(REGISTRY)
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:  # fail BEFORE the multi-minute warmup, with the bad names
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
     # sf for the report: parse the trailing sfX.Y path component if present.
     base = os.path.basename(sf_dir.rstrip("/"))
     try:

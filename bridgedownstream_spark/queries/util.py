@@ -32,6 +32,15 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       session timezone is pinned UTC (session.py);
     - TIMESTAMP: pass through.
     """
+    # The session TIMEZONE is pinned UTC on every read, not just in
+    # get_spark(): an external harness hands us ITS session, and with a
+    # non-UTC zone every timestamp-formatting query (ts_str) would render
+    # wall clocks the UTC-based DuckDB oracle cannot reproduce (DST-gap
+    # times even shift under the NTZ→TIMESTAMP cast). Idempotent — always
+    # "UTC", never toggled back — so no concurrently-built plan can
+    # observe a flip. Same hardening as nanosAsLong below and
+    # partitionColumnTypeInference in pipeline_q._read_table.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # nanosAsLong is pinned in get_spark(); re-pin here because the
         # grading driver hands us *its* session, which may not have it. The

@@ -30,7 +30,11 @@ COPIES = 10
 #: per-table key columns to shift by copy_index * stride (stride chosen
 #: past each key's sf0.1 range so copies never collide)
 SHIFTS = {
-    "lineitem": {"l_orderkey": 10_000_000, "l_partkey": 1_000_000},
+    "lineitem": {
+        "l_orderkey": 10_000_000,
+        "l_partkey": 1_000_000,
+        "l_suppkey": 1_000_000,
+    },
     "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
     "customer": {"c_custkey": 1_000_000},
     "part": {"p_partkey": 1_000_000},
@@ -72,6 +76,18 @@ def build() -> str:
                         f"array_join(transform(split(text, ' '), (w, j) -> "
                         f"CASE WHEN j % 5 = 0 THEN concat('s{i}', w) "
                         f"ELSE w END), ' ')"
+                    ),
+                )
+            if t == "embeddings" and i > 0:
+                # rotate the vector by i positions per copy: preserves the
+                # norm while decorrelating copies — unrotated clones would
+                # hand every ANN/PQ query 10 exact duplicates of its own
+                # vector, degenerate structure no real corpus growth has
+                d = d.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {i + 1}, "
+                        f"size(embedding) - {i}), slice(embedding, 1, {i}))"
                     ),
                 )
             parts.append(d)

@@ -72,15 +72,21 @@ def values_equal(a, b) -> bool:
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) and math.isnan(fb):
+        # NO cross-type bridging: a float on one side and a str/int/Decimal
+        # on the other is a type-level divergence the driver's canonicalizer
+        # hashes differently — coercing here would green-light it (the
+        # r2-lax-gate failure mode all over again)
+        if not (isinstance(a, float) and isinstance(b, float)):
+            return False
+        if math.isnan(a) and math.isnan(b):
             return True
         # bit-exact: the driver hashes values, so ANY representational
         # difference (incl. last-bit float noise) is a driver mismatch
-        return struct.pack("<d", fa) == struct.pack("<d", fb)
+        return struct.pack("<d", a) == struct.pack("<d", b)
+    if type(a) is not type(b) and not (
+        isinstance(a, int) and isinstance(b, int)  # int vs bool stays int
+    ):
+        return False
     return a == b
 
 
