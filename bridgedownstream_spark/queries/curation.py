@@ -364,6 +364,158 @@ def doc_chunking(spark, sf_dir):
     )
 
 
+_SEG_W = 16  # tokens per dedup segment (the "paragraph" unit)
+
+
+@q(
+    "segment_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id,
+             CAST((s - 1) // {_SEG_W} AS INT) AS seg_idx,
+             md5(array_to_string(t[s:s+{_SEG_W - 1}], ' ')) AS seg_md5
+      FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t), 1), {_SEG_W})) AS s
+        FROM toks
+      )
+    ),
+    ranked AS (
+      SELECT doc_id, seg_idx,
+             row_number() OVER (PARTITION BY seg_md5 ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_segments,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           round(1.0 - CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 4) AS drop_ratio
+    FROM ranked GROUP BY 1
+    """,
+)
+def segment_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup (CCNet-style): split every document into
+    fixed {W}-token segments, hash each, and keep only the FIRST corpus-wide
+    occurrence of every segment (first = lowest (doc_id, seg_idx)); report
+    per-doc how much survives. This is the line/paragraph dedup pass web
+    corpora run before document-level near-dup — boilerplate (headers,
+    nav bars, license blocks) repeats across documents that are nowhere
+    near duplicates as wholes.
+
+    Scale path: the only wide shuffle is the window partitioned by the
+    32-byte segment md5 — groups are duplicate-sets (tiny, usually 1), so
+    the window state is bounded and skew-free; document bodies never move.
+    First-occurrence choice is total-ordered by (doc_id, seg_idx), so the
+    result is deterministic on any cluster size.
+    """
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(_NORM_TOKS_EXPR).alias("t"))
+    segs = (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.expr(f"sequence(1, greatest(size(t), 1), {_SEG_W})")
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / _SEG_W).cast("int").alias("seg_idx"),
+            F.expr(f"md5(array_join(slice(t, s, {_SEG_W}), ' '))").alias("seg_md5"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("seg_md5").orderBy("doc_id", "seg_idx")
+    )
+    # integer (bigint) sum: exact at any partial-agg merge order, and
+    # visibly so to the registry-wide float-stabilization guard
+    kept = F.sum((F.col("rn") == 1).cast("bigint"))
+    return (
+        segs.withColumn("rn", rn)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_segments"),
+            kept.cast("int").alias("n_kept"),
+            F.round(1.0 - kept.cast("double") / F.count("*"), 4).alias("drop_ratio"),
+        )
+    )
+
+
+@q(
+    "lm_perplexity",
+    f"""
+    WITH toks AS (SELECT doc_id, {_NORM_TOKS_SQL} AS t FROM documents),
+    big AS (
+      SELECT doc_id, g, string_split(g, ' ')[1] AS w1
+      FROM (SELECT doc_id, unnest({_grams_sql("t", 2)}) AS g FROM toks)
+    ),
+    c2 AS (SELECT g, count(*) AS c2 FROM big GROUP BY 1),
+    c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+    v AS (
+      SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(t) AS w FROM toks)
+    ),
+    scored AS (
+      SELECT big.doc_id,
+             CAST(round(-ln((c2.c2 + 1.0) / (c1.c1 + v.v)), 7)
+                  AS DECIMAL(18,7)) AS nll
+      FROM big JOIN c2 USING (g) JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_bigrams,
+           round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS avg_nll
+    FROM scored GROUP BY 1
+    """,
+)
+def lm_perplexity(spark, sf_dir):
+    """Statistical-LM quality filter (CCNet/Gopher style): score every
+    document by its average negative log-likelihood under an add-one-
+    smoothed bigram model trained on the corpus itself. High avg_nll =
+    improbable token sequences (gibberish, OCR noise, wrong language);
+    a curation pipeline thresholds or buckets on this score.
+
+    Plan shape: bigram extraction is a row-local explode; the model
+    "training" is two partial-agg counts keyed on gram strings (never
+    bodies); scoring re-joins the grams to their counts — shuffle keys are
+    grams, exactly the contamination_check topology, so it scales the same
+    way. The vocabulary size V is a one-row aggregate broadcast into the
+    scoring join. Determinism: per-token NLL is rounded to 7 decimals and
+    summed as DECIMAL, so the doc average is independent of partial-agg
+    merge order (the skew_salted_agg lesson) — ln() itself agrees across
+    engines at well under 1e-7 for these count ratios.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(_NORM_TOKS_EXPR).alias("t"))
+    big = toks.select(
+        "doc_id", F.explode(F.expr(_grams_expr("t", 2))).alias("g")
+    ).withColumn("w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+    c2 = big.groupBy("g").agg(F.count("*").alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = toks.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    nll = F.round(
+        -F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 7
+    ).cast("decimal(18,7)")
+    scored = (
+        big.join(c2, "g")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", nll.alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        F.round(F.sum("nll").cast("double") / F.count("*"), 4).alias("avg_nll"),
+    )
+
+
 _PACK_BUDGET = 2048  # tokens per training sequence/pack
 
 

@@ -345,6 +345,46 @@ def csv_export_roundtrip(spark, sf_dir):
     return read_csv_dataset(spark, path, schema)
 
 
+@q(
+    "orc_export_roundtrip",
+    """
+    SELECT s_suppkey, s_name, s_acctbal,
+           CAST(s_nationkey AS VARCHAR) AS s_nationkey
+    FROM supplier
+    """,
+)
+def orc_export_roundtrip(spark, sf_dir):
+    # The third columnar consumer surface after Parquet and CSV: supplier
+    # written as a nation-partitioned ORC dataset, read back through the
+    # declared schema, compared against the source table — certifies
+    # Spark's native ORC sink/source end-to-end (double columns must
+    # round-trip bit-exact; partition values come back as catalog-typed
+    # strings, the engine-wide partition contract, hence the oracle CAST).
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bds_orc_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+    )
+    supplier = tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    path = os.path.join(base, "supplier")
+    supplier.write.mode("overwrite").partitionBy("s_nationkey").orc(path)
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+            T.StructField("s_nationkey", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).orc(path)
+
+
 def _profile_sql(source: str) -> str:
     return (
         "("

@@ -121,3 +121,36 @@ def test_csv_timestamp_round_trip(spark, tmp_path):
     # microsecond precision survives the ISO text format; NULL stays NULL
     assert rows["r1"] == ts
     assert rows["r2"] is None
+
+
+def test_orc_partitioned_round_trip(spark, tmp_path):
+    """Native ORC sink/source: doubles (incl. NULL) and negative values
+    survive bit-exact; partition values come back as declared strings."""
+    src = spark.createDataFrame(
+        [(1, "alpha", -3.25, 0), (2, "beta", None, 0), (3, "gamma", 0.1, 1)],
+        "k long, name string, bal double, nk int",
+    )
+    path = os.path.join(str(tmp_path), "orc", "t")
+    src.write.mode("overwrite").partitionBy("nk").orc(path)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+            T.StructField("nk", T.StringType()),
+        ]
+    )
+    back = {r.k: r for r in spark.read.schema(schema).orc(path).collect()}
+    assert len(back) == 3
+    assert back[1].bal == -3.25 and back[2].bal is None and back[3].bal == 0.1
+    assert back[1].nk == "0" and back[3].nk == "1"
+    # partition pruning reaches the ORC scan
+    plan = (
+        spark.read.schema(schema)
+        .orc(path)
+        .where(F.col("nk") == "1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan and "nk" in plan.split("PartitionFilters")[1][:80]

@@ -78,3 +78,58 @@ def test_train_shards_cover_all_docs(spark, tiny_docs_dir):
     rows = curation.train_shards(spark, tiny_docs_dir).collect()
     assert sum(r.n_docs for r in rows) == 4
     assert all(0 <= r.shard < 16 for r in rows)
+
+
+@pytest.fixture(scope="module")
+def seg_docs_dir(spark, tmp_path_factory):
+    """Documents with PLANTED duplicate segments: docs 1 and 2 share an
+    identical first 16-token segment (boilerplate); their second segments
+    differ. Doc 3 is a 1-token doc (single short segment)."""
+    path = str(tmp_path_factory.mktemp("segdedup") / "lake")
+    boiler = " ".join(f"b{i}" for i in range(16))
+    uniq_a = " ".join(f"a{i}" for i in range(16))
+    uniq_b = " ".join(f"c{i}" for i in range(16))
+    rows = [
+        (1, f"{boiler} {uniq_a}", "en", "s0", 0),
+        (2, f"{boiler} {uniq_b}", "en", "s0", 0),
+        (3, "solo", "en", "s1", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_segment_dedup_first_occurrence_wins(spark, seg_docs_dir):
+    out = {r.doc_id: r for r in curation.segment_dedup(spark, seg_docs_dir).collect()}
+    # doc 1 owns the boilerplate's first occurrence: both segments kept.
+    assert out[1].n_segments == 2 and out[1].n_kept == 2
+    assert out[1].drop_ratio == 0.0
+    # doc 2's first segment is a corpus-wide duplicate of doc 1's: dropped.
+    assert out[2].n_segments == 2 and out[2].n_kept == 1
+    assert out[2].drop_ratio == 0.5
+    # a 1-token doc yields exactly one (short) segment, kept.
+    assert out[3].n_segments == 1 and out[3].n_kept == 1
+    # global invariant: total kept == corpus-wide distinct segments
+    # (boiler, uniq_a, uniq_b, solo).
+    assert sum(r.n_kept for r in out.values()) == 4
+
+
+def test_lm_perplexity_scores_predictability(spark, tmp_path_factory):
+    """A doc that repeats one high-count bigram must score a LOWER average
+    NLL than a doc of corpus-unique bigrams, and byte-identical docs must
+    score identically (determinism)."""
+    path = str(tmp_path_factory.mktemp("lm") / "lake")
+    rows = [
+        (1, "the cat " * 20, "en", "s0", 0),   # one bigram, seen ~40×
+        (2, " ".join(f"w{i}" for i in range(40)), "en", "s0", 0),  # all unique
+        (3, "the cat " * 20, "en", "s0", 0),   # exact dup of doc 1
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    out = {r.doc_id: r for r in curation.lm_perplexity(spark, path).collect()}
+    assert out[1].avg_nll > 0 and out[2].avg_nll > 0
+    assert out[1].avg_nll < out[2].avg_nll
+    assert out[1].avg_nll == out[3].avg_nll
+    assert out[2].n_bigrams == 39
