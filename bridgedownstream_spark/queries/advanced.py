@@ -534,3 +534,210 @@ def unpivot_metrics(spark, sf_dir):
         "metric",
         "val",
     ).withColumn("val", F.round("val", 2))
+
+
+# ---------------------------------------------------------------------------
+# Product analytics: ordered funnel, retention cohorts, winsorized stats
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+    ),
+    counts AS (
+              SELECT 1 AS stage, 'view' AS step, count(*) AS n FROM s1
+    UNION ALL SELECT 2, 'click', count(*) FROM s2
+    UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+    )
+    SELECT CAST(stage AS INT) AS stage, step, CAST(n AS INT) AS n_users,
+           round(100.0 * n / max(CASE WHEN stage = 1 THEN n END) OVER (), 2)
+               AS pct_of_top
+    FROM counts
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: how many users progressed view → click →
+    purchase in strict timestamp order (each step strictly after the
+    user's entry into the previous one). The product-analytics staple for
+    conversion measurement.
+
+    Plan shape: each stage is a conditional min keyed on user_id —
+    partial-agg heavy, one shuffle each, all on the SAME key so AQE
+    coalesces the exchanges; the stage-k frame only carries users who
+    survived stage k-1 (monotonically shrinking). The final pct is a
+    window over a 3-row frame. No step needs the event bodies — only
+    (user_id, ts) moves.
+    """
+    e = tbl(spark, sf_dir, "events")
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count("*").alias("n")).select(
+            F.lit(1).alias("stage"), F.lit("view").alias("step"), "n"
+        )
+        .unionByName(
+            s2.agg(F.count("*").alias("n")).select(
+                F.lit(2).alias("stage"), F.lit("click").alias("step"), "n"
+            )
+        )
+        .unionByName(
+            s3.agg(F.count("*").alias("n")).select(
+                F.lit(3).alias("stage"), F.lit("purchase").alias("step"), "n"
+            )
+        )
+    )
+    top = F.max(F.when(F.col("stage") == 1, F.col("n"))).over(
+        W.partitionBy()  # 3-row frame: a single-partition window is fine
+    )
+    return counts.select(
+        F.col("stage").cast("int").alias("stage"),
+        "step",
+        F.col("n").cast("int").alias("n_users"),
+        F.round(F.lit(100.0) * F.col("n") / top, 2).alias("pct_of_top"),
+    )
+
+
+#: Monday-anchored week numbering: days since 1970-01-05 (a Monday) div 7 —
+#: identical integer arithmetic in both engines, no date_trunc semantics to
+#: align.
+_WEEK_EXPR = "datediff(CAST({c} AS DATE), DATE'1970-01-05') div 7"
+_WEEK_SQL = "(CAST({c} AS DATE) - DATE '1970-01-05') // 7"
+
+
+@q(
+    "retention_cohorts",
+    f"""
+    WITH first AS (
+      SELECT user_id, {_WEEK_SQL.format(c="min(ts)")} AS cw
+      FROM events GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cw,
+             {_WEEK_SQL.format(c="e.ts")} - f.cw AS wo
+      FROM events e JOIN first f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cw AS INT) AS cohort_week,
+           CAST(wo AS INT) AS week_offset,
+           CAST(count(*) AS INT) AS n_active
+    FROM act GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort triangle: users grouped by the week of their first
+    event (the cohort), counted as active in each subsequent week-offset.
+    The other product-analytics staple next to the funnel.
+
+    Week ids are pure integer arithmetic on epoch days (Monday-anchored),
+    so both engines bucket identically with no date_trunc/locale
+    semantics in play. Plan shape: first-event week is one agg keyed on
+    user_id; activity dedup is a DISTINCT keyed on (user, cohort, offset);
+    the final count is a small agg — every shuffle key is id-sized, and
+    the cohort join broadcasts nothing data-proportional (it's keyed on
+    user_id like the funnel's stages).
+    """
+    e = tbl(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.expr(_WEEK_EXPR.format(c="min(ts)")).alias("cw")
+    )
+    act = (
+        e.select("user_id", "ts")
+        .join(first, "user_id")
+        .select(
+            "user_id",
+            "cw",
+            (F.expr(_WEEK_EXPR.format(c="ts")) - F.col("cw")).alias("wo"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.col("cw").cast("int").alias("cohort_week"),
+        F.col("wo").cast("int").alias("week_offset"),
+    ).agg(F.count("*").cast("int").alias("n_active"))
+
+
+@q(
+    "winsorized_stats",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS INT) AS n,
+           CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi
+                         THEN 1 ELSE 0 END) AS INT) AS n_clipped,
+           CAST(round(sum(CAST(round(least(greatest(e.value, b.lo), b.hi), 6)
+                              AS DECIMAL(24,10))), 2) AS DOUBLE)
+               AS sum_winsorized
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY 1
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped) statistics: per event_type, clamp `value` to
+    its exact [p05, p95] band and report how many rows were clipped plus
+    the clipped sum — the robust-statistics cleaning pass that stops a few
+    wild outliers from dominating downstream aggregates.
+
+    Two-pass shape: the percentile bounds are ONE small aggregate (5
+    rows) broadcast back onto the fact scan, then a single partial-agg
+    pass computes the clipped sum — the clip itself is row-local. The
+    clipped values are rounded then summed as DECIMAL so the reported sum
+    is independent of partial-agg merge order (exact `percentile` ≡
+    DuckDB `quantile_cont` is already certified by group_median).
+    """
+    e = tbl(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.round(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6)
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("int").alias("n"),
+            F.sum(
+                ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+                .cast("bigint")
+            )
+            .cast("int")
+            .alias("n_clipped"),
+            F.round(F.sum(clipped.cast("decimal(24,10)")), 2)
+            .cast("double")
+            .alias("sum_winsorized"),
+        )
+    )

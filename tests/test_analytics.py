@@ -1,0 +1,92 @@
+"""Semantics tests for the product-analytics operators (funnel, retention,
+winsorize) on tiny hand-built event fixtures — the oracle gate covers the
+happy path at sf0.01; these pin the ordering/edge semantics the synthetic
+corpus can't distinguish."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from bridgedownstream_spark.queries import advanced
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def funnel_dir(spark, tmp_path_factory):
+    """Users covering every funnel shape:
+    u1 view→click→purchase in order (full funnel);
+    u2 click BEFORE its first view — click must NOT count;
+    u3 view then purchase with no click — stops at stage 1;
+    u4 purchase only — never enters the funnel."""
+    path = str(tmp_path_factory.mktemp("funnel") / "lake")
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), 1, "view", 1.0, "{}"),
+        (2, t(1), 1, "click", 1.0, "{}"),
+        (3, t(2), 1, "purchase", 1.0, "{}"),
+        (4, t(0), 2, "click", 1.0, "{}"),   # precedes the view
+        (5, t(1), 2, "view", 1.0, "{}"),
+        (6, t(0), 3, "view", 1.0, "{}"),
+        (7, t(1), 3, "purchase", 1.0, "{}"),  # no click: purchase can't count
+        (8, t(0), 4, "purchase", 1.0, "{}"),
+    ]
+    _write_events(spark, path, rows)
+    return path
+
+
+def test_funnel_requires_strict_order(spark, funnel_dir):
+    out = {r.stage: r for r in advanced.funnel_conversion(spark, funnel_dir).collect()}
+    assert out[1].n_users == 3          # u1, u2, u3 viewed
+    assert out[2].n_users == 1          # only u1 clicked after viewing
+    assert out[3].n_users == 1          # only u1 purchased after clicking
+    assert out[1].pct_of_top == 100.0
+    assert out[2].pct_of_top == pytest.approx(33.33)
+    assert out[2].step == "click" and out[3].step == "purchase"
+
+
+def test_retention_counts_distinct_user_weeks(spark, tmp_path_factory):
+    """A user active twice in the same week counts once; offsets are whole
+    Monday-anchored weeks from the user's first event."""
+    path = str(tmp_path_factory.mktemp("retention") / "lake")
+    rows = [
+        # u1 first event Mon 2024-01-01 (week anchor), active again same
+        # week (dedup) and in week +2
+        (1, datetime(2024, 1, 1, 9), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 3, 9), 1, "click", 1.0, "{}"),
+        (3, datetime(2024, 1, 15, 9), 1, "view", 1.0, "{}"),
+        # u2 first event Sun 2024-01-07: SAME Monday week as u1
+        (4, datetime(2024, 1, 7, 9), 2, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, path, rows)
+    out = {
+        (r.cohort_week, r.week_offset): r.n_active
+        for r in advanced.retention_cohorts(spark, path).collect()
+    }
+    wk = (datetime(2024, 1, 1) - datetime(1970, 1, 5)).days // 7
+    assert out[(wk, 0)] == 2      # u1 + u2, u1's two week-0 events dedup'd
+    assert out[(wk, 2)] == 1      # u1 returns two weeks later
+    assert len(out) == 2
+
+
+def test_winsorize_clips_only_outliers(spark, tmp_path_factory):
+    """With 21 values 0..20, exact p05/p95 = 1.0/19.0: the two tail values
+    clip to the bounds, everything else is untouched."""
+    path = str(tmp_path_factory.mktemp("winsor") / "lake")
+    rows = [
+        (i, datetime(2024, 1, 1, 0, i), 1, "view", float(i), "{}")
+        for i in range(21)
+    ]
+    _write_events(spark, path, rows)
+    r = advanced.winsorized_stats(spark, path).collect()[0]
+    assert r.n == 21 and r.n_clipped == 2
+    # sum 0..20 = 210; clipping 0→1 and 20→19 gives 210 + 1 - 1 = 210
+    assert r.sum_winsorized == 210.0
