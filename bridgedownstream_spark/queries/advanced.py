@@ -741,3 +741,70 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_winsorized"),
         )
     )
+
+
+@q(
+    "scd2_intervals",
+    f"""
+    WITH t AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, state, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM t
+    ),
+    iv AS (
+      SELECT user_id, state, grp, min(ts) AS valid_from
+      FROM g GROUP BY 1, 2, 3
+    )
+    SELECT user_id, state,
+           {TS_STR.format(col="valid_from")} AS valid_from,
+           {TS_STR.format(col="lead(valid_from) OVER (PARTITION BY user_id ORDER BY grp)")}
+               AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY grp) IS NULL
+               AS is_current
+    FROM iv
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (SCD type 2) interval build: collapse each
+    user's event stream into [valid_from, valid_to) validity intervals of
+    their current state (event_type standing in for the tracked
+    attribute), consecutive identical states merged, the open interval
+    flagged current. This is the standard change-capture → dimension-table
+    derivation a warehouse runs over entity snapshots.
+
+    Plan shape: classic gaps-and-islands — a lag-diff marks changes, a
+    running sum numbers the runs, one agg takes each run's start, and a
+    lead supplies the exclusive end. All four steps share the user_id
+    partitioning, so the whole derivation is ONE exchange (the same shape
+    `sessionize` certifies by plan test). Interval ends come from lead(),
+    never a self-join.
+    """
+    e = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+    ).cast("bigint")
+    g = e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        F.sum(chg).over(w.rowsBetween(W.unboundedPreceding, 0)).alias("grp"),
+    )
+    iv = g.groupBy("user_id", "state", "grp").agg(F.min("ts").alias("valid_from"))
+    wl = W.partitionBy("user_id").orderBy("grp")
+    nxt = F.lead("valid_from").over(wl)
+    return iv.select(
+        "user_id",
+        "state",
+        ts_str("valid_from").alias("valid_from"),
+        ts_str(nxt).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -464,3 +464,103 @@ def profile_drift(spark, sf_dir):
         )
         .orderBy("col_name")
     )
+
+
+@q(
+    "dq_constraint_report",
+    """
+    WITH m AS (
+      SELECT count(*) AS n,
+             count(o_custkey) AS nn_cust,
+             count(DISTINCT o_orderkey) AS d_ok,
+             min(o_totalprice) AS min_tp,
+             sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+                 AS in_set
+      FROM orders
+    ),
+    ri AS (
+      -- NULL foreign keys are a completeness violation, not a referential
+      -- one: exclude them so each constraint flags exactly its own defect
+      SELECT count(*) AS orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+    )
+    SELECT 'completeness:o_custkey' AS constraint_id,
+           round(CAST(nn_cust AS DOUBLE) / n, 6) AS metric,
+           nn_cust = n AS passed FROM m
+    UNION ALL
+    SELECT 'uniqueness:o_orderkey', round(CAST(d_ok AS DOUBLE) / n, 6),
+           d_ok = n FROM m
+    UNION ALL
+    SELECT 'min_range:o_totalprice>0', round(min_tp, 2), min_tp > 0 FROM m
+    UNION ALL
+    SELECT 'membership:o_orderstatus', round(CAST(in_set AS DOUBLE) / n, 6),
+           in_set = n FROM m
+    UNION ALL
+    SELECT 'referential:o_custkey->customer', CAST(orphans AS DOUBLE),
+           orphans = 0 FROM ri
+    """,
+)
+def dq_constraint_report(spark, sf_dir):
+    """Declarative data-quality constraint report (Deequ-style): one pass
+    computes completeness, uniqueness, range, and set-membership metrics
+    over orders, plus a referential-integrity probe against customer; each
+    constraint emits (id, metric, passed). The pre-publish validation gate
+    a lake pipeline runs on every batch.
+
+    Scale shape: the four column constraints share ONE scan/aggregate
+    (count/count-distinct/min/conditional-sum fuse into a single partial
+    agg); referential integrity is one anti-join keyed on the foreign key.
+    Metrics are ratios of exact counts (plus one min passthrough), so the
+    report is bit-deterministic at any parallelism.
+    """
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    m = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_orderkey").alias("d_ok"),
+        F.min("o_totalprice").alias("min_tp"),
+        F.sum(F.col("o_orderstatus").isin("O", "F", "P").cast("bigint")).alias(
+            "in_set"
+        ),
+    )
+    # NULL FKs are completeness's defect, not referential's — exclude them
+    orphans = (
+        o.select("o_custkey")
+        .where(F.col("o_custkey").isNotNull())
+        .join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orphans"))
+    )
+    ratio = lambda a, b: F.round(F.col(a).cast("double") / F.col(b), 6)  # noqa: E731
+    rows = [
+        m.select(
+            F.lit("completeness:o_custkey").alias("constraint_id"),
+            ratio("nn_cust", "n").alias("metric"),
+            (F.col("nn_cust") == F.col("n")).alias("passed"),
+        ),
+        m.select(
+            F.lit("uniqueness:o_orderkey").alias("constraint_id"),
+            ratio("d_ok", "n").alias("metric"),
+            (F.col("d_ok") == F.col("n")).alias("passed"),
+        ),
+        m.select(
+            F.lit("min_range:o_totalprice>0").alias("constraint_id"),
+            F.round("min_tp", 2).alias("metric"),
+            (F.col("min_tp") > 0).alias("passed"),
+        ),
+        m.select(
+            F.lit("membership:o_orderstatus").alias("constraint_id"),
+            ratio("in_set", "n").alias("metric"),
+            (F.col("in_set") == F.col("n")).alias("passed"),
+        ),
+        orphans.select(
+            F.lit("referential:o_custkey->customer").alias("constraint_id"),
+            F.col("orphans").cast("double").alias("metric"),
+            (F.col("orphans") == 0).alias("passed"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -90,3 +90,58 @@ def test_winsorize_clips_only_outliers(spark, tmp_path_factory):
     assert r.n == 21 and r.n_clipped == 2
     # sum 0..20 = 210; clipping 0→1 and 20→19 gives 210 + 1 - 1 = 210
     assert r.sum_winsorized == 210.0
+
+
+def test_scd2_collapses_runs_and_chains_intervals(spark, tmp_path_factory):
+    """Consecutive identical states merge into one interval; each interval's
+    exclusive end is the next interval's start; the last is open/current."""
+    path = str(tmp_path_factory.mktemp("scd2") / "lake")
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), 1, "view", 1.0, "{}"),
+        (2, t(1), 1, "view", 1.0, "{}"),    # same state: merges
+        (3, t(2), 1, "click", 1.0, "{}"),
+        (4, t(3), 1, "view", 1.0, "{}"),    # state recurs: NEW interval
+        (5, t(0), 2, "signup", 1.0, "{}"),
+    ]
+    _write_events(spark, path, rows)
+    out = sorted(
+        advanced.scd2_intervals(spark, path).collect(),
+        key=lambda r: (r.user_id, r.valid_from),
+    )
+    u1 = [r for r in out if r.user_id == 1]
+    assert [r.state for r in u1] == ["view", "click", "view"]
+    assert u1[0].valid_to == u1[1].valid_from
+    assert u1[1].valid_to == u1[2].valid_from
+    assert [r.is_current for r in u1] == [False, False, True]
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current and u2[0].valid_to is None
+
+
+def test_dq_report_flags_planted_violations(spark, tmp_path_factory):
+    """Duplicate order key, NULL custkey, orphan custkey, negative total,
+    and an out-of-set status each fail exactly their own constraint."""
+    from bridgedownstream_spark.queries import ops
+
+    path = str(tmp_path_factory.mktemp("dq") / "lake")
+    spark.createDataFrame(
+        [(1,), (2,)], "c_custkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/customer.parquet")
+    orders = [
+        (10, 1, "O", 5.0),
+        (10, 2, "F", 6.0),      # duplicate o_orderkey
+        (11, None, "P", -1.0),  # NULL custkey + negative total
+        (12, 99, "X", 2.0),     # orphan custkey + bad status
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    out = {r.constraint_id: r for r in ops.dq_constraint_report(spark, path).collect()}
+    assert not out["uniqueness:o_orderkey"].passed
+    assert out["uniqueness:o_orderkey"].metric == 0.75
+    assert not out["completeness:o_custkey"].passed
+    assert not out["min_range:o_totalprice>0"].passed
+    assert out["min_range:o_totalprice>0"].metric == -1.0
+    assert not out["membership:o_orderstatus"].passed
+    assert not out["referential:o_custkey->customer"].passed
+    assert out["referential:o_custkey->customer"].metric == 1.0  # one orphan
