@@ -808,3 +808,172 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str(nxt).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@q(
+    "fuzzy_match_parts",
+    """
+    WITH dirty AS (
+      SELECT p_partkey AS d_key,
+             CASE WHEN p_partkey % 3 = 0
+                  THEN substr(p_name, 1, len(p_name) - 1)
+                  ELSE p_name END AS d_name,
+             p_brand, p_type, p_size
+      FROM part
+    ),
+    cand AS (
+      SELECT d.d_key, p.p_partkey AS m_key,
+             levenshtein(d.d_name, p.p_name) AS lev
+      FROM dirty d JOIN part p
+        ON d.p_brand = p.p_brand AND d.p_type = p.p_type
+           AND d.p_size = p.p_size
+      WHERE levenshtein(d.d_name, p.p_name) <= 2
+    ),
+    best AS (
+      SELECT d_key, m_key, lev,
+             row_number() OVER (PARTITION BY d_key ORDER BY lev, m_key) AS rn
+      FROM cand
+    )
+    SELECT d_key, m_key, CAST(lev AS INT) AS lev, m_key = d_key AS self_match
+    FROM best WHERE rn = 1
+    """,
+)
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-string entity resolution: a deterministically-corrupted
+    "dirty" catalog (every 3rd part name loses its last character) is
+    matched back to the clean part table by attribute blocking on
+    (brand, type, size), edit-distance scoring within each block, and
+    deterministic best-match resolution (lowest distance, then lowest
+    key). The standard record-linkage shape: block → score → resolve.
+
+    Scale path: candidate generation is an equi-join on the blocking key —
+    never all-pairs — and Levenshtein runs only inside blocks (max block
+    size here ≈50 at sf0.1; production blocking picks keys that bound
+    block size, or composes multiple blocking passes). Resolution is one
+    window per dirty record over its (tiny) candidate set. Everything
+    stays JVM-side: `levenshtein` is a codegen'd builtin in both engines.
+    """
+    p = tbl(spark, sf_dir, "part")
+    dirty = p.select(
+        F.col("p_partkey").alias("d_key"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.expr("substring(p_name, 1, length(p_name) - 1)"),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("d_name"),
+        "p_brand",
+        "p_type",
+        "p_size",
+    )
+    cand = (
+        dirty.join(p, ["p_brand", "p_type", "p_size"])
+        .select(
+            "d_key",
+            F.col("p_partkey").alias("m_key"),
+            F.levenshtein("d_name", "p_name").alias("lev"),
+        )
+        .where(F.col("lev") <= 2)
+    )
+    rn = F.row_number().over(W.partitionBy("d_key").orderBy("lev", "m_key"))
+    return (
+        cand.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "d_key",
+            "m_key",
+            F.col("lev").cast("int").alias("lev"),
+            (F.col("m_key") == F.col("d_key")).alias("self_match"),
+        )
+    )
+
+
+#: fixed 2-dp decimal render — the one float→string path both engines
+#: format identically (same trick as array_slice_limit)
+_VAL_DIG = "CAST(CAST(round(value, 2) AS DECIMAL(18,2)) AS VARCHAR)"
+_VAL_DIG_SPARK = "CAST(CAST(round(value, 2) AS DECIMAL(18,2)) AS STRING)"
+
+
+@q(
+    "snapshot_diff",
+    f"""
+    WITH old AS (
+      SELECT event_id, event_type,
+             md5(concat_ws('|', CAST(user_id AS VARCHAR), event_type,
+                           {_VAL_DIG})) AS dig
+      FROM events WHERE event_id % 11 <> 0
+    ),
+    new AS (
+      SELECT event_id, event_type,
+             md5(concat_ws('|', CAST(user_id AS VARCHAR), event_type,
+                           CAST(CAST(round(
+                               CASE WHEN event_id % 5 = 0 THEN value + 1
+                                    ELSE value END, 2) AS DECIMAL(18,2))
+                                AS VARCHAR))) AS dig
+      FROM events WHERE event_id % 7 <> 0
+    )
+    SELECT coalesce(o.event_type, n.event_type) AS event_type,
+           CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                WHEN o.dig <> n.dig THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(count(*) AS INT) AS n
+    FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    GROUP BY 1, 2
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (change-data-capture audit): compare two
+    lake snapshots by primary key and a row digest, classifying every key
+    as added / removed / changed / unchanged — the reconciliation report a
+    pipeline runs after a backfill or migration to prove what actually
+    moved. Snapshots are simulated deterministically from events (old
+    misses the %11 keys "added later", new misses the %7 keys "deleted",
+    and every 5th value drifted).
+
+    Scale shape: rows reduce to (key, 32-byte digest) BEFORE the full
+    outer join, so the only wide shuffle carries digests, not bodies —
+    the count-reconciliation pattern upgraded to row granularity. The
+    digest renders floats through a fixed-scale DECIMAL so both engines
+    hash identical bytes.
+    """
+    e = tbl(spark, sf_dir, "events")
+    dig_old = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            "event_type",
+            F.expr(_VAL_DIG_SPARK),
+        )
+    )
+    old = (
+        e.where(F.col("event_id") % 11 != 0)
+        .select("event_id", "event_type", dig_old.alias("dig"))
+    )
+    mutated = F.when(F.col("event_id") % 5 == 0, F.col("value") + 1).otherwise(
+        F.col("value")
+    )
+    dig_new = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            "event_type",
+            F.round(mutated, 2).cast("decimal(18,2)").cast("string"),
+        )
+    )
+    new = (
+        e.where(F.col("event_id") % 7 != 0)
+        .select("event_id", "event_type", dig_new.alias("dig"))
+    )
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.event_id") == F.col("n.event_id"), "full_outer")
+    status = (
+        F.when(F.col("o.event_id").isNull(), "added")
+        .when(F.col("n.event_id").isNull(), "removed")
+        .when(F.col("o.dig") != F.col("n.dig"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(
+        F.coalesce(F.col("o.event_type"), F.col("n.event_type")).alias("event_type"),
+        status.alias("status"),
+    ).agg(F.count("*").cast("int").alias("n"))

@@ -145,3 +145,57 @@ def test_dq_report_flags_planted_violations(spark, tmp_path_factory):
     assert not out["membership:o_orderstatus"].passed
     assert not out["referential:o_custkey->customer"].passed
     assert out["referential:o_custkey->customer"].metric == 1.0  # one orphan
+
+
+def test_fuzzy_match_blocks_and_ties(spark, tmp_path_factory):
+    """Matching stays inside the blocking key; a distance tie resolves to
+    the lowest candidate key; corrupted rows still self-match at lev 1."""
+    path = str(tmp_path_factory.mktemp("fuzzy") / "lake")
+    parts = [
+        # block A: key 3 corrupts 'abc'->'ab', equidistant (lev 1) to both
+        # 'abc' (key 3) and 'abd'... ('ab'->'abd' is lev 1 too): tie -> key 3
+        (3, "abc", "B1", "T1", 1),
+        (4, "abd", "B1", "T1", 1),
+        # block B: identical NAME as block A's winner but different block —
+        # must never be a candidate for block A's rows
+        (5, "abc", "B2", "T1", 1),
+        # lone block: uncorrupted, exact self-match
+        (7, "widget", "B3", "T1", 2),
+    ]
+    spark.createDataFrame(
+        parts, "p_partkey long, p_name string, p_brand string, p_type string, p_size int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/part.parquet")
+    out = {r.d_key: r for r in advanced.fuzzy_match_parts(spark, path).collect()}
+    assert out[3].m_key == 3 and out[3].lev == 1 and out[3].self_match
+    assert out[4].m_key == 4 and out[4].lev == 0
+    assert out[5].m_key == 5          # same name, other block: no cross-talk
+    assert out[7].m_key == 7 and out[7].lev == 0
+    assert len(out) == 4
+
+
+def test_snapshot_diff_classifies_keys(spark, tmp_path_factory):
+    """Keys only in new are added, only in old removed, drifted digests
+    changed, identical digests unchanged."""
+    from collections import Counter
+
+    path = str(tmp_path_factory.mktemp("snapdiff") / "lake")
+    rows = [
+        # event_id 77 -> %11==0: added (absent from old); %7==0 too... 77%7=0
+        # pick ids carefully: added needs %11==0 and %7!=0 -> 22
+        (22, datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+        # removed: %7==0 and %11!=0 -> 14
+        (14, datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+        # changed: %5==0, %7!=0, %11!=0 -> 15 (value drifts +1 in new)
+        (15, datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+        # unchanged: 1
+        (1, datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+        # in NEITHER snapshot: %7==0 and %11==0 -> 0: must not appear at all
+        (0, datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, path, rows)
+    out = Counter(
+        (r.status, r.n) for r in advanced.snapshot_diff(spark, path).collect()
+    )
+    assert out == Counter(
+        [("added", 1), ("removed", 1), ("changed", 1), ("unchanged", 1)]
+    )
