@@ -1141,3 +1141,126 @@ def pq_recall(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+_COMP_CTE_DUCK = (
+    _PAIRS_CTE_DUCK.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    + ", edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+    "             UNION ALL SELECT doc_b, doc_a FROM pairs)"
+    ", reach AS (SELECT a AS src, b AS dst FROM edges"
+    "            UNION"
+    "            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)"
+    ", comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component"
+    "           FROM reach GROUP BY src)"
+)
+
+
+@q(
+    "near_dup_keep_best",
+    _COMP_CTE_DUCK + """
+    , qual AS (
+      SELECT doc_id,
+             len(list_distinct(string_split(trim(
+                 regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS uq
+      FROM documents
+    )
+    SELECT c.doc_id, c.component, CAST(q.uq AS INT) AS uq,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY q.uq DESC, c.doc_id) = 1 AS keep
+    FROM comp c JOIN qual q ON c.doc_id = q.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def near_dup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup resolution: the full dedup stack composed —
+    MinHash-LSH pairs → connected-components clusters → keep the HIGHEST-
+    QUALITY member of each cluster (most distinct tokens; ties to the
+    lowest doc_id) instead of the arbitrary lowest-id representative that
+    `near_dup_components` elects. This is what production dedup actually
+    ships: when a boilerplate family collapses, you keep the richest copy.
+
+    Scale shape: inherits the LSH candidate table (offline per-corpus
+    artifact) and the O(diameter) component loop; the quality metric is a
+    row-local projection joined on doc_id, and the election is one window
+    over each cluster (clusters are small by construction — a giant
+    cluster means the Jaccard threshold, not the plan, is wrong).
+    """
+    from bridgedownstream_spark.operators.components import connected_components
+
+    pairs = QUERIES["near_dup_lsh_pairs"][0](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    toks = "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"
+    qual = d.select(
+        "doc_id", F.expr(f"size(array_distinct({toks}))").alias("uq")
+    )
+    w = W.partitionBy("component").orderBy(F.desc("uq"), F.asc("doc_id"))
+    return (
+        comp.join(qual, "doc_id")
+        .select(
+            "doc_id",
+            "component",
+            F.col("uq").cast("int").alias("uq"),
+            (F.row_number().over(w) == 1).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "dedup_graph_triangles",
+    _PAIRS_CTE_DUCK + """
+    , e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+        ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    deg AS (
+      SELECT count(*) AS n_edges, count(DISTINCT v) AS n_nodes
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+    )
+    SELECT CAST(n_nodes AS INT) AS n_nodes,
+           CAST(n_edges / 2 AS INT) AS n_edges,
+           CAST(n_triangles AS INT) AS n_triangles
+    FROM deg, tri
+    """,
+)
+def dedup_graph_triangles(spark, sf_dir):
+    """Structural QC of the near-dup graph: node/edge/triangle counts.
+    Triangle density distinguishes tight duplicate CLIQUES (every copy
+    matches every copy — safe to collapse) from fragile CHAINS (a≈b≈c
+    but a≉c — collapsing may over-merge), which is the standard sanity
+    metric before trusting transitive-closure dedup.
+
+    Triangle counting uses the oriented-edge join: edges stored a<b only,
+    so each triangle is counted exactly once as a<b<c and the join
+    fan-out is bounded by out-degree under the total order (the classic
+    distributed-triangle trick — no node ever joins its full undirected
+    neighborhood). Output is one row of exact integers.
+    """
+    pairs = QUERIES["near_dup_lsh_pairs"][0](spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.col("a").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("v")))
+        .agg(F.count("*").alias("n_edges2"), F.countDistinct("v").alias("n_nodes"))
+    )
+    return deg.crossJoin(F.broadcast(tri)).select(
+        F.col("n_nodes").cast("int").alias("n_nodes"),
+        (F.col("n_edges2") / 2).cast("int").alias("n_edges"),
+        F.col("n_triangles").cast("int").alias("n_triangles"),
+    )
