@@ -180,6 +180,9 @@ def stream_upsert_lake(
     checkpoint_root: str,
     key_cols: tuple[str, ...] = DEFAULT_KEY_COLS,
     timeout_sec: int = 300,
+    rollup_path: str | None = None,
+    rollup_group_cols: list[str] | None = None,
+    rollup_aggs: list | None = None,
 ) -> None:
     """Drain all NDJSON lake files not yet seen by ``checkpoint_root``
     through stage 2, upserting into the parquet lake, then return.
@@ -190,6 +193,16 @@ def stream_upsert_lake(
     layout. Re-running with the same checkpoint processes only files that
     arrived since the last run; re-exported records replace their prior
     rows instead of appending duplicates.
+
+    When ``rollup_path`` is given (with ``rollup_group_cols`` and
+    ``rollup_aggs``, see :func:`pipeline.rollup.refresh_rollup`), every
+    micro-batch ALSO re-refreshes the root table's rollup for exactly the
+    partitions the batch touched — because the sink is an upsert (rows
+    replaced, not appended), the touched partitions' rollup rows must be
+    recomputed, not incremented; untouched partitions are never re-read.
+    This keeps a continuous aggregate exact under re-exports, at cost
+    proportional to the arrival rate — the streaming completion of the
+    Timescale-style continuous-aggregate pattern.
     """
     ds = registry[dataset_name]
     path = os.path.join(json_root, f"dataset={ds.name}")
@@ -205,10 +218,30 @@ def stream_upsert_lake(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sync_batch_to_lake(
+        written = sync_batch_to_lake(
             spark, batch_df, ds, parquet_root, key_cols=key_cols,
             registry=registry,
         )
+        root_path = written.get(ds.name)
+        if rollup_path is not None and root_path is not None:
+            from bridgedownstream_spark.pipeline.rollup import refresh_rollup
+
+            # partition-count-scale collect: the refresh PLAN, not data
+            touched = [
+                {c: row[c] for c in ds.partition_cols}
+                for row in batch_df.select(*ds.partition_cols)
+                .distinct()
+                .collect()
+            ]
+            refresh_rollup(
+                spark,
+                root_path,
+                rollup_path,
+                rollup_group_cols or [],
+                rollup_aggs or [],
+                list(ds.partition_cols),
+                refresh_partitions=touched,
+            )
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

@@ -214,3 +214,75 @@ def test_sync_skips_sibling_dataset_tables(spark, tmp_path):
     assert [(r["recordid"], r["score"]) for r in extra.collect()] == [("rA", 1.0)]
     mine_out = spark.read.parquet(os.path.join(pq_root, "rec_v1"))
     assert [(r["recordid"], r["score"]) for r in mine_out.collect()] == [("rA", 9.0)]
+
+
+def test_stream_sync_keeps_rollup_exact_under_reexports(spark, tmp_path):
+    """With rollup maintenance on, every drain leaves the rollup equal to a
+    direct re-aggregation of the lake — including after a re-export changes
+    values in an already-rolled partition (recompute, not increment)."""
+    from pyspark.sql import functions as F
+
+    json_root = str(tmp_path / "json")
+    pq_root = str(tmp_path / "parquet")
+    ckpt = str(tmp_path / "ckpt")
+    rollup = str(tmp_path / "rollup")
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(F.col("score").cast("decimal(24,10)")).alias("score_sum"),
+    ]
+
+    def drain():
+        stream_upsert_lake(
+            spark, json_root, pq_root, "rec_v1", REGISTRY, ckpt,
+            rollup_path=rollup,
+            rollup_group_cols=[],
+            rollup_aggs=aggs,
+        )
+
+    def rollup_by_aid():
+        return {
+            r["assessmentid"]: (r["n_total"], float(r["s_total"]))
+            for r in spark.read.parquet(rollup)
+            .groupBy("assessmentid")
+            .agg(
+                F.sum("n").alias("n_total"), F.sum("score_sum").alias("s_total")
+            )
+            .collect()
+        }
+
+    def direct_by_aid():
+        return {
+            r["assessmentid"]: (r["n_total"], float(r["s_total"]))
+            for r in spark.read.parquet(os.path.join(pq_root, "rec_v1"))
+            .groupBy("assessmentid")
+            .agg(
+                F.count("*").alias("n_total"),
+                F.sum(F.col("score").cast("decimal(24,10)")).alias("s_total"),
+            )
+            .collect()
+        }
+
+    a_dir = _part_dir(json_root, "A")
+    b_dir = _part_dir(json_root, "B")
+    _write_records(
+        os.path.join(a_dir, "f1.ndjson"),
+        [_rec("r1", 1.0, [1]), _rec("r2", 2.0, [2])],
+    )
+    _write_records(os.path.join(b_dir, "f2.ndjson"), [_rec("r3", 3.0, [3])])
+    drain()
+    assert rollup_by_aid() == direct_by_aid() == {"A": (2, 3.0), "B": (1, 3.0)}
+
+    # re-export r1 with a new score into the ALREADY-ROLLED partition A,
+    # plus a brand-new record in B: A must be recomputed (not doubled),
+    # B incremented
+    _write_records(
+        os.path.join(a_dir, "f3.ndjson"),
+        [_rec("r1", 9.0, [7]), ],
+    )
+    _write_records(os.path.join(b_dir, "f4.ndjson"), [_rec("r4", 4.0, [8])])
+    drain()
+    assert rollup_by_aid() == direct_by_aid() == {"A": (2, 11.0), "B": (2, 7.0)}
+
+    # idempotent no-op drain: nothing new, rollup unchanged
+    drain()
+    assert rollup_by_aid() == {"A": (2, 11.0), "B": (2, 7.0)}
