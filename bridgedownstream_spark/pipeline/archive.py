@@ -23,7 +23,12 @@ import os
 import re
 import shutil
 
-__all__ = ["archive_dataset", "next_update_number", "descendant_tables"]
+__all__ = [
+    "archive_dataset",
+    "next_update_number",
+    "descendant_tables",
+    "prune_archives",
+]
 
 
 def descendant_tables(parquet_root: str, dataset: str) -> list[str]:
@@ -68,3 +73,42 @@ def archive_dataset(
         shutil.copytree(src, dst)
         moved[src] = dst
     return moved
+
+
+def prune_archives(
+    archive_root: str, dataset: str, keep_last: int
+) -> list[str]:
+    """Retention for the archive store: delete all but the newest
+    ``keep_last`` archived updates of ``dataset``. Returns the removed
+    directory names (sorted).
+
+    An archived "update" is the SET of table directories sharing one
+    update number (root + children archived together by
+    :func:`archive_dataset`); retention operates on whole updates, never
+    on individual tables, so a kept update always restores consistently.
+    Matching uses the same ``{dataset}[_child]_{n}`` pattern as
+    :func:`next_update_number` — consistent with what
+    :func:`archive_dataset` wrote. A sibling whose name extends
+    ``dataset`` WITHOUT an underscore (``ds_v1`` vs ``ds_v1b``) can never
+    match; one that extends it WITH an underscore (``gait`` vs
+    ``gait_v2``) is textually indistinguishable from a child table of the
+    shorter name (``gait_v2_3`` = child ``v2`` update 3 OR dataset
+    ``gait_v2`` update 3) — the same ambiguity ``sync_batch_to_lake``
+    raises on. Deployments with such names must give each dataset family
+    its own ``archive_root``.
+    """
+    if keep_last < 1:
+        raise ValueError(f"prune_archives: keep_last must be >= 1, got {keep_last}")
+    if not os.path.isdir(archive_root):
+        return []
+    pat = re.compile(re.escape(dataset) + r"(?:_.+)?_(\d+)$")
+    by_update: dict[int, list[str]] = {}
+    for name in os.listdir(archive_root):
+        if m := pat.match(name):
+            by_update.setdefault(int(m.group(1)), []).append(name)
+    removed: list[str] = []
+    for n in sorted(by_update)[: max(0, len(by_update) - keep_last)]:
+        for name in by_update[n]:
+            shutil.rmtree(os.path.join(archive_root, name))
+            removed.append(name)
+    return sorted(removed)

@@ -78,3 +78,36 @@ def test_schema_change_protocol_loop(spark, tmp_path):
     # archived copy still readable
     old = spark.read.parquet(os.path.join(pq, "archive", "ds_v1_1"))
     assert old.count() == 1
+
+
+def test_prune_archives_keeps_newest_whole_updates(tmp_path):
+    """Retention removes the oldest whole update sets, keeps the newest
+    keep_last, never touches a sibling dataset — including one whose name
+    extends the pruned dataset's."""
+    import pytest
+
+    from bridgedownstream_spark.pipeline.archive import prune_archives
+
+    root = str(tmp_path / "archive")
+    dirs = [
+        "ds_v1_1", "ds_v1_items_1",
+        "ds_v1_2", "ds_v1_items_2",
+        "ds_v1_3",
+        "other_v1_1",          # sibling dataset
+        "ds_v1b_1",            # sibling whose name extends ds_v1 without a
+                               # '_' separator: must not match ds_v1's pattern
+    ]
+    for d in dirs:
+        os.makedirs(os.path.join(root, d))
+
+    removed = prune_archives(root, "ds_v1", keep_last=2)
+    # updates 1 pruned entirely (both tables), 2 and 3 kept
+    assert removed == ["ds_v1_1", "ds_v1_items_1"]
+    left = sorted(os.listdir(root))
+    assert "ds_v1_2" in left and "ds_v1_items_2" in left and "ds_v1_3" in left
+    assert "other_v1_1" in left
+    # keep_last >= number of updates: no-op
+    assert prune_archives(root, "other_v1", keep_last=5) == []
+    assert prune_archives(str(tmp_path / "missing"), "ds_v1", 1) == []
+    with pytest.raises(ValueError):
+        prune_archives(root, "ds_v1", keep_last=0)
