@@ -977,3 +977,109 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("o.event_type"), F.col("n.event_type")).alias("event_type"),
         status.alias("status"),
     ).agg(F.count("*").cast("int").alias("n"))
+
+
+@q(
+    "event_transitions",
+    """
+    WITH t AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT prev, event_type AS next, CAST(count(*) AS INT) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY prev), 4) AS p
+    FROM t WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for each
+    (previous event, next event) pair, the observed count and the
+    row-normalized transition probability — the user-journey model behind
+    next-action prediction and anomaly scoring.
+
+    One lag window and one aggregate, both keyed on user_id / the tiny
+    (prev, next) type matrix; the normalizing window runs over ≤|event
+    types|² rows. The probability is a single integer÷integer division
+    (deterministic — no float accumulation).
+    """
+    e = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    counts = t.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count("*").alias("cnt")
+    )
+    norm = W.partitionBy("prev")
+    return counts.select(
+        "prev",
+        "next",
+        F.col("cnt").cast("int").alias("n"),
+        F.round(
+            F.col("cnt").cast("double") / F.sum("cnt").over(norm), 4
+        ).alias("p"),
+    )
+
+
+@q(
+    "conversion_latency",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    pur AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t1 GROUP BY 1
+    ),
+    lat AS (
+      SELECT (epoch_us(t2) - epoch_us(v.t1)) // 1000000 AS sec
+      FROM pur JOIN v ON pur.user_id = v.user_id
+    )
+    SELECT CAST(count(*) AS INT) AS n_converted,
+           round(quantile_cont(sec, 0.5), 2) AS p50_sec,
+           round(quantile_cont(sec, 0.9), 2) AS p90_sec,
+           CAST(max(sec) AS BIGINT) AS max_sec
+    FROM lat
+    """,
+)
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: seconds from a user's first view to
+    their first subsequent purchase, summarized as exact p50/p90/max —
+    the companion metric to the funnel (the funnel says HOW MANY convert,
+    this says HOW FAST).
+
+    Same two conditional-min aggregates as the funnel's stages (keyed on
+    user_id), then one global percentile over the per-user latency — the
+    latency is floored to whole integer seconds BEFORE the percentile so
+    the interpolation runs on exact integers in both engines.
+    """
+    e = tbl(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    pur = (
+        e.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    lat = pur.join(v, "user_id").select(
+        F.expr(
+            "(unix_micros(t2) - unix_micros(t1)) div 1000000"
+        ).alias("sec")
+    )
+    return lat.agg(
+        F.count("*").cast("int").alias("n_converted"),
+        F.round(F.expr("percentile(sec, 0.5)"), 2).alias("p50_sec"),
+        F.round(F.expr("percentile(sec, 0.9)"), 2).alias("p90_sec"),
+        F.max("sec").cast("bigint").alias("max_sec"),
+    )

@@ -199,3 +199,45 @@ def test_snapshot_diff_classifies_keys(spark, tmp_path_factory):
     assert out == Counter(
         [("added", 1), ("removed", 1), ("changed", 1), ("unchanged", 1)]
     )
+
+
+def test_event_transitions_probabilities_row_normalize(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("markov") / "lake")
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    # u1: view->click->view->click ; u2: view->purchase
+    rows = [
+        (1, t(0), 1, "view", 1.0, "{}"),
+        (2, t(1), 1, "click", 1.0, "{}"),
+        (3, t(2), 1, "view", 1.0, "{}"),
+        (4, t(3), 1, "click", 1.0, "{}"),
+        (5, t(0), 2, "view", 1.0, "{}"),
+        (6, t(1), 2, "purchase", 1.0, "{}"),
+    ]
+    _write_events(spark, path, rows)
+    out = {(r.prev, r.next): r for r in advanced.event_transitions(spark, path).collect()}
+    assert out[("view", "click")].n == 2
+    assert out[("view", "purchase")].n == 1
+    assert out[("click", "view")].n == 1
+    # rows from 'view' normalize: 2/3 and 1/3
+    assert out[("view", "click")].p == pytest.approx(0.6667)
+    assert out[("view", "purchase")].p == pytest.approx(0.3333)
+    assert out[("click", "view")].p == 1.0
+    # first event of each user contributes no transition
+    assert sum(r.n for r in out.values()) == 4
+
+
+def test_conversion_latency_floors_to_seconds(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("latency") / "lake")
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 0, 10, 900000), 1, "purchase", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 0, 0, 0), 2, "view", 1.0, "{}"),
+        (4, datetime(2024, 1, 1, 0, 0, 30), 2, "purchase", 1.0, "{}"),
+        (5, datetime(2024, 1, 1, 0, 0, 0), 3, "purchase", 1.0, "{}"),  # no view
+    ]
+    _write_events(spark, path, rows)
+    r = advanced.conversion_latency(spark, path).collect()[0]
+    assert r.n_converted == 2              # user 3 never viewed
+    assert r.max_sec == 30
+    # latencies {10 (floored from 10.9), 30}: p50 interpolates to 20
+    assert r.p50_sec == 20.0
