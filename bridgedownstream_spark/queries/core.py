@@ -766,3 +766,143 @@ def relationalize_child(spark, sf_dir):
         F.round("l_quantity", 2).alias("l_quantity"),
         "recordid",
     )
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(24,10))), 2) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): unshipped BUILDING-segment orders
+    ranked by revenue — the classic 3-way join + aggregate + top-k shape.
+
+    Plan: the segment filter shrinks customer before anything joins; both
+    joins key on their natural keys with AQE choosing broadcast for the
+    filtered customer side; revenue sums on DECIMAL (merge-order-exact)
+    and the top-10 is TakeOrdered, no global sort. Extra l_orderkey
+    tie-break (beyond the spec's revenue/date) pins a deterministic cut
+    for the oracle compare.
+    """
+    c = tbl(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = tbl(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = tbl(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    rev = F.round(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,10)")),
+        2,
+    ).cast("double")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(rev.alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(24,10))), 2) AS DOUBLE) AS revenue,
+           CAST(count(*) AS INT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): a pure scan-filter-aggregate
+    — the canonical predicate-pushdown benchmark. All four predicates
+    reach the parquet scan (PushedFilters); the sum runs on DECIMAL.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(24,10)")),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("int").alias("n_lines"),
+    )
+
+
+@q(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(24,10))), 2) AS DOUBLE) AS revenue,
+           round(c.c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): customers who returned the
+    most revenue in a quarter-ish window — join-heavy top-k over the two
+    fact tables with a dimension rollup.
+
+    Plan: the date window prunes orders at the scan, the returnflag
+    prunes lineitem at the scan, the facts join on orderkey, and the
+    per-customer rollup groups on the customer key; top-20 is
+    TakeOrdered with a key tie-break for a deterministic cut.
+    """
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = tbl(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.round(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,10)")),
+        2,
+    ).cast("double")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+        .agg(rev.alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
