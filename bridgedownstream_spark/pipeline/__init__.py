@@ -18,6 +18,7 @@
   partition under dynamic overwrite.
 """
 
+from bridgedownstream_spark.pipeline.catalog import register_lake_views
 from bridgedownstream_spark.pipeline.compact import (
     compact_dataset,
     partition_file_stats,
@@ -43,6 +44,7 @@ __all__ = [
     "discover_datasets",
     "partition_file_stats",
     "refresh_rollup",
+    "register_lake_views",
     "run_study_workflow",
     "read_json_dataset",
     "run_json_to_parquet",
