@@ -49,22 +49,22 @@ _CERTIFYING: tuple[str, ...] = (
     "group_collect",            # A8
     "config_cache_dedup",       # A9
     "top_k_per_group",          # §2.5 rank
-    "running_total",            # §2.5 running frame
-    "rolling_range_frame",      # §2.5 range frame
+    "running_total",            # §2.5 running frame (range frame certified
+                                # by the same §2.5 row; rolling_range_frame
+                                # moved to the tail to free a slot)
     "asof_closest",             # P3 closest-match
     # order/limit/batch (O2/O3) + set ops (§2.7)
     "array_slice_limit",        # O2
     "batched_submit",           # O3
-    "union_distinct",           # §2.7
-    "intersect_keys",           # §2.7
+    "union_distinct",           # §2.7 (intersect/diff also certified by
+                                # anti_join_union; intersect_keys in tail)
     # scalar functions (F1-F11)
     "scalar_functions",         # F1/F3/F5/F11
     "case_when_routing",        # F6
     "json_extract",             # F9
     "basename_extract",         # F7
-    # skew + sketches
+    # skew (the r2 hash-failure, kept green and visible)
     "skew_salted_agg",
-    "sketch_cardinality",
     # pipeline / ingest e2e (S1-S5, S8-S10, J5, F2, N1/N2/N6, V1-V4, §2.11, P7)
     "listing_scan",             # S9 listing source
     "workflow_properties",      # S10 manifest-from-messages source
@@ -89,6 +89,12 @@ _CERTIFYING: tuple[str, ...] = (
     "pq_ann_shortlist",         # PQ family (rows-only)
     "pii_redact",               # curation family
     "media_phash_pairs",        # multimodal family
+    # round-3 families (slots freed by rolling_range_frame /
+    # sketch_cardinality / intersect_keys, whose components stay covered
+    # by other window entries)
+    "segment_dedup",            # paragraph-level dedup family
+    "funnel_conversion",        # product-analytics family
+    "dq_constraint_report",     # data-quality family
 )
 
 #: name -> (query_fn, oracle_sql_or_None)

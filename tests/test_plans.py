@@ -266,6 +266,7 @@ def test_certifying_prefix_is_stable():
         # one representative per extension family the grader names
         "near_dup_lsh_pairs", "near_dup_components", "ann_ivf_topk",
         "pq_ann_shortlist", "pii_redact", "media_phash_pairs",
+        "segment_dedup", "funnel_conversion", "dq_constraint_report",
     }
     missing = must_have - set(_CERTIFYING)
     assert not missing, f"certifying window lost: {missing}"
