@@ -105,6 +105,30 @@ HEADLINERS = {
         "partitioning — one exchange for the whole interval build, the "
         "sessionize shape applied to change capture."
     ),
+    "q3_shipping_priority": (
+        "TPC-H Q3: the segment filter shrinks customer before any join "
+        "(broadcast side), both fact joins key on their natural keys, "
+        "revenue sums on DECIMAL, and the top-10 is TakeOrdered — no "
+        "global sort node."
+    ),
+    "q6_forecast_revenue": (
+        "TPC-H Q6: every predicate reaches the parquet scan "
+        "(PushedFilters lists shipdate/discount/quantity) and ReadSchema "
+        "prunes to the 4 referenced columns — the scan does all the "
+        "work, the aggregate is one partial→final pair."
+    ),
+    "fuzzy_match_parts": (
+        "Record linkage: candidate generation is an EQUI-join on the "
+        "(brand, type, size) blocking key — no cartesian node anywhere — "
+        "with Levenshtein evaluated only inside blocks; resolution is "
+        "one window over each dirty record's candidate set."
+    ),
+    "snapshot_diff": (
+        "CDC audit: both snapshots reduce to (key, md5 digest) "
+        "projections BEFORE the full-outer join, so the wide shuffle "
+        "carries 40-byte rows, never event bodies; classification is a "
+        "row-local CASE over the joined pair."
+    ),
 }
 
 
