@@ -1083,3 +1083,240 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(sec, 0.9)"), 2).alias("p90_sec"),
         F.max("sec").cast("bigint").alias("max_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical profiling: regression, correlation, histogram, anomaly flags
+# — every one is a single partial-agg pass over exact (decimal/integer)
+# sufficient statistics, with the float math confined to ONE closed-form
+# expression per group evaluated identically in both engines.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "groupwise_regression",
+    """
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(epoch_us(ts) // 86400000000) AS sx,
+             sum(CAST(value AS DECIMAL(24,10))) AS sy,
+             sum(CAST((epoch_us(ts) // 86400000000) * value
+                      AS DECIMAL(30,10))) AS sxy,
+             sum((epoch_us(ts) // 86400000000)
+                 * (epoch_us(ts) // 86400000000)) AS sxx
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS INT) AS n,
+           round((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx),
+                 6) AS slope_per_day,
+           round((CAST(sy AS DOUBLE)
+                  - ((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+                    * sx) / n,
+                 4) AS intercept
+    FROM s
+    """,
+)
+def groupwise_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend: slope/intercept of value over time
+    (epoch days) for each event type — the "is this metric drifting"
+    primitive behind capacity planning and KPI monitoring.
+
+    One aggregation pass accumulates the four sufficient statistics
+    (Σx, Σy, Σxy, Σx²) — x is an exact integer day, y-sums run on
+    DECIMAL — then the closed-form slope is a single float expression per
+    group, written token-identically in both engines so the rounded
+    result is bit-equal. No second pass, no window, no join.
+    """
+    e = tbl(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(day).alias("sx"),
+        F.sum(F.col("value").cast("decimal(24,10)")).alias("sy"),
+        F.sum((day * F.col("value")).cast("decimal(30,10)")).alias("sxy"),
+        F.sum(day * day).alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx") * F.col("sy").cast("double")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("int").alias("n"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 4
+        ).alias("intercept"),
+    )
+
+
+@q(
+    "metric_correlations",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(l_quantity      AS DECIMAL(24,10))) AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(24,10))) AS sy,
+             sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10))) AS sxy,
+             sum(CAST(l_quantity * l_quantity           AS DECIMAL(30,10))) AS sxx,
+             sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,10))) AS syy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, CAST(n AS INT) AS n,
+           round((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 4) AS qty_price_corr
+    FROM s
+    """,
+)
+def metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation between quantity and price — the
+    column-relationship half of profiling (column_profile covers the
+    univariate half). Same sufficient-statistics shape as the
+    regression: one exact-decimal aggregation pass, one closed-form
+    float expression; sqrt is IEEE-correctly-rounded in both engines so
+    identical exact inputs give identical rounded output.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    d24 = lambda c: F.col(c).cast("decimal(24,10)")  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(d24("l_quantity")).alias("sx"),
+        F.sum(d24("l_extendedprice")).alias("sy"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(30,10)")
+        ).alias("sxy"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(30,10)")
+        ).alias("sxx"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
+                "decimal(30,10)"
+            )
+        ).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("int").alias("n"),
+        F.round(corr, 4).alias("qty_price_corr"),
+    )
+
+
+_HIST_W = 25.0  # bucket width; values land in [0, ~500] → ~20 buckets
+
+
+@q(
+    "value_histogram",
+    f"""
+    SELECT event_type,
+           CAST(least(floor(value / {_HIST_W}), 19) AS INT) AS bucket,
+           CAST(count(*) AS INT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of the value distribution per event type —
+    fixed bucket width with a clamped overflow bucket, so the binning is
+    a pure projection (one floor-divide per row) and the histogram is a
+    tiny groupBy; no data-dependent bounds pass, no sort.
+    """
+    e = tbl(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / _HIST_W), F.lit(19)).cast("int")
+    return e.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").cast("int").alias("n")
+    )
+
+
+@q(
+    "zscore_anomalies",
+    """
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(24,10))) AS sv,
+             sum(CAST(value * value AS DECIMAL(30,10))) AS svv
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT event_type, n,
+             CAST(sv AS DOUBLE) / n AS mean,
+             sqrt(CAST(svv AS DOUBLE) / n
+                  - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n))
+                 AS sd
+      FROM s
+    )
+    SELECT e.event_type,
+           CAST(b.n AS INT) AS n,
+           CAST(sum(CASE WHEN abs(e.value - b.mean) > 3 * b.sd
+                         THEN 1 ELSE 0 END) AS INT) AS n_anomalies,
+           round(b.mean, 4) AS mean,
+           round(b.sd, 4) AS sd
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY 1, 2, b.mean, b.sd
+    """,
+)
+def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score outlier flags: per event type, how many values
+    sit beyond 3σ of that type's mean — the cheap first-line anomaly
+    screen before anything model-based.
+
+    Two-pass shape like winsorized_stats: exact-decimal sufficient
+    statistics → tiny per-type (mean, sd) table broadcast back onto the
+    scan → one counting pass. mean/sd derive from exact sums via the
+    same expression in both engines, so the 3σ comparison flags
+    identical rows.
+    """
+    e = tbl(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(24,10)")).alias("sv"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,10)")).alias(
+            "svv"
+        ),
+    )
+    mean = F.col("sv").cast("double") / F.col("n")
+    b = s.select(
+        "event_type",
+        "n",
+        mean.alias("mean"),
+        F.sqrt(F.col("svv").cast("double") / F.col("n") - mean * mean).alias("sd"),
+    )
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "n", "mean", "sd")
+        .agg(
+            F.sum(
+                (F.abs(F.col("value") - F.col("mean")) > 3 * F.col("sd")).cast(
+                    "bigint"
+                )
+            )
+            .cast("int")
+            .alias("n_anomalies")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("int").alias("n"),
+            "n_anomalies",
+            F.round("mean", 4).alias("mean"),
+            F.round("sd", 4).alias("sd"),
+        )
+    )

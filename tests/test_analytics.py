@@ -241,3 +241,61 @@ def test_conversion_latency_floors_to_seconds(spark, tmp_path_factory):
     assert r.max_sec == 30
     # latencies {10 (floored from 10.9), 30}: p50 interpolates to 20
     assert r.p50_sec == 20.0
+
+
+def test_groupwise_regression_recovers_exact_line(spark, tmp_path_factory):
+    """Events lying exactly on value = 2·day + 1 recover slope 2 and
+    intercept 1; a flat series gets slope 0."""
+    path = str(tmp_path_factory.mktemp("reg") / "lake")
+    rows = []
+    for i, d in enumerate(range(5)):
+        day = datetime(2024, 1, 1 + d)
+        epoch_day = (day - datetime(1970, 1, 1)).days
+        rows.append((i, day, 1, "view", float(2 * epoch_day + 1), "{}"))
+        rows.append((100 + i, day, 1, "click", 7.0, "{}"))
+    _write_events(spark, path, rows)
+    out = {r.event_type: r for r in advanced.groupwise_regression(spark, path).collect()}
+    assert out["view"].slope_per_day == 2.0
+    assert out["view"].intercept == 1.0
+    assert out["click"].slope_per_day == 0.0
+    assert out["click"].intercept == 7.0
+
+
+def test_correlation_and_zscore_known_answers(spark, tmp_path_factory):
+    from bridgedownstream_spark.queries import advanced as adv
+
+    path = str(tmp_path_factory.mktemp("stats") / "lake")
+    # 20 inliers at value 10, one wild outlier at 1000: sd ≈ 215.8, so only
+    # the outlier exceeds 3σ... actually z of outlier = (1000-57.1)/215.8
+    # ≈ 4.4 > 3; inliers z ≈ 0.22 < 3.
+    rows = [
+        (i, datetime(2024, 1, 1, 0, i), 1, "view", 10.0, "{}") for i in range(20)
+    ] + [(99, datetime(2024, 1, 1, 1), 1, "view", 1000.0, "{}")]
+    _write_events(spark, path, rows)
+    z = adv.zscore_anomalies(spark, path).collect()[0]
+    assert z.n == 21 and z.n_anomalies == 1
+
+    # histogram: 10.0 → bucket 0, 1000.0 clamps to bucket 19
+    h = {(r.bucket): r.n for r in adv.value_histogram(spark, path).collect()}
+    assert h == {0: 20, 19: 1}
+
+
+def test_metric_correlations_perfect_line(spark, tmp_path_factory):
+    """lineitem rows with price exactly 3x quantity correlate at 1.0."""
+    from bridgedownstream_spark.queries import advanced as adv
+
+    path = str(tmp_path_factory.mktemp("corr") / "lake")
+    rows = [
+        (i, 1, 1, 1, float(i + 1), float(3 * (i + 1)), 0.0, 0.0, "R", "O",
+         datetime(2024, 1, 1))
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+    r = adv.metric_correlations(spark, path).collect()[0]
+    assert r.n == 10 and r.qty_price_corr == 1.0
