@@ -564,3 +564,53 @@ def dq_constraint_report(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@q(
+    "hot_key_report",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    t AS (SELECT sum(n) AS total, count(*) AS n_keys, max(n) AS max_n FROM c)
+    SELECT CAST(row_number() OVER (ORDER BY c.n DESC, c.user_id) AS INT) AS rank,
+           c.user_id,
+           CAST(c.n AS INT) AS n,
+           CAST((10000 * c.n) // t.total AS INT) AS share_bp,
+           round(CAST(t.max_n AS DOUBLE) * t.n_keys / t.total, 4)
+               AS skew_factor
+    FROM c CROSS JOIN t
+    ORDER BY c.n DESC, c.user_id
+    LIMIT 10
+    """,
+)
+def hot_key_report(spark, sf_dir):
+    """Shuffle-skew diagnostic: the 10 hottest grouping keys with their
+    row share (basis points) and the distribution's skew factor
+    (max/mean ratio — 1.0 is uniform; >>1 means one reducer drags the
+    stage). This is the "measure before you salt" companion to
+    skew_salted_agg and operators/skew.py: run it on a candidate shuffle
+    key, and salt only when the factor says so.
+
+    Plan: one partial-agg count per key, a 1-row global total broadcast
+    into the ranking, TakeOrdered for the top-10 — diagnosing skew never
+    itself shuffles anything wider than (key, count).
+    """
+    e = tbl(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    t = c.agg(
+        F.sum("n").alias("total"),
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_n"),
+    )
+    ranked = c.crossJoin(F.broadcast(t)).select(
+        F.row_number()
+        .over(W.orderBy(F.desc("n"), F.asc("user_id")))
+        .cast("int")
+        .alias("rank"),
+        "user_id",
+        F.col("n").cast("int").alias("n"),
+        F.expr("CAST((10000 * n) div total AS INT)").alias("share_bp"),
+        F.round(
+            F.col("max_n").cast("double") * F.col("n_keys") / F.col("total"), 4
+        ).alias("skew_factor"),
+    )
+    return ranked.orderBy("rank").limit(10)
