@@ -8,9 +8,16 @@ This module is that surface for the whole lake in one call: each table
 directory (root + relationalized children) becomes a temp view, so every
 query the reference user runs today ships unchanged through `spark.sql`.
 
-Views are lazy — registration reads only footers for schema; partition
-discovery and pruning happen per query, so registering a 100 TB lake
-costs a directory listing.
+Views are defined as SQL text over ``parquet.`<path>``` — NOT as
+DataFrame-backed temp views. The distinction is load-bearing: a
+DataFrame temp view pins the file-listing snapshot taken at
+registration, so the next partition-overwrite (the upsert/compaction
+write path) makes queries through it fail with FILE_NOT_EXIST; the SQL
+form re-resolves the path's files on every query (verified against a
+dynamic partition overwrite), so the views stay correct while
+stream_upsert_lake continuously rewrites partitions. Registration cost
+is one schema resolution per table; file listing and partition pruning
+happen per query.
 """
 
 from __future__ import annotations
@@ -37,14 +44,17 @@ def register_lake_views(
     named ``{prefix}{table_dir}``; returns the view names (sorted).
 
     Skips reserved non-table directories (``archive``/``quarantine``/
-    ``checkpoints``) and directories with no visible data files (emptied
-    tables, crashed-write residue). Directory names that are not valid
-    SQL identifiers raise rather than being silently skipped — a lake
-    with such names needs renaming, not invisible tables.
+    ``checkpoints``), hidden directories (leading ``_``/``.`` — the same
+    rule Spark's readers apply, so ``_temporary``/``.staging`` residue
+    from a crashed write is never registered), and directories with no
+    visible data files (emptied tables). Remaining directory names that
+    are not valid SQL identifiers raise rather than being silently
+    skipped — a lake with such names needs renaming, not invisible
+    tables.
     """
     out: list[str] = []
     for name in list_dirs(spark, parquet_root):
-        if name in _NON_TABLE_DIRS:
+        if name in _NON_TABLE_DIRS or name.startswith(("_", ".")):
             continue
         view = f"{prefix}{name}"
         if not _VALID_VIEW.match(view):
@@ -55,6 +65,12 @@ def register_lake_views(
         path = os.path.join(parquet_root, name)
         if not has_data_files(spark, path):
             continue
-        spark.read.parquet(path).createOrReplaceTempView(view)
+        # SQL-text view over the path: re-resolves files per query (a
+        # DataFrame temp view would pin this instant's file listing and
+        # break on the next partition overwrite)
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {view} AS "
+            f"SELECT * FROM parquet.`{path}`"
+        )
         out.append(view)
     return sorted(out)

@@ -30,9 +30,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bridgedownstream_spark.pipeline.fsutil import has_data_files
+from bridgedownstream_spark.pipeline.fsutil import delete_path, has_data_files
 
 __all__ = ["refresh_rollup"]
+
+#: Spark's directory name for a NULL/empty partition value
+_HIVE_DEFAULT = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _drop_rollup_partition(
+    spark: SparkSession, rollup_path: str, partition_cols: list[str], spec: dict
+) -> None:
+    import posixpath
+
+    segs = [
+        f"{c}={_HIVE_DEFAULT if spec[c] in (None, '') else spec[c]}"
+        for c in partition_cols
+    ]
+    delete_path(spark, posixpath.join(rollup_path, *segs))
+    # the session-wide FileStatusCache still lists the deleted files (a
+    # later dynamic-overwrite write only refreshes the partitions it
+    # rewrites); drop the stale entries or the next rollup read dies with
+    # FILE_NOT_EXIST
+    spark.catalog.refreshByPath(rollup_path)
 
 
 def refresh_rollup(
@@ -52,12 +72,30 @@ def refresh_rollup(
 
     Only source partitions absent from the rollup are aggregated (an
     anti-join of the two partition-value sets — both metadata-cheap).
-    ``refresh_partitions`` (list of {partition_col: value} dicts) forces
-    recomputation of specific partitions (the late-data path), replacing
-    their rollup rows via dynamic partition overwrite.
+    ``refresh_partitions`` (list of {partition_col: value} dicts; a None
+    value means the NULL/default partition) forces recomputation of
+    specific partitions (the late-data and upsert paths), replacing
+    their rollup rows via dynamic partition overwrite; a named partition
+    that NO LONGER EXISTS in the source (an upsert emptied it) has its
+    rollup partition deleted outright — dynamic overwrite cannot drop
+    rows for a partition that produces no output.
     """
     src = spark.read.parquet(table_path)
     src_parts = src.select(*partition_cols).distinct()
+
+    # Drop stale rollup partitions FIRST — before the rollup read below
+    # snapshots its file listing: a refresh partition the source no longer
+    # has (an upsert emptied it) keeps rollup rows the dynamic overwrite
+    # cannot remove (no output rows for a vanished partition), and
+    # deleting its files after `existing` is created would make that
+    # plan's execution die on the removed files.
+    if refresh_partitions:
+        src_vals = {
+            tuple(r[c] for c in partition_cols) for r in src_parts.collect()
+        }
+        for spec in refresh_partitions:
+            if tuple(spec[c] for c in partition_cols) not in src_vals:
+                _drop_rollup_partition(spark, rollup_path, partition_cols, spec)
 
     # existence is checked explicitly (FS API, data files not bare dirs),
     # never inferred from a read failure: a blanket except would treat a
@@ -81,7 +119,7 @@ def refresh_rollup(
             for spec in refresh_partitions:
                 one = None
                 for c, v in spec.items():
-                    p = F.col(c) == F.lit(v)
+                    p = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
                     one = p if one is None else (one & p)
                 cond = one if cond is None else (cond | one)
             # the late-data partitions AND any newly-arrived partitions:

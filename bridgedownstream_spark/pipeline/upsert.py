@@ -86,8 +86,14 @@ def upsert_dataset(
     key_cols: list[str],
     partition_cols: list[str],
     delete_keys: DataFrame | None = None,
-) -> None:
-    """Merge ``updates`` into the lake at ``table_path``.
+) -> set[str]:
+    """Merge ``updates`` into the lake at ``table_path``. Returns the set
+    of touched partition paths (``"c=v/c=v"`` strings; empty string for an
+    unpartitioned table) — the updates' partitions PLUS the partitions
+    where deleted keys' existing rows lived, i.e. exactly the partitions
+    whose contents this merge changed. Callers maintaining derived state
+    (rollups) must refresh precisely this set: a re-export that MOVES a
+    record between partitions changes both its old and new partition.
 
     Rows whose ``key_cols`` match an update are replaced; new keys are
     appended; rows in untouched partitions are never rewritten. The
@@ -151,7 +157,8 @@ def upsert_dataset(
             updates.write.mode("overwrite").partitionBy(*partition_cols).parquet(
                 table_path
             )
-        return
+            return upd_parts
+        return set()
     existing = spark.read.parquet(table_path)
 
     touched: set[str] = set(upd_parts)
@@ -166,7 +173,7 @@ def upsert_dataset(
         )
         touched |= {r["p"] for r in doomed.select("p").distinct().collect()}
     if not touched:
-        return  # nothing to replace and no existing rows to delete
+        return set()  # nothing to replace and no existing rows to delete
     # fail BEFORE any write: a non-path-safe partition value would be laid
     # out %-escaped by Spark while the cleanup below addresses the raw
     # string — deleting the wrong (or no) directory. (Covers the doomed
@@ -198,3 +205,4 @@ def upsert_dataset(
     for p in sorted(touched - out_parts):
         if p:  # never the table root (unpartitioned tables use p == "")
             delete_path(spark, posixpath.join(table_path, p))
+    return touched

@@ -590,9 +590,12 @@ def hot_key_report(spark, sf_dir):
     skew_salted_agg and operators/skew.py: run it on a candidate shuffle
     key, and salt only when the factor says so.
 
-    Plan: one partial-agg count per key, a 1-row global total broadcast
-    into the ranking, TakeOrdered for the top-10 — diagnosing skew never
-    itself shuffles anything wider than (key, count).
+    Plan: one partial-agg count per key, a REAL TakeOrdered top-10 cut
+    BEFORE any window (ranking millions of per-key counts through a
+    global row_number would funnel them into one task — the exact
+    bottleneck this report diagnoses), then a 1-row global total
+    broadcast onto the 10 surviving rows for the share/rank columns.
+    Nothing wider than (key, count) ever shuffles.
     """
     e = tbl(spark, sf_dir, "events")
     c = e.groupBy("user_id").agg(F.count("*").alias("n"))
@@ -601,16 +604,22 @@ def hot_key_report(spark, sf_dir):
         F.count("*").alias("n_keys"),
         F.max("n").alias("max_n"),
     )
-    ranked = c.crossJoin(F.broadcast(t)).select(
-        F.row_number()
-        .over(W.orderBy(F.desc("n"), F.asc("user_id")))
-        .cast("int")
-        .alias("rank"),
-        "user_id",
-        F.col("n").cast("int").alias("n"),
-        F.expr("CAST((10000 * n) div total AS INT)").alias("share_bp"),
-        F.round(
-            F.col("max_n").cast("double") * F.col("n_keys") / F.col("total"), 4
-        ).alias("skew_factor"),
+    top10 = c.orderBy(F.desc("n"), F.asc("user_id")).limit(10)
+    return (
+        top10.crossJoin(F.broadcast(t))
+        .select(
+            # window over exactly the 10 surviving rows — bounded by LIMIT
+            F.row_number()
+            .over(W.orderBy(F.desc("n"), F.asc("user_id")))
+            .cast("int")
+            .alias("rank"),
+            "user_id",
+            F.col("n").cast("int").alias("n"),
+            F.expr("CAST((10000 * n) div total AS INT)").alias("share_bp"),
+            F.round(
+                F.col("max_n").cast("double") * F.col("n_keys") / F.col("total"),
+                4,
+            ).alias("skew_factor"),
+        )
+        .orderBy("rank")
     )
-    return ranked.orderBy("rank").limit(10)

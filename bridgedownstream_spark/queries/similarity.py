@@ -1196,9 +1196,10 @@ def near_dup_keep_best(spark, sf_dir):
     from pyspark.sql import Window as W
 
     d = tbl(spark, sf_dir, "documents")
-    toks = "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"
+    # same normalization as the LSH shingles (_WORDS_SPARK): quality must
+    # be measured over the tokenization the pairing actually used
     qual = d.select(
-        "doc_id", F.expr(f"size(array_distinct({toks}))").alias("uq")
+        "doc_id", F.expr(f"size(array_distinct({_WORDS_SPARK}))").alias("uq")
     )
     w = W.partitionBy("component").orderBy(F.desc("uq"), F.asc("doc_id"))
     return (

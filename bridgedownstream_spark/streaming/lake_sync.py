@@ -78,7 +78,10 @@ def sync_batch_to_lake(
     that recordid in that child table, so keying deletes on the table's
     own rows would leave the old child rows stranded. Tables on disk that
     this batch emitted no rows for at all get a delete-only merge for the
-    same reason. Returns ``{table_name: path}`` for the tables written.
+    same reason. Returns ``({table_name: path}, root_touched)`` where
+    ``root_touched`` is the ROOT table's touched-partition path set from
+    the upsert (update partitions PLUS the old partitions of replaced
+    rows) — the exact refresh set for any rollup derived from the root.
 
     ``registry`` disambiguates table ownership in a shared
     ``parquet_root``: a directory named ``gait_v1_steps`` could be dataset
@@ -96,7 +99,7 @@ def sync_batch_to_lake(
     """
     df = conform_to_schema(batch_df, dataset.full_schema())
     if df.isEmpty():
-        return {}
+        return {}, set()
     if has_nested_fields(df.schema):
         tables = relationalize(df, dataset.name, key_cols=key_cols)
     else:
@@ -105,10 +108,11 @@ def sync_batch_to_lake(
     # checkpointed so the repeated broadcasts don't re-read the batch
     root_keys = df.select("recordid").distinct().localCheckpoint(eager=True)
     written: dict[str, str] = {}
+    root_touched: set[str] = set()
     for name, table in tables.items():
         path = os.path.join(parquet_root, name)
         parts = [c for c in dataset.partition_cols if c in table.columns]
-        upsert_dataset(
+        touched = upsert_dataset(
             spark,
             path,
             table,
@@ -116,6 +120,8 @@ def sync_batch_to_lake(
             partition_cols=parts,
             delete_keys=root_keys,
         )
+        if name == dataset.name:
+            root_touched = touched
         written[name] = path
     mine: set[str] = set()
     other_tables: dict[str, set[str]] = {}
@@ -168,7 +174,7 @@ def sync_batch_to_lake(
             partition_cols=parts,
             delete_keys=root_keys,
         )
-    return written
+    return written, root_touched
 
 
 def stream_upsert_lake(
@@ -197,13 +203,21 @@ def stream_upsert_lake(
     When ``rollup_path`` is given (with ``rollup_group_cols`` and
     ``rollup_aggs``, see :func:`pipeline.rollup.refresh_rollup`), every
     micro-batch ALSO re-refreshes the root table's rollup for exactly the
-    partitions the batch touched — because the sink is an upsert (rows
-    replaced, not appended), the touched partitions' rollup rows must be
-    recomputed, not incremented; untouched partitions are never re-read.
-    This keeps a continuous aggregate exact under re-exports, at cost
-    proportional to the arrival rate — the streaming completion of the
-    Timescale-style continuous-aggregate pattern.
+    partitions the upsert touched — the upsert's OWN touched set, which
+    includes the OLD partitions of replaced rows, not just the batch's
+    partition values: a re-export that moves a record to a new partition
+    (a later export date) must recompute the partition it left, and a
+    partition the deletes emptied entirely must have its rollup rows
+    DROPPED (refresh_rollup removes rollup partitions whose source
+    partition no longer exists). Because the sink replaces rows, touched
+    partitions are recomputed, never incremented; untouched partitions
+    are never re-read. This keeps the continuous aggregate exact under
+    arbitrary re-exports at cost proportional to the arrival rate.
     """
+    if rollup_path is not None and not rollup_aggs:
+        raise ValueError(
+            "stream_upsert_lake: rollup_path requires non-empty rollup_aggs"
+        )
     ds = registry[dataset_name]
     path = os.path.join(json_root, f"dataset={ds.name}")
     widened = T.StructType(
@@ -217,22 +231,24 @@ def stream_upsert_lake(
         spark.readStream.schema(widened).option("basePath", path).json(path)
     )
 
+    def _parse_part(p: str) -> dict:
+        d: dict = {}
+        for seg in p.split("/"):
+            c, v = seg.split("=", 1)
+            d[c] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        return d
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        written = sync_batch_to_lake(
+        written, root_touched = sync_batch_to_lake(
             spark, batch_df, ds, parquet_root, key_cols=key_cols,
             registry=registry,
         )
         root_path = written.get(ds.name)
-        if rollup_path is not None and root_path is not None:
+        if rollup_path is not None and root_path is not None and root_touched:
             from bridgedownstream_spark.pipeline.rollup import refresh_rollup
 
-            # partition-count-scale collect: the refresh PLAN, not data
-            touched = [
-                {c: row[c] for c in ds.partition_cols}
-                for row in batch_df.select(*ds.partition_cols)
-                .distinct()
-                .collect()
-            ]
+            # the UPSERT's touched set (new partitions + old partitions of
+            # replaced/moved rows), parsed back to partition-value dicts
             refresh_rollup(
                 spark,
                 root_path,
@@ -240,7 +256,9 @@ def stream_upsert_lake(
                 rollup_group_cols or [],
                 rollup_aggs or [],
                 list(ds.partition_cols),
-                refresh_partitions=touched,
+                refresh_partitions=[
+                    _parse_part(p) for p in sorted(root_touched) if p
+                ],
             )
 
     q = (

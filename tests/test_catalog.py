@@ -63,3 +63,36 @@ def test_register_lake_views_rejects_bad_names(spark, tmp_path):
     os.makedirs(os.path.join(pq, "bad-name"))
     with pytest.raises(ValueError, match="bad-name"):
         register_lake_views(spark, pq)
+
+
+def test_views_survive_partition_overwrite(spark, tmp_path):
+    """The views must re-resolve files per query: a dynamic partition
+    overwrite (the upsert/compaction write path) after registration must
+    be visible, not a FILE_NOT_EXIST crash from a pinned listing."""
+    pq = str(tmp_path / "p")
+    spark.range(6).selectExpr("id", "CAST(id % 2 AS STRING) AS part").write.partitionBy(
+        "part"
+    ).parquet(os.path.join(pq, "t1"))
+    [view] = register_lake_views(spark, pq)
+    assert spark.sql(f"SELECT count(*) AS n FROM {view}").collect()[0].n == 6
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.range(10).selectExpr("id + 100 AS id", "'0' AS part").write.mode(
+            "overwrite"
+        ).partitionBy("part").parquet(os.path.join(pq, "t1"))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # 10 rewritten rows in part=0 plus the 3 untouched rows of part=1
+    assert spark.sql(f"SELECT count(*) AS n FROM {view}").collect()[0].n == 13
+
+
+def test_hidden_dirs_are_skipped_not_registered(spark, tmp_path):
+    """Crashed-write residue (_temporary, .staging) is silently skipped —
+    neither registered as a garbage view nor a registration-aborting
+    error."""
+    pq = str(tmp_path / "p")
+    spark.range(3).write.parquet(os.path.join(pq, "good"))
+    os.makedirs(os.path.join(pq, "_temporary", "0"))
+    os.makedirs(os.path.join(pq, ".staging-x"))
+    assert register_lake_views(spark, pq) == ["good"]

@@ -286,3 +286,17 @@ def test_stream_sync_keeps_rollup_exact_under_reexports(spark, tmp_path):
     # idempotent no-op drain: nothing new, rollup unchanged
     drain()
     assert rollup_by_aid() == {"A": (2, 11.0), "B": (2, 7.0)}
+
+    # cross-partition re-export: r3 moves from B to A — the rollup must
+    # recompute BOTH partitions (A gains r3, B loses it) even though the
+    # batch itself only carries partition A
+    _write_records(os.path.join(a_dir, "f5.ndjson"), [_rec("r3", 5.0, [9])])
+    drain()
+    assert rollup_by_aid() == direct_by_aid() == {"A": (3, 16.0), "B": (1, 4.0)}
+
+    # emptying re-export: r4 (B's last record) moves to A — B's source
+    # partition vanishes, so its rollup rows must be DROPPED, not merely
+    # left un-refreshed
+    _write_records(os.path.join(a_dir, "f6.ndjson"), [_rec("r4", 6.0, [10])])
+    drain()
+    assert rollup_by_aid() == direct_by_aid() == {"A": (4, 22.0)}
