@@ -267,3 +267,31 @@ def test_corrupt_archive_quarantines_not_vanishes(spark, tmp_path):
     # the good record still reaches the lake
     lake = spark.read.option("recursiveFileLookup", "true").text(str(tmp_path / "json"))
     assert any("recG" in row["value"] for row in lake.collect())
+
+
+def test_prune_quarantine_retention(spark, tmp_path):
+    from bridgedownstream_spark.pipeline.ingest import prune_quarantine
+
+    root = str(tmp_path / "quarantine")
+    spark.createDataFrame(
+        [
+            ("r1", "2022-01-05T00:00:00.000Z", ["e1"]),
+            ("r2", "2022-06-01T12:00:00.000Z", ["e2"]),
+            ("r3", "2023-01-01T00:00:00.000Z", ["e3"]),
+        ],
+        "recordid string, uploadedon string, errors array<string>",
+    ).coalesce(1).write.parquet(root)
+    out = prune_quarantine(spark, root, "2022-06-01T00:00:00.000Z")
+    assert out == {"kept": 2, "dropped": 1}
+    left = {r.recordid for r in spark.read.parquet(root).collect()}
+    assert left == {"r2", "r3"}
+    # idempotent: nothing else ages out at the same cutoff
+    assert prune_quarantine(spark, root, "2022-06-01T00:00:00.000Z") == {
+        "kept": 2,
+        "dropped": 0,
+    }
+    # missing/empty table: no-op, no crash
+    assert prune_quarantine(spark, str(tmp_path / "nope"), "2022-01-01") == {
+        "kept": 0,
+        "dropped": 0,
+    }
