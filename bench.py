@@ -110,6 +110,7 @@ def main() -> int:
         from bridgedownstream_spark.queries.similarity import _pq_corpus
 
         _pq_corpus(spark, sf_dir)
+        _pq_corpus(spark, sf_dir, iters=0)  # pq_adc_search's anchor index
     except Exception:  # noqa: BLE001 — missing embeddings table
         pass
     # The LSH candidate table is the same kind of offline artifact: built

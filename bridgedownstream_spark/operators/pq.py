@@ -160,20 +160,24 @@ def pq_shortlist(
     qsv = _subvectors(queries, m).select(
         F.col("vec_id").alias("query_id"), "sub", "subvec"
     )
+    # partials round to 6 BEFORE the sum and merge as DECIMAL: the m-way
+    # sum is then exact in any partial-aggregation arrival order, so the
+    # ADC score is run-deterministic (and cross-engine hashable) — same
+    # stabilization pattern as lm_perplexity's per-token NLL
     table = (
         qsv.join(F.broadcast(cent), "sub")
         .select(
             "query_id",
             "sub",
             F.col("cent_id").alias("code"),
-            F.expr(_DOT).alias("partial"),
+            F.round(F.expr(_DOT), 6).cast("decimal(18,6)").alias("partial"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("approx_dot").desc(), "vec_id")
     return (
         codes.join(F.broadcast(table), ["sub", "code"])
         .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("partial"), 6).alias("approx_dot"))
+        .agg(F.sum("partial").cast("double").alias("approx_dot"))
         .where(F.col("vec_id") != F.col("query_id"))
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= shortlist)

@@ -76,7 +76,10 @@ def archive_dataset(
 
 
 def prune_archives(
-    archive_root: str, dataset: str, keep_last: int
+    archive_root: str,
+    dataset: str,
+    keep_last: int,
+    tables: list[str] | None = None,
 ) -> list[str]:
     """Retention for the archive store: delete all but the newest
     ``keep_last`` archived updates of ``dataset``. Returns the removed
@@ -86,26 +89,57 @@ def prune_archives(
     update number (root + children archived together by
     :func:`archive_dataset`); retention operates on whole updates, never
     on individual tables, so a kept update always restores consistently.
-    Matching uses the same ``{dataset}[_child]_{n}`` pattern as
-    :func:`next_update_number` — consistent with what
-    :func:`archive_dataset` wrote. A sibling whose name extends
-    ``dataset`` WITHOUT an underscore (``ds_v1`` vs ``ds_v1b``) can never
-    match; one that extends it WITH an underscore (``gait`` vs
-    ``gait_v2``) is textually indistinguishable from a child table of the
-    shorter name (``gait_v2_3`` = child ``v2`` update 3 OR dataset
-    ``gait_v2`` update 3) — the same ambiguity ``sync_batch_to_lake``
-    raises on. Deployments with such names must give each dataset family
-    its own ``archive_root``.
+
+    Deletion is irreversible, so matching is EXACT, never wildcard:
+
+    - With ``tables`` (the dataset's table names — pass
+      :func:`descendant_tables` output or the registry's child list), a
+      directory is deleted only if it is exactly ``{table}_{n}`` for a
+      listed table. A sibling dataset whose name extends ``dataset`` with
+      an underscore (``gait`` vs ``gait_v2``) can never match unless its
+      name was explicitly listed.
+    - Without ``tables``, a child-form name ``{dataset}_{x}_{n}`` is only
+      accepted when its update number ``n`` also has the root directory
+      ``{dataset}_{n}`` present (:func:`archive_dataset` always writes the
+      root alongside the children); a child-form name with NO matching
+      root update is the signature of a sibling dataset's archive
+      (``gait_v2_3`` without ``gait_3``) and raises instead of deleting.
+      This detects non-overlapping siblings only — deployments whose
+      sibling update numbers fully overlap the dataset's must pass
+      ``tables`` (or give each dataset family its own ``archive_root``).
     """
     if keep_last < 1:
         raise ValueError(f"prune_archives: keep_last must be >= 1, got {keep_last}")
     if not os.path.isdir(archive_root):
         return []
-    pat = re.compile(re.escape(dataset) + r"(?:_.+)?_(\d+)$")
+    if tables is not None:
+        pats = [
+            (re.compile(re.escape(t) + r"_(\d+)$"), t)
+            for t in set(tables) | {dataset}
+        ]
+    else:
+        pats = [(re.compile(re.escape(dataset) + r"(?:_.+)?_(\d+)$"), None)]
     by_update: dict[int, list[str]] = {}
     for name in os.listdir(archive_root):
-        if m := pat.match(name):
-            by_update.setdefault(int(m.group(1)), []).append(name)
+        for pat, _t in pats:
+            if m := pat.match(name):
+                by_update.setdefault(int(m.group(1)), []).append(name)
+                break
+    if tables is None:
+        orphans = [
+            name
+            for n, names in by_update.items()
+            if f"{dataset}_{n}" not in names
+            for name in names
+        ]
+        if orphans:
+            raise ValueError(
+                f"prune_archives: {sorted(orphans)} match dataset "
+                f"{dataset!r}'s child pattern but have no corresponding "
+                f"root update — likely a SIBLING dataset's archives "
+                "(e.g. 'gait_v2_3' vs dataset 'gait'); pass tables= with "
+                "the dataset's real table names to prune safely"
+            )
     removed: list[str] = []
     for n in sorted(by_update)[: max(0, len(by_update) - keep_last)]:
         for name in by_update[n]:

@@ -26,74 +26,78 @@ from bridgedownstream_spark.queries import (
 #: representative per LLM-pipeline extension family FIRST; redundant
 #: variants and already-covered extras fill the tail. Keep every §2
 #: component's certifying query inside the first 50 names.
+#: Round-4 rotation (VERDICT r3 #3): queries whose §2 component stays
+#: certified by ANOTHER window entry rotate out so never-driver-checked
+#: queries gain driver rows. Rotated out (r1-r3 driver-green; component
+#: coverage noted inline below on the entries that retain it):
+#: distinct_projection, conjunctive_filter, join_revenue_by_nation,
+#: asof_closest, union_distinct, top_k_per_group, relationalize_root,
+#: pipeline_incremental_idempotent, near_dup_components, pii_redact,
+#: funnel_conversion — plus pq_ann_shortlist (rows-only by construction;
+#: its slot could never turn green — replaced by the oracle-full
+#: pq_adc_search).
 _CERTIFYING: tuple[str, ...] = (
     # §2 core: scans, projections, filters (S6/S7, P1-P6)
-    "pricing_summary",          # A6 sum, O1 sort
+    "pricing_summary",          # A6 sum, A4 count, O1 sort
     "projection_pushdown",      # S6 pruned parquet scan, P1
-    "distinct_projection",      # P2, A1
-    "conjunctive_filter",       # P4
+    "intersect_keys",           # P2/A1 projection+distinct, §2.7 intersect
+    "q6_forecast_revenue",      # P4 conjunctive range filter, A6 (TPC-H Q6)
     "membership_filter",        # P5
     "prefix_filter",            # P6, F8, F10
     "sql_view_query",           # S7 SQL surface
     # joins (J1-J4)
-    "join_revenue_by_nation",   # J1 broadcast dims
+    "q3_shipping_priority",     # J1 broadcast dims, O1 sort+limit (TPC-H Q3)
+    "q10_returned_items",       # J1 multi-dim join, A6 (TPC-H Q10)
     "anti_join_missing",        # J2
-    "anti_join_union",          # J3
-    "relationalize_root",       # J4 struct unpack, N3
+    "anti_join_union",          # J3, §2.7 union
     "relationalize_child",      # N3/N4 key inheritance, N5/F4 naming
     # aggregation (A2-A9) + windows (§2.5)
-    "dedup_latest",             # A2 + window
+    "dedup_latest",             # A2 + §2.5 row_number window
     "sample_per_group",         # A3
     "reconcile_counts",         # A4/A7
     "count_reconciliation_report",  # A5
     "group_collect",            # A8
     "config_cache_dedup",       # A9
-    "top_k_per_group",          # §2.5 rank
-    "running_total",            # §2.5 running frame (range frame certified
-                                # by the same §2.5 row; rolling_range_frame
-                                # moved to the tail to free a slot)
-    "asof_closest",             # P3 closest-match
+    "sessionize",               # §2.5 lag windows + gaps-and-islands
+    "running_total",            # §2.5 running/range frames
+    "asof_join_events",         # P3 closest-match as the single-exchange
+                                # union-trick as-of join
     # order/limit/batch (O2/O3) + set ops (§2.7)
     "array_slice_limit",        # O2
     "batched_submit",           # O3
-    "union_distinct",           # §2.7 (intersect/diff also certified by
-                                # anti_join_union; intersect_keys in tail)
     # scalar functions (F1-F11)
     "scalar_functions",         # F1/F3/F5/F11
     "case_when_routing",        # F6
     "json_extract",             # F9
     "basename_extract",         # F7
-    # skew (the r2 hash-failure, kept green and visible)
+    # skew (the r2 hash-failure; oracle dtype fixed r4, kept visible)
     "skew_salted_agg",
+    # format round-trips (the reference's "export to Parquet/CSV" surface)
+    "csv_export_roundtrip",     # RFC-4180 quoting survives write→read
+    "orc_export_roundtrip",     # columnar alt-format sink/source
     # pipeline / ingest e2e (S1-S5, S8-S10, J5, F2, N1/N2/N6, V1-V4, §2.11, P7)
     "listing_scan",             # S9 listing source
     "workflow_properties",      # S10 manifest-from-messages source
     "ingest_e2e_events",        # S1/S4/J5/F2/N6/V1-V3
-    "quarantine_replay",        # S8/V4
+    "quarantine_replay",        # S8/V4, J4 struct unpack
     "expected_error_suppression",  # P8/V3 whitelist subtraction
-    "stream_sync_e2e",          # streaming family: checkpointed stream → upsert sink
+    "stream_sync_e2e",          # streaming family + §2.11 incremental
+                                # (checkpointed availableNow = bookmarks)
     "pipeline_e2e_root",        # S2/S5/N1/N2
     "pipeline_e2e_child",       # N3-N5 at e2e scale
-    "pipeline_incremental_idempotent",  # §2.11 bookmarks
     "pipeline_partition_pruned",        # P7
     "zorder_box_query",         # clustered layout
     "rollup_incremental_equiv",  # incremental rollup
-    # LLM-pipeline extension families, one representative each
-    # (incremental_dedup / doc_fingerprint / token_stats / exact_dedup
-    # yielded their slots to S9/S10/P8-V3/streaming certification: all were
-    # driver-green in earlier rounds, while those §2 components had never
-    # had a driver row)
+    # LLM-pipeline extension families, one representative each — r4 rotates
+    # in a NEVER-driver-checked member where the family has one
     "near_dup_lsh_pairs",       # MinHash+LSH family
-    "near_dup_components",      # clustering family
+    "near_dup_keep_best",       # clustering family (components + election)
     "ann_ivf_topk",             # ANN family (IVF scale path)
-    "pq_ann_shortlist",         # PQ family (rows-only)
-    "pii_redact",               # curation family
+    "pq_adc_search",            # PQ family — full rows+schema+hash oracle
+    "lm_perplexity",            # curation family (bigram-LM scoring)
     "media_phash_pairs",        # multimodal family
-    # round-3 families (slots freed by rolling_range_frame /
-    # sketch_cardinality / intersect_keys, whose components stay covered
-    # by other window entries)
     "segment_dedup",            # paragraph-level dedup family
-    "funnel_conversion",        # product-analytics family
+    "scd2_intervals",           # product-analytics family
     "dq_constraint_report",     # data-quality family
 )
 

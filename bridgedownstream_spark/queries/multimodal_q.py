@@ -110,7 +110,7 @@ def multimodal_frame_sample(spark, sf_dir):
     SELECT doc_id,
            'fake/resized' AS format,
            320 AS width, 240 AS height,
-           768 AS n_bytes,
+           CAST(768 AS BIGINT) AS n_bytes,
            md5(text) AS head_hex
     FROM documents
     """,

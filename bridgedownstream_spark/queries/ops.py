@@ -174,7 +174,7 @@ def count_reconciliation_report(spark, sf_dir):
     )
     SELECT event_type,
            CAST(round(sum(s), 2) AS DOUBLE) AS total_value,
-           sum(n) AS n_events
+           CAST(sum(n) AS BIGINT) AS n_events
     FROM partial GROUP BY 1
     """,
 )
@@ -290,7 +290,7 @@ def _profile_frame(d):
 @q(
     "csv_export_roundtrip",
     """
-    SELECT n_nationkey, n_name,
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
            n_name || ', "' || CAST(n_nationkey AS VARCHAR) || '", ' AS note,
            CAST(n_regionkey AS VARCHAR) AS n_regionkey
     FROM nation

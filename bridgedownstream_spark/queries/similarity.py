@@ -1043,14 +1043,18 @@ def _pq_index_dir(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"bds_pq_{sf}_{stamp}")
 
 
-def _pq_corpus(spark, sf_dir):
+def _pq_corpus(spark, sf_dir, iters: int = 2):
     import os
 
     # memo key = the STAMPED index dir, not sf_dir: keying by sf_dir would
     # bypass the mtime/size invalidation for the rest of the process once
     # an entry is cached — a corpus regenerated in place at the same path
-    # would keep serving the stale codebook with no error
+    # would keep serving the stale codebook with no error. iters=0 is the
+    # anchor (unrefined) codebook pq_adc_search's oracle reconstructs — a
+    # distinct index variant, so it gets its own subdirectory.
     base = _pq_index_dir(sf_dir)
+    if iters != 2:
+        base = os.path.join(base, f"iters{iters}")
     if base not in _PQ_INDEX:
         from bridgedownstream_spark.operators.pq import encode_pq, train_pq
         from bridgedownstream_spark.pipeline.fsutil import has_data_files
@@ -1061,7 +1065,7 @@ def _pq_corpus(spark, sf_dir):
             has_data_files(spark, cb_path) and has_data_files(spark, codes_path)
         ):
             emb = tbl(spark, sf_dir, "embeddings")
-            train_pq(emb).write.mode("overwrite").parquet(cb_path)
+            train_pq(emb, iters=iters).write.mode("overwrite").parquet(cb_path)
             encode_pq(emb, spark.read.parquet(cb_path)).write.mode(
                 "overwrite"
             ).parquet(codes_path)
@@ -1140,6 +1144,90 @@ def pq_recall(spark, sf_dir):
             F.round(hits / _TOP_K, 3).alias("recall"),
         )
         .orderBy("query_id")
+    )
+
+
+#: oracle twin of the PQ search machinery (pq_adc_search): the anchor
+#: codebook (train_pq(iters=0) = every 31st vector's subvectors) is
+#: closed-form, so encode (argmin over 16 centroids per subspace) and ADC
+#: (decimal-exact partial-dot sums + shortlist rank) are fully
+#: SQL-expressible. Distances/partials use the sequential-sum form
+#: (_DOT_DUCK pattern) so doubles match Spark's fold bit-for-bit.
+_PQ_ADC_DUCK = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings
+    ),
+    p AS (SELECT len(emb) // 16 AS sl FROM e LIMIT 1),
+    sv AS (
+      SELECT vec_id, s.sub,
+             emb[s.sub * p.sl + 1 : s.sub * p.sl + p.sl] AS subvec
+      FROM e, p, (SELECT unnest(generate_series(0, 15)) AS sub) s
+    ),
+    cb AS (
+      SELECT sub, CAST(vec_id // 31 AS INT) AS cent_id, subvec AS c_vec
+      FROM sv WHERE vec_id % 31 = 0 AND vec_id < 496
+    ),
+    dist AS (
+      SELECT sv.vec_id, sv.sub, cb.cent_id,
+             round(list_sum(list_transform(generate_series(1, len(sv.subvec)),
+                   i -> (sv.subvec[i] - cb.c_vec[i])
+                        * (sv.subvec[i] - cb.c_vec[i]))), 9) AS d
+      FROM sv JOIN cb USING (sub)
+    ),
+    codes AS (
+      SELECT vec_id, sub, cent_id AS code FROM (
+        SELECT vec_id, sub, cent_id,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d, cent_id) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT q.vec_id AS query_id, q.sub, cb.cent_id AS code,
+             CAST(round(list_sum(list_transform(
+                      generate_series(1, len(q.subvec)),
+                      i -> q.subvec[i] * cb.c_vec[i])), 6)
+                  AS DECIMAL(18,6)) AS partial
+      FROM sv q JOIN cb USING (sub) WHERE q.vec_id < {_N_QUERIES}
+    ),
+    adc AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             CAST(sum(partial) AS DOUBLE) AS approx_dot
+      FROM codes c JOIN qtab ON c.sub = qtab.sub AND c.code = qtab.code
+      WHERE c.vec_id <> qtab.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, approx_dot, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx_dot DESC, neighbor_id) AS rnk
+      FROM adc) WHERE rnk <= 10
+"""
+
+
+@q("pq_adc_search", _PQ_ADC_DUCK)
+def pq_adc_search(spark, sf_dir):
+    """PQ search with a FULL rows+schema+hash oracle — the driver-checkable
+    certification of the PQ family (VERDICT r3 #5).
+
+    The SQL-inexpressible part of PQ is only the Lloyd refinement;
+    everything downstream — subspace split, nearest-centroid encode, ADC
+    partial-dot lookup, decimal-exact merge, shortlist rank — is the same
+    whether the codebook was refined or not. So this query runs the REAL
+    operators (operators/pq.py train_pq/encode_pq/pq_shortlist) with
+    ``iters=0``: the codebook is the deterministic anchor set (every 31st
+    vector's subvectors), which DuckDB can reconstruct exactly, making the
+    whole search path hash-checkable. Refinement quality remains pinned by
+    pq_recall's pytest floor (tests/test_pq.py)."""
+    from bridgedownstream_spark.operators.pq import pq_shortlist
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    cb, codes = _pq_corpus(spark, sf_dir, iters=0)
+    qs = emb.where(F.col("vec_id") < _N_QUERIES)
+    return pq_shortlist(qs, codes, cb, shortlist=10).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "approx_dot",
+        F.col("rnk").cast("int").alias("rnk"),
     )
 
 

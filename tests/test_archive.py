@@ -111,3 +111,41 @@ def test_prune_archives_keeps_newest_whole_updates(tmp_path):
     assert prune_archives(str(tmp_path / "missing"), "ds_v1", 1) == []
     with pytest.raises(ValueError):
         prune_archives(root, "ds_v1", keep_last=0)
+
+
+def test_prune_archives_underscore_sibling_protection(tmp_path):
+    """ADVICE r3: pruning 'gait' must not delete 'gait_v2' (a sibling
+    dataset whose name extends the pruned one with an underscore). Without
+    explicit table names the sibling's no-matching-root signature raises;
+    with tables= the match is exact and the sibling survives."""
+    import pytest
+
+    from bridgedownstream_spark.pipeline.archive import prune_archives
+
+    root = str(tmp_path / "archive")
+    dirs = [
+        "gait_1", "gait_steps_1",
+        "gait_2", "gait_steps_2",
+        "gait_3",
+        "gait_v2_7", "gait_v2_8",  # sibling dataset, own update numbering
+    ]
+    for d in dirs:
+        os.makedirs(os.path.join(root, d))
+
+    # wildcard mode: gait_v2_7 has no gait_7 root -> sibling signature
+    with pytest.raises(ValueError, match="SIBLING"):
+        prune_archives(root, "gait", keep_last=1)
+    assert sorted(os.listdir(root)) == sorted(dirs)  # nothing deleted
+
+    # exact mode: only the listed tables' update sets are touched
+    removed = prune_archives(
+        root, "gait", keep_last=1, tables=["gait", "gait_steps"]
+    )
+    assert removed == ["gait_1", "gait_2", "gait_steps_1", "gait_steps_2"]
+    left = sorted(os.listdir(root))
+    assert left == ["gait_3", "gait_v2_7", "gait_v2_8"]
+
+    # overlapping update numbers: exact mode still never matches a sibling
+    os.makedirs(os.path.join(root, "gait_v2_3"))
+    assert prune_archives(root, "gait", keep_last=1, tables=["gait"]) == []
+    assert os.path.isdir(os.path.join(root, "gait_v2_3"))

@@ -235,6 +235,67 @@ def test_hash_checked_float_outputs_are_stabilized(spark):
     assert not bad, f"unstabilized float output columns: {bad}"
 
 
+def test_oracle_dtypes_match_spark_schema(spark):
+    """Oracle-side twin of the canonicalizable guard (VERDICT r3 #4): the
+    driver compares AFTER pandas canonicalization, where DuckDB's numeric
+    widening becomes visible — `sum(BIGINT)` returns HUGEINT, which
+    `.df()` coerces to float64 while Spark emits int64 (`2014.0` vs
+    `2014`: the r2+r3 `skew_salted_agg` hash failure). Run every oracle
+    through DuckDB's pandas path and flag any float column where the
+    Spark schema is integral (and vice versa). A float64 oracle column
+    WITH nulls against an integral Spark column is exempt: the driver's
+    pandas view of the Spark side null-coerces to float64 identically,
+    and verify_local checks that case dynamically."""
+    import duckdb
+    from pyspark.sql import types as T
+
+    from bridgedownstream_spark.queries.util import TABLES
+
+    sf = SF
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    floating = (T.FloatType, T.DoubleType)
+    bad = []
+    for name, (fn, oracle) in REGISTRY.items():
+        if oracle is None:
+            continue
+        spark_types = {f.name: f.dataType for f in fn(spark, sf).schema.fields}
+        opd = con.execute(oracle).df()
+        for col in opd.columns:
+            st = spark_types.get(col)
+            if st is None:
+                continue  # column-name mismatch is verify_local's finding
+            ok = str(opd[col].dtype)
+            if ok.startswith("float") and isinstance(st, integral):
+                if opd[col].isna().any():
+                    continue  # nullable-int coercion hits both sides alike
+                bad.append(f"{name}.{col}: oracle {ok} vs spark {st.simpleString()}")
+            elif ok.startswith(("int", "uint")) and isinstance(st, floating):
+                bad.append(f"{name}.{col}: oracle {ok} vs spark {st.simpleString()}")
+    con.close()
+    assert not bad, f"oracle/spark dtype divergences: {bad}"
+
+
+def test_oracle_dtype_guard_catches_planted_hugeint():
+    """The guard logic above must flag the exact r3 failure shape: a bare
+    DuckDB sum(BIGINT) (→ HUGEINT → pandas float64) against an integral
+    Spark column."""
+    import duckdb
+
+    con = duckdb.connect()
+    df = con.execute("SELECT sum(x) AS n FROM (VALUES (1), (2)) t(x)").df()
+    assert str(df["n"].dtype) == "float64"  # the hazard exists in this duckdb
+    fixed = con.execute(
+        "SELECT CAST(sum(x) AS BIGINT) AS n FROM (VALUES (1), (2)) t(x)"
+    ).df()
+    assert str(fixed["n"].dtype) == "int64"  # and the CAST pattern kills it
+    con.close()
+
+
 def test_listing_scan_never_reads_bodies(spark):
     """The listing source's contract: enumerating a lake prefix costs the
     LISTING, not the data — the binaryFile scan must prune down to the
@@ -256,17 +317,21 @@ def test_certifying_prefix_is_stable():
     assert len(_CERTIFYING) == 50
     assert list(REGISTRY)[:50] == list(_CERTIFYING)
     must_have = {
-        # every §2 S-component's certifying query
+        # every §2 S-component's certifying query (§2.11 incremental is
+        # certified by stream_sync_e2e's checkpointed availableNow drain)
         "listing_scan", "workflow_properties", "ingest_e2e_events",
         "quarantine_replay", "pipeline_e2e_root", "pipeline_e2e_child",
-        "pipeline_incremental_idempotent", "pipeline_partition_pruned",
+        "pipeline_partition_pruned",
         "zorder_box_query", "rollup_incremental_equiv", "sql_view_query",
         "projection_pushdown", "pricing_summary", "stream_sync_e2e",
         "expected_error_suppression",
-        # one representative per extension family the grader names
-        "near_dup_lsh_pairs", "near_dup_components", "ann_ivf_topk",
-        "pq_ann_shortlist", "pii_redact", "media_phash_pairs",
-        "segment_dedup", "funnel_conversion", "dq_constraint_report",
+        # one representative per extension family the grader names (r4
+        # rotation: near_dup_keep_best certifies clustering, pq_adc_search
+        # the PQ path with a full oracle, lm_perplexity curation,
+        # scd2_intervals product analytics)
+        "near_dup_lsh_pairs", "near_dup_keep_best", "ann_ivf_topk",
+        "pq_adc_search", "lm_perplexity", "media_phash_pairs",
+        "segment_dedup", "scd2_intervals", "dq_constraint_report",
     }
     missing = must_have - set(_CERTIFYING)
     assert not missing, f"certifying window lost: {missing}"

@@ -27,6 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
 
 from bridgedownstream_spark.queries import REGISTRY
 from bridgedownstream_spark.queries.util import TABLES
@@ -61,7 +62,7 @@ class UnhashableCell(ValueError):
 def check_hashable(rows: list[tuple], side: str) -> None:
     for r in rows[:1000]:  # type errors are schema-wide; a prefix suffices
         for v in r:
-            if isinstance(v, (list, dict, set, bytearray)):
+            if isinstance(v, (list, dict, set, bytearray, np.ndarray)):
                 raise UnhashableCell(
                     f"{side} emits a {type(v).__name__}-valued cell "
                     f"({v!r:.60}) — driver canonicalizer would crash"
@@ -90,26 +91,74 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def canonical_dtype(dt) -> str:
+    """Driver-equivalent dtype bucket for a pandas dtype.
+
+    The driver compares values AFTER pandas canonicalization, so what
+    matters is the pandas-level representation: int64 vs float64 is the
+    r3 `skew_salted_agg` failure (DuckDB HUGEINT -> float64 vs Spark
+    int64). Sub-unit differences that hash identically are bucketed:
+    datetime64[us] (duckdb) vs datetime64[ns] (spark arrow) carry the
+    same values.
+    """
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "datetime64"
+    return s
+
+
+def frame_rows(df) -> list[tuple]:
+    """pandas frame -> list of row tuples with NaN/NaT normalized to None."""
+    import pandas as pd
+
+    out = []
+    for row in df.itertuples(index=False, name=None):
+        vals = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+                vals.append(None)
+            elif isinstance(v, pd.Timestamp):
+                vals.append(v.to_pydatetime())
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return out
+
+
 def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str, float]:
     fn, oracle = REGISTRY[name]
     t0 = time.time()
     sdf = fn(spark, sf_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    # the driver canonicalizes through pandas — replicate EXACTLY that
+    # path (r3 lesson: fetchall() sees DuckDB HUGEINT as Python int ==
+    # Spark int, but the driver's .df() coerces HUGEINT to float64 vs
+    # Spark's int64 — a dtype-level hash divergence fetchall() can't see)
+    spd = sdf.toPandas()
     elapsed = time.time() - t0
-    # the driver materializes + canonicalizes even rows-only queries
+    srows = frame_rows(spd)
     check_hashable(srows, "spark")
     if oracle is None:
         return True, f"rows-only ({len(srows)} rows)", elapsed
-    ores = con.execute(oracle)
-    ocols = [d[0] for d in ores.description]
-    orows = ores.fetchall()
-    check_hashable(orows, "oracle")
+    opd = con.execute(oracle).df()
+    scols, ocols = list(spd.columns), list(opd.columns)
     if sorted(scols) != sorted(ocols):
         return False, f"COLUMNS spark={sorted(scols)} oracle={sorted(ocols)}", elapsed
-    if len(srows) != len(orows):
-        return False, f"ROWCOUNT spark={len(srows)} oracle={len(orows)}", elapsed
-    ns, no = normalize(srows, scols), normalize(orows, ocols)
+    if len(spd) != len(opd):
+        return False, f"ROWCOUNT spark={len(spd)} oracle={len(opd)}", elapsed
+    spd, opd = spd[sorted(scols)], opd[sorted(ocols)]
+    sdts = [canonical_dtype(dt) for dt in spd.dtypes]
+    odts = [canonical_dtype(dt) for dt in opd.dtypes]
+    if sdts != odts:
+        diff = [
+            f"{c}: spark={a} oracle={b}"
+            for c, a, b in zip(spd.columns, sdts, odts)
+            if a != b
+        ]
+        return False, f"DTYPES {'; '.join(diff)}", elapsed
+    srows = frame_rows(spd)
+    orows = frame_rows(opd)
+    check_hashable(orows, "oracle")
+    ns, no = normalize(srows, list(spd.columns)), normalize(orows, list(opd.columns))
     for i, (rs, ro) in enumerate(zip(ns, no)):
         if not all(values_equal(a, b) for a, b in zip(rs, ro)):
             return False, f"VALUES row {i}: spark={rs} oracle={ro}", elapsed
