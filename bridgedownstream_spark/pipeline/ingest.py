@@ -312,7 +312,10 @@ def prune_quarantine(
 ) -> dict[str, int]:
     """Retention for the quarantine table: drop rows whose ``uploadedon``
     is strictly before ``keep_after`` (ISO timestamp string — the same
-    lexicographically-ordered format the manifest carries). Returns
+    lexicographically-ordered format the manifest carries). Rows with a
+    NULL ``uploadedon`` are KEPT: an undatable quarantine row has no age
+    to expire on, and silently dropping it on the first retention pass
+    would lose the only copy of an unreplayed record (ADVICE r3). Returns
     ``{"kept": n, "dropped": n}``.
 
     The reference's dead-letter queue ages out by SQS retention
@@ -329,7 +332,10 @@ def prune_quarantine(
     if not has_data_files(spark, quarantine_root):
         return {"kept": 0, "dropped": 0}
     q = spark.read.parquet(quarantine_root)
-    kept = q.where(F.col("uploadedon") >= F.lit(keep_after))
+    kept = q.where(
+        F.col("uploadedon").isNull()
+        | (F.col("uploadedon") >= F.lit(keep_after))
+    )
     n_total = q.count()
     kept = kept.localCheckpoint(eager=True)  # cut lineage before overwrite
     n_kept = kept.count()

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import re
+
 from bridgedownstream_spark.pipeline.fsutil import delete_path, has_data_files
 
 __all__ = ["refresh_rollup"]
@@ -37,12 +39,30 @@ __all__ = ["refresh_rollup"]
 #: Spark's directory name for a NULL/empty partition value
 _HIVE_DEFAULT = "__HIVE_DEFAULT_PARTITION__"
 
+#: same value charset as upsert._PATH_SAFE: a spec value outside it would
+#: not round-trip to the directory name Spark wrote, so the delete below
+#: would address the wrong (or a parent) path
+_PATH_SAFE = re.compile(r"^[A-Za-z0-9._\- ]+$")
+
 
 def _drop_rollup_partition(
     spark: SparkSession, rollup_path: str, partition_cols: list[str], spec: dict
 ) -> None:
     import posixpath
 
+    for c in partition_cols:
+        v = spec[c]
+        if v in (None, ""):
+            continue
+        if not isinstance(v, str) or not _PATH_SAFE.match(v):
+            # ADVICE r3: caller-supplied values reach an FS DELETE — a '/'
+            # or Spark-escaped character would escape the partition dir
+            raise ValueError(
+                f"refresh_rollup: partition value {c}={v!r} does not "
+                "round-trip to a directory name (non-string, or contains "
+                "'/', '=', or other characters Spark %-escapes); refusing "
+                "to delete by path"
+            )
     segs = [
         f"{c}={_HIVE_DEFAULT if spec[c] in (None, '') else spec[c]}"
         for c in partition_cols
@@ -80,6 +100,34 @@ def refresh_rollup(
     rollup partition deleted outright — dynamic overwrite cannot drop
     rows for a partition that produces no output.
     """
+    # Pin string partition values for THIS function's reads regardless of
+    # the ambient session (ADVICE r3): with inference enabled, year=2022
+    # collects as int while the caller's spec (and the rollup path segs)
+    # carry strings — every touched partition would misclassify as
+    # vanished, get its rollup directory deleted, and recompute each
+    # micro-batch. get_spark() already disables inference; this guards the
+    # foreign-session case the same way pipeline_q._read_table re-pins.
+    inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_inf = spark.conf.get(inf_key, "true")
+    spark.conf.set(inf_key, "false")
+    try:
+        return _refresh_rollup_pinned(
+            spark, table_path, rollup_path, group_cols, aggs,
+            partition_cols, refresh_partitions,
+        )
+    finally:
+        spark.conf.set(inf_key, prev_inf)
+
+
+def _refresh_rollup_pinned(
+    spark: SparkSession,
+    table_path: str,
+    rollup_path: str,
+    group_cols: list[str],
+    aggs: list[Column],
+    partition_cols: list[str],
+    refresh_partitions: list[dict] | None,
+) -> int:
     src = spark.read.parquet(table_path)
     src_parts = src.select(*partition_cols).distinct()
 

@@ -278,16 +278,18 @@ def test_prune_quarantine_retention(spark, tmp_path):
             ("r1", "2022-01-05T00:00:00.000Z", ["e1"]),
             ("r2", "2022-06-01T12:00:00.000Z", ["e2"]),
             ("r3", "2023-01-01T00:00:00.000Z", ["e3"]),
+            ("r4", None, ["e4"]),  # undatable: must survive every pass
         ],
         "recordid string, uploadedon string, errors array<string>",
     ).coalesce(1).write.parquet(root)
     out = prune_quarantine(spark, root, "2022-06-01T00:00:00.000Z")
-    assert out == {"kept": 2, "dropped": 1}
+    assert out == {"kept": 3, "dropped": 1}
     left = {r.recordid for r in spark.read.parquet(root).collect()}
-    assert left == {"r2", "r3"}
-    # idempotent: nothing else ages out at the same cutoff
+    assert left == {"r2", "r3", "r4"}
+    # idempotent: nothing else ages out at the same cutoff — and the
+    # NULL-dated row is still here (ADVICE r3: it must not silently age out)
     assert prune_quarantine(spark, root, "2022-06-01T00:00:00.000Z") == {
-        "kept": 2,
+        "kept": 3,
         "dropped": 0,
     }
     # missing/empty table: no-op, no crash

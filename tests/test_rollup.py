@@ -77,3 +77,48 @@ def test_late_data_re_refresh(spark, tmp_path):
         ("01", "a"): (2, 101.0),
         ("02", "a"): (1, 2.0),
     }
+
+
+def test_refresh_pins_partition_inference(spark, tmp_path):
+    """ADVICE r3: on a session with partition-type inference ENABLED, a
+    numeric-looking partition (day=01 collects as int) must not make the
+    stale-partition detector misclassify every touched partition as
+    vanished (deleting + recomputing its rollup each refresh).
+    refresh_rollup pins string values internally, so the string spec
+    matches and no rollup directory is dropped."""
+    import os
+
+    lake = str(tmp_path / "lake")
+    roll = str(tmp_path / "rollup")
+    _write_day(spark, lake, "01", [("r1", "a", 1.0)])
+    assert _rollup(spark, lake, roll) == 1
+
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        # re-refresh day 01 on the "foreign" session: it must be treated
+        # as live (recomputed in place), never as vanished (dir deleted)
+        assert _rollup(spark, lake, roll, refresh_partitions=[{"day": "01"}]) == 1
+        assert spark.conf.get(key) == "true"  # caller's setting restored
+    finally:
+        spark.conf.set(key, prev)
+    assert os.path.isdir(os.path.join(roll, "day=01"))
+    assert _read(spark, roll)[("01", "a")] == (1, 1.0)
+
+
+def test_drop_rollup_partition_rejects_unsafe_values(spark, tmp_path):
+    """ADVICE r3: a refresh_partitions value that would not round-trip to
+    a directory name (contains '/') must raise, not delete a parent or
+    sibling path."""
+    import pytest
+
+    lake = str(tmp_path / "lake")
+    roll = str(tmp_path / "rollup")
+    _write_day(spark, lake, "01", [("r1", "a", 1.0)])
+    assert _rollup(spark, lake, roll) == 1
+    with pytest.raises(ValueError, match="round-trip"):
+        # value names a partition ABSENT from the source, so the vanished-
+        # partition path (the FS delete) is what receives it
+        _rollup(spark, lake, roll, refresh_partitions=[{"day": "../lake"}])
+    assert _read(spark, roll)[("01", "a")] == (1, 1.0)  # nothing deleted
