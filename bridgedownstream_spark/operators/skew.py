@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "hot_join_keys", "adaptive_salted_join"]
 
 
 def salted_join(
@@ -53,3 +53,82 @@ def salted_join(
         ).alias("__salt"),
     )
     return f.join(d, [*on, "__salt"], how).drop("__salt")
+
+
+def hot_join_keys(
+    df: DataFrame,
+    on: list[str],
+    min_share_bp: int = 100,
+    max_keys: int = 1000,
+) -> DataFrame:
+    """The keys of ``df`` holding at least ``min_share_bp`` basis points
+    (1 bp = 0.01%) of its rows: ``(*on, n, share_bp)``, hottest first,
+    capped at ``max_keys``.
+
+    This is `hot_key_report`'s diagnostic as a reusable operator — the
+    "measure" half of measure-then-salt. Cost: one (key, count) partial-
+    aggregated shuffle over ``df`` (never the full rows), plus a 1-row
+    total. The result is bounded (≤ 10000/min_share_bp keys can exceed
+    the share by definition, independent of data size), so it is always
+    broadcastable."""
+    c = df.groupBy(*on).agg(F.count("*").alias("n"))
+    total = c.agg(F.sum("n").alias("__t"))
+    return (
+        c.crossJoin(F.broadcast(total))
+        .where(F.col("n") * 10000 >= F.lit(min_share_bp) * F.col("__t"))
+        .select(
+            *on,
+            "n",
+            F.expr("CAST((10000 * n) div __t AS INT)").alias("share_bp"),
+        )
+        .orderBy(F.desc("n"), *on)
+        .limit(max_keys)
+    )
+
+
+def adaptive_salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    salt: int = 8,
+    min_share_bp: int = 100,
+    max_hot_keys: int = 1000,
+    how: str = "inner",
+    tag_col: str | None = None,
+) -> DataFrame:
+    """Self-remediating skew join: diagnose ``fact``'s hot join keys
+    (:func:`hot_join_keys`), route ONLY those through :func:`salted_join`,
+    and plain-join everything else — then union. Result is identical to
+    ``fact.join(dim, on, how)`` (inner/left), but no reducer ever owns a
+    whole hot key.
+
+    This wires the `hot_key_report` diagnostic to the `salted_join`
+    remedy as one operator (VERDICT r3 #8): blanket salting replicates
+    the ENTIRE dim ``salt``× (ruinous when dim is large), while adaptive
+    salting replicates only the hot keys' dim rows — a bounded set, since
+    at most 10000/min_share_bp keys can exceed the share threshold.
+
+    Scale notes: the diagnosis costs one (key, count) shuffle of the fact
+    side per call — at 100 TB, amortize it by persisting key stats as an
+    offline artifact and splitting on that instead. The hot-key frame is
+    localCheckpointed (it is re-used by three semi/anti splits; without
+    the cut each split would re-aggregate the fact table). ``tag_col``
+    (optional) appends a boolean column marking rows that took the salted
+    path — the observability hook the certifying query checks.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"adaptive_salted_join supports inner/left, not {how!r}")
+    hot = (
+        hot_join_keys(fact, on, min_share_bp, max_hot_keys)
+        .select(*on)
+        .localCheckpoint(eager=True)
+    )
+    hot_fact = fact.join(F.broadcast(hot), on, "semi")
+    cold_fact = fact.join(F.broadcast(hot), on, "anti")
+    hot_dim = dim.join(F.broadcast(hot), on, "semi")
+    cold = cold_fact.join(dim, on, how)
+    hotj = salted_join(hot_fact, hot_dim, on, salt=salt, how=how)
+    if tag_col is not None:
+        cold = cold.withColumn(tag_col, F.lit(False))
+        hotj = hotj.withColumn(tag_col, F.lit(True))
+    return cold.unionByName(hotj)

@@ -70,8 +70,10 @@ _CERTIFYING: tuple[str, ...] = (
     "case_when_routing",        # F6
     "json_extract",             # F9
     "basename_extract",         # F7
-    # skew (the r2 hash-failure; oracle dtype fixed r4, kept visible)
+    # skew (the r2 hash-failure; oracle dtype fixed r4, kept visible) +
+    # the diagnose-then-salt auto-remediating join built on it (r4 new)
     "skew_salted_agg",
+    "adaptive_skew_join",
     # format round-trips (the reference's "export to Parquet/CSV" surface)
     "csv_export_roundtrip",     # RFC-4180 quoting survives write→read
     "orc_export_roundtrip",     # columnar alt-format sink/source
@@ -83,6 +85,9 @@ _CERTIFYING: tuple[str, ...] = (
     "expected_error_suppression",  # P8/V3 whitelist subtraction
     "stream_sync_e2e",          # streaming family + §2.11 incremental
                                 # (checkpointed availableNow = bookmarks)
+    "stream_windowed_rollup",   # watermarked windowed state across
+                                # micro-batches, full value-hash oracle
+                                # (r4 new)
     "pipeline_e2e_root",        # S2/S5/N1/N2
     "pipeline_e2e_child",       # N3-N5 at e2e scale
     "pipeline_partition_pruned",        # P7
@@ -95,8 +100,9 @@ _CERTIFYING: tuple[str, ...] = (
     "ann_ivf_topk",             # ANN family (IVF scale path)
     "pq_adc_search",            # PQ family — full rows+schema+hash oracle
     "lm_perplexity",            # curation family (bigram-LM scoring)
-    "media_phash_pairs",        # multimodal family
-    "segment_dedup",            # paragraph-level dedup family
+    # (media_phash_pairs / segment_dedup — multimodal and segment-dedup
+    # family reps, driver-green r3 — yielded their slots to the two r4
+    # operators above, same rotation rule as r3's exact_dedup/pii_redact)
     "scd2_intervals",           # product-analytics family
     "dq_constraint_report",     # data-quality family
 )

@@ -827,6 +827,7 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dirty d JOIN part p
         ON d.p_brand = p.p_brand AND d.p_type = p.p_type
            AND d.p_size = p.p_size
+           AND substr(d.d_name, 1, 4) = substr(p.p_name, 1, 4)
       WHERE levenshtein(d.d_name, p.p_name) <= 2
     ),
     best AS (
@@ -846,12 +847,20 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic best-match resolution (lowest distance, then lowest
     key). The standard record-linkage shape: block → score → resolve.
 
-    Scale path: candidate generation is an equi-join on the blocking key —
-    never all-pairs — and Levenshtein runs only inside blocks (max block
-    size here ≈50 at sf0.1; production blocking picks keys that bound
-    block size, or composes multiple blocking passes). Resolution is one
-    window per dirty record over its (tiny) candidate set. Everything
-    stays JVM-side: `levenshtein` is a codegen'd builtin in both engines.
+    Scale path: candidate generation is an equi-join on a COMPOSED
+    blocking key — attributes (brand, type, size) × a name-prefix bucket
+    (first 4 chars) — never all-pairs. The attribute block alone grows
+    linearly with the catalog, so its in-block pairs grow quadratically
+    (measured 2.6× time at 10× data in r3, SCALE.md); composing the
+    prefix bucket multiplies the distinct-key count by the prefix
+    cardinality, so block sizes — and in-block pair volume — stay bounded
+    as the catalog grows. The prefix is recall-safe for THIS corruption
+    model (last-character truncation never alters a 4-char prefix of
+    names ≥5 chars); production ER composes a complementary second pass
+    (e.g. a suffix or phonetic bucket) for edits that hit the prefix.
+    Resolution is one window per dirty record over its (tiny) candidate
+    set. Everything stays JVM-side: `levenshtein` is a codegen'd builtin
+    in both engines.
     """
     p = tbl(spark, sf_dir, "part")
     dirty = p.select(
@@ -865,9 +874,12 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         "p_type",
         "p_size",
-    )
+    ).withColumn("name_pfx", F.expr("substring(d_name, 1, 4)"))
     cand = (
-        dirty.join(p, ["p_brand", "p_type", "p_size"])
+        dirty.join(
+            p.withColumn("name_pfx", F.expr("substring(p_name, 1, 4)")),
+            ["p_brand", "p_type", "p_size", "name_pfx"],
+        )
         .select(
             "d_key",
             F.col("p_partkey").alias("m_key"),

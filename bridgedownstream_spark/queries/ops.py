@@ -623,3 +623,50 @@ def hot_key_report(spark, sf_dir):
         )
         .orderBy("rank")
     )
+
+
+@q(
+    "adaptive_skew_join",
+    """
+    WITH f AS (
+      SELECT event_id,
+             CASE WHEN event_id % 4 = 0 THEN 'burst'
+                  ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
+      FROM events
+    ),
+    d AS (SELECT k, min(event_id) AS first_seen, count(*) AS n_k
+          FROM f GROUP BY 1),
+    t AS (SELECT sum(n_k) AS total FROM d)
+    SELECT f.event_id, f.k, d.first_seen,
+           (10000 * d.n_k) >= (1000 * t.total) AS took_salted_path
+    FROM f JOIN d USING (k) CROSS JOIN t
+    """,
+)
+def adaptive_skew_join(spark, sf_dir):
+    """Diagnose-then-salt as ONE operator (operators/skew.py::
+    adaptive_salted_join — VERDICT r3 #8): a fact table where one key
+    ('burst', 25% of rows) dwarfs a long tail of per-user keys joins a
+    per-key dim. Keys over 1000 bp are detected by hot_join_keys and
+    routed through the salted join (dim rows replicated salt×, fact rows
+    spread by hash); the cold tail takes the plain hash join; the union
+    is provably identical to the unsalted join — which is exactly what
+    the oracle computes, plus the hot/cold routing decision itself
+    (took_salted_path), recomputed in SQL from the share threshold."""
+    from bridgedownstream_spark.operators.skew import adaptive_salted_join
+
+    ev = tbl(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 4 == 0, F.lit("burst"))
+        .otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+        .alias("k"),
+    )
+    dim = fact.groupBy("k").agg(F.min("event_id").alias("first_seen"))
+    return adaptive_salted_join(
+        fact,
+        dim,
+        on=["k"],
+        salt=8,
+        min_share_bp=1000,
+        tag_col="took_salted_path",
+    )

@@ -330,8 +330,10 @@ def test_certifying_prefix_is_stable():
         # the PQ path with a full oracle, lm_perplexity curation,
         # scd2_intervals product analytics)
         "near_dup_lsh_pairs", "near_dup_keep_best", "ann_ivf_topk",
-        "pq_adc_search", "lm_perplexity", "media_phash_pairs",
-        "segment_dedup", "scd2_intervals", "dq_constraint_report",
+        "pq_adc_search", "lm_perplexity",
+        "scd2_intervals", "dq_constraint_report",
+        # r4 operators with first-time driver rows
+        "adaptive_skew_join", "stream_windowed_rollup",
     }
     missing = must_have - set(_CERTIFYING)
     assert not missing, f"certifying window lost: {missing}"

@@ -58,3 +58,48 @@ def test_salted_rejects_right_join(spark):
     df = spark.createDataFrame([("a", 1)], "k string, v int")
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(df, df, ["k"], how="right")
+
+
+def _skewed_fact(spark):
+    # one hot key with 80% of rows, 20 cold keys sharing the rest
+    rows = [("hot", i) for i in range(800)] + [
+        (f"c{i % 20}", i) for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "k string, v int")
+
+
+def test_hot_join_keys_thresholds(spark):
+    from bridgedownstream_spark.operators.skew import hot_join_keys
+
+    f = _skewed_fact(spark)
+    hot = hot_join_keys(f, ["k"], min_share_bp=1000).collect()  # >= 10%
+    assert [(r["k"], r["n"], r["share_bp"]) for r in hot] == [("hot", 800, 8000)]
+    # every key clears a 0-bp threshold; max_keys caps the result hottest-first
+    top3 = hot_join_keys(f, ["k"], min_share_bp=0, max_keys=3).collect()
+    assert top3[0]["k"] == "hot" and len(top3) == 3
+
+
+def test_adaptive_salted_join_equals_plain(spark):
+    from bridgedownstream_spark.operators.skew import adaptive_salted_join
+
+    f = _skewed_fact(spark)
+    d = spark.createDataFrame(
+        [("hot", "H")] + [(f"c{i}", f"C{i}") for i in range(20)]
+        + [("nomatch", "X")],
+        "k string, label string",
+    )
+    plain = f.join(d, ["k"], "inner")
+    out = adaptive_salted_join(f, d, ["k"], salt=4, min_share_bp=1000)
+    assert _norm(out.select(*plain.columns)) == _norm(plain)
+
+    # left join keeps orphan fact rows exactly once, on the cold path
+    f2 = f.unionByName(spark.createDataFrame([("orphan", 1)], "k string, v int"))
+    left = adaptive_salted_join(
+        f2, d, ["k"], salt=4, min_share_bp=1000, how="left", tag_col="salted"
+    )
+    rows = left.collect()
+    assert len(rows) == 1001
+    assert [r["salted"] for r in rows if r["k"] == "orphan"] == [False]
+    # the hot key really took the salted path; cold keys did not
+    assert {r["salted"] for r in rows if r["k"] == "hot"} == {True}
+    assert {r["salted"] for r in rows if r["k"].startswith("c")} == {False}

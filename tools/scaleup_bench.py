@@ -78,6 +78,13 @@ def build() -> str:
                         f"ELSE w END), ' ')"
                     ),
                 )
+            if t == "part" and i > 0:
+                # distinct name space per copy: unsalted clones would give
+                # the fuzzy-ER query 10 identical copies of every name
+                # inside one block (100x candidate pairs by construction —
+                # degenerate structure no real catalog growth produces,
+                # same rationale as the documents word-salt)
+                d = d.withColumn("p_name", F.expr(f"concat('c{i} ', p_name)"))
             if t == "embeddings" and i > 0:
                 # rotate the vector by i positions per copy: preserves the
                 # norm while decorrelating copies — unrotated clones would
