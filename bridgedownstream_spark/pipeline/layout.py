@@ -32,7 +32,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "write_zordered", "write_sorted", "file_minmax"]
+__all__ = [
+    "zorder_key",
+    "write_zordered",
+    "write_sorted",
+    "file_minmax",
+    "write_stats_manifest",
+    "skipping_scan",
+]
 
 
 def _bucket_cols(df: DataFrame, cols: list[str], bits: int) -> list[Column]:
@@ -139,3 +146,53 @@ def file_minmax(spark, path: str, cols: list[str]) -> DataFrame:
         .groupBy(F.input_file_name().alias("file"))
         .agg(*aggs)
     )
+
+
+def write_stats_manifest(
+    spark, path: str, cols: list[str], manifest_path: str
+) -> int:
+    """Persist :func:`file_minmax` as the dataset's data-skipping manifest
+    (the Iceberg/Delta manifest idea on plain parquet): per-file [min,max]
+    boxes for ``cols``, written once per layout rewrite, consulted by
+    :func:`skipping_scan` at query time. Returns the file count.
+
+    At 100 TB the manifest is the difference between planning costing a
+    LISTING (+ every footer) and costing a scan of a table 6-8 orders of
+    magnitude smaller than the data; rebuild it whenever the layout is
+    rewritten (compaction / z-order), exactly as table formats version
+    their manifests."""
+    stats = file_minmax(spark, path, cols)
+    stats.write.mode("overwrite").parquet(manifest_path)
+    return spark.read.parquet(manifest_path).count()
+
+
+def skipping_scan(
+    spark,
+    path: str,
+    manifest_path: str,
+    predicates: dict[str, tuple],
+) -> DataFrame:
+    """Manifest-pruned scan: read ONLY the files whose stats box intersects
+    every ``{col: (lo, hi)}`` closed interval, then re-apply the exact
+    predicates to the surviving rows (stats prune files, they never decide
+    row membership — same contract as parquet row-group skipping).
+
+    The planning side touches the manifest only: its intersection filter
+    collects a FILE LIST (bounded by the file count — the same object
+    every query planner materializes), never data rows. A file whose
+    stats are NULL for a predicate column holds only NULL values there
+    and cannot satisfy a range predicate, so dropping it is exact.
+    """
+    m = spark.read.parquet(manifest_path)
+    cond = None
+    for c, (lo, hi) in predicates.items():
+        p = (F.col(f"max_{c}") >= F.lit(lo)) & (F.col(f"min_{c}") <= F.lit(hi))
+        cond = p if cond is None else cond & p
+    files = [r["file"] for r in m.where(cond).select("file").collect()]
+    if not files:
+        # preserve the dataset schema for downstream plans
+        return spark.read.parquet(path).limit(0)
+    df = spark.read.parquet(*files)
+    for c, (lo, hi) in predicates.items():
+        df = df.where(F.col(c).between(F.lit(lo), F.lit(hi)))
+    return df

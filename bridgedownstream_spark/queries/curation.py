@@ -250,6 +250,52 @@ def quality_weighted_sample(spark, sf_dir):
 
 
 @q(
+    "rebalance_domains",
+    f"""
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    m AS (SELECT min(n_docs) AS mn FROM c),
+    r AS (SELECT source, n_docs,
+                 CAST((10000 * m.mn) // n_docs AS BIGINT) AS rate_bp
+          FROM c, m)
+    SELECT r.source, r.n_docs, r.rate_bp,
+           CAST(count(CASE WHEN {HASH60.format(x="CAST(doc_id AS VARCHAR)")}
+                                % 10000 < r.rate_bp THEN 1 END) AS BIGINT)
+               AS n_kept
+    FROM documents d JOIN r USING (source)
+    GROUP BY 1, 2, 3
+    """,
+)
+def rebalance_domains(spark, sf_dir):
+    """Domain-mix rebalancing (operators/sampling.py): every source domain
+    deterministically downsampled to the smallest domain's size —
+    rate_bp = (10000·min_n) div n_d, membership = portable-hash gate on
+    doc_id. The audited output is the per-domain plan + achieved counts;
+    the oracle recomputes rates AND membership, so a pass certifies both
+    the rate derivation and the exact surviving-row set. At 100 TB: one
+    (domain, count) shuffle for the rates, then a broadcast-joined
+    projection-stage filter — bodies never shuffle."""
+    from bridgedownstream_spark.operators.sampling import (
+        domain_rates,
+        rebalance_domains as _rebalance,
+    )
+
+    d = tbl(spark, sf_dir, "documents")
+    kept = _rebalance(d, "source", "doc_id").groupBy("source").agg(
+        F.count("*").alias("n_kept")
+    )
+    return (
+        domain_rates(d, "source")
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "rate_bp",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+@q(
     "train_shards",
     f"""
     SELECT CAST({HASH60.format(x="CAST(doc_id AS VARCHAR)")} % 16 AS INT) AS shard,

@@ -719,6 +719,53 @@ def _build_zordered(spark, sf_dir: str) -> str:
     return _ZORDERED[sf_dir]
 
 
+#: sf_dir -> stats-manifest path for the z-ordered events layout
+_MANIFEST: dict[str, str] = {}
+
+
+def _build_manifest(spark, sf_dir: str) -> tuple[str, str]:
+    path = _build_zordered(spark, sf_dir)
+    if sf_dir not in _MANIFEST:
+        from bridgedownstream_spark.pipeline.layout import write_stats_manifest
+
+        mpath = os.path.join(
+            tempfile.gettempdir(),
+            f"bds_manifest_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+        )
+        write_stats_manifest(spark, path, ["user_id", "value"], mpath)
+        _MANIFEST[sf_dir] = mpath
+    return path, _MANIFEST[sf_dir]
+
+
+@q(
+    "stats_pruned_scan",
+    """
+    SELECT event_id, user_id, event_type, round(value, 2) AS value
+    FROM events
+    WHERE user_id BETWEEN 10 AND 25 AND value BETWEEN 200 AND 400
+    """,
+)
+def stats_pruned_scan(spark, sf_dir):
+    # Manifest-driven data skipping (pipeline/layout.py::skipping_scan):
+    # the z-ordered lake's per-file [min,max] boxes are persisted as a
+    # manifest table; the scan consults ONLY the manifest to build its
+    # file list, reads the surviving files, and re-applies the exact
+    # predicate. The oracle recomputes from the source table, so a pass
+    # proves pruning by stats box never changes the answer; that files
+    # are actually SKIPPED is pinned by tests/test_layout.py.
+    from bridgedownstream_spark.pipeline.layout import skipping_scan
+
+    path, mpath = _build_manifest(spark, sf_dir)
+    return skipping_scan(
+        spark,
+        path,
+        mpath,
+        {"user_id": (10, 25), "value": (200.0, 400.0)},
+    ).select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
 @q(
     "zorder_box_query",
     """

@@ -89,3 +89,40 @@ def test_write_sorted_total_order_across_files(spark, tmp_path):
     # content preserved
     back = spark.read.parquet(path)
     assert back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
+
+
+def test_skipping_scan_prunes_files_exactly(spark, tmp_path):
+    """Manifest-driven file skipping: result identical to the full-scan
+    filter, while the manifest's intersection really drops files."""
+    from bridgedownstream_spark.pipeline.layout import (
+        skipping_scan,
+        write_stats_manifest,
+    )
+
+    ev = _events(spark)
+    path = os.path.join(tmp_path, "z")
+    mpath = os.path.join(tmp_path, "manifest")
+    write_zordered(ev, path, ["user_id", "value"], bits=6, num_files=16)
+    n_files = write_stats_manifest(spark, path, ["user_id", "value"], mpath)
+    assert n_files >= 8
+
+    preds = {"user_id": (40, 60), "value": (50.0, 150.0)}
+    out = skipping_scan(spark, path, mpath, preds)
+    full = (
+        spark.read.parquet(path)
+        .where(F.col("user_id").between(40, 60) & F.col("value").between(50.0, 150.0))
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, full.collect()))
+
+    # the clustered layout + tight box must actually SKIP files
+    m = spark.read.parquet(mpath)
+    kept = m.where(
+        (F.col("max_user_id") >= 40) & (F.col("min_user_id") <= 60)
+        & (F.col("max_value") >= 50.0) & (F.col("min_value") <= 150.0)
+    ).count()
+    assert kept < n_files
+
+    # disjoint box: empty result, schema preserved, zero files read
+    empty = skipping_scan(spark, path, mpath, {"user_id": (10**9, 10**9 + 1)})
+    assert empty.count() == 0
+    assert empty.columns == spark.read.parquet(path).columns
