@@ -250,6 +250,69 @@ def quality_weighted_sample(spark, sf_dir):
 
 
 @q(
+    "duplicate_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, {_NORM_TOKS_SQL} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct({_grams_sql("t", 8)})) AS g FROM toks
+    ),
+    h AS (SELECT doc_id, {{hash_g}} AS gh FROM grams),
+    shared AS (SELECT gh FROM h GROUP BY gh HAVING count(DISTINCT doc_id) > 1)
+    SELECT h.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(s.gh) AS BIGINT) AS n_shared,
+           CAST((10000 * count(s.gh)) // greatest(count(*), 1) AS BIGINT)
+               AS shared_bp
+    FROM h LEFT JOIN shared s USING (gh)
+    GROUP BY 1
+    """.format(hash_g=HASH60.format(x="g")),
+)
+def duplicate_spans(spark, sf_dir):
+    """Cross-document repeated-span detection (the substring-dedup
+    diagnostic of Lee et al.'s "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499, approximated at 8-gram
+    granularity): for every document, how many of its distinct 8-gram
+    spans also appear in ANOTHER document, and the duplicated share in
+    basis points. The downstream dedup decision (drop spans vs drop
+    docs) keys off shared_bp.
+
+    Scale shape: gram STRINGS never shuffle — each doc's distinct grams
+    hash to 60-bit ids at the scan (narrow), and both the sharers count
+    and the per-doc join move only (doc_id, gh) pairs. Documents shorter
+    than 8 tokens have no spans and are absent by construction (both
+    engines explode zero rows)."""
+    d = tbl(spark, sf_dir, "documents").withColumn(
+        "t", F.expr(_NORM_TOKS_EXPR)
+    )
+    h = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_grams_expr("t", 8)))).alias("g"),
+    ).select("doc_id", portable_hash60(F.col("g")).alias("gh"))
+    shared = (
+        h.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("gh", F.lit(1).alias("hit"))
+    )
+    return (
+        h.join(shared, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.expr(
+                "CAST((10000 * n_shared) div greatest(n_grams, 1) AS BIGINT)"
+            ).alias("shared_bp"),
+        )
+    )
+
+
+@q(
     "rebalance_domains",
     f"""
     WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),

@@ -245,6 +245,90 @@ def quality_score(spark, sf_dir):
     )
 
 
+#: the funnel's stage predicates — identical fragments on both engines
+_LANG_KNOWN_SQL = f"({_langid_score_sql('en')} + {_langid_score_sql('de')} + {_langid_score_sql('fr')} + {_langid_score_sql('es')}) > 0"
+_LEN_GATE_SQL = (
+    "(length(text) BETWEEN 50 AND 5000 "
+    "AND len(string_split(trim(text), ' ')) >= 10)"
+)
+_PUNCT_GATE_SQL = (
+    "(10000 * length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))"
+    " <= 2000 * greatest(length(text), 1))"
+)
+
+
+@q(
+    "curation_funnel",
+    f"""
+    WITH g AS (
+      SELECT {_LANG_KNOWN_SQL} AS c_lang,
+             {_LEN_GATE_SQL}   AS c_len,
+             {_PUNCT_GATE_SQL} AS c_punct
+      FROM documents
+    ),
+    n AS (
+      SELECT count(*) AS n0,
+             count(CASE WHEN c_lang THEN 1 END) AS n1,
+             count(CASE WHEN c_lang AND c_len THEN 1 END) AS n2,
+             count(CASE WHEN c_lang AND c_len AND c_punct THEN 1 END) AS n3
+      FROM g
+    )
+    SELECT 1 AS stage, 'language_known' AS gate,
+           CAST(n0 AS BIGINT) AS n_in, CAST(n1 AS BIGINT) AS n_out FROM n
+    UNION ALL
+    SELECT 2, 'length_gate', CAST(n1 AS BIGINT), CAST(n2 AS BIGINT) FROM n
+    UNION ALL
+    SELECT 3, 'punct_gate', CAST(n2 AS BIGINT), CAST(n3 AS BIGINT) FROM n
+    """,
+)
+def curation_funnel(spark, sf_dir):
+    """The end-to-end curation funnel: language-known → length gate →
+    punctuation gate, reported as per-stage attrition (n_in → n_out) —
+    the audit table a training-data pipeline publishes alongside every
+    corpus build. Composes the language_id and quality_score predicates
+    verbatim, so the funnel certifies their filter semantics jointly.
+
+    One scan, one 1-row aggregate (the three cumulative conditionals fuse
+    into a single partial agg), exploded to a 3-row report — at 100 TB
+    the funnel costs exactly one pass regardless of stage count. The
+    punctuation gate compares in integer basis points (10000·punct_len ≤
+    2000·len), so stage membership is exact — no float thresholds."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    def hits(lang: str):
+        arr = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    c_lang = (hits("en") + hits("de") + hits("fr") + hits("es")) > 0
+    c_len = F.length("text").between(50, 5000) & (
+        F.size(F.split(F.trim(F.col("text")), " ")) >= 10
+    )
+    punct = F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
+    c_punct = (punct * 10000) <= (F.greatest(F.length("text"), F.lit(1)) * 2000)
+    n = d.select(
+        F.count("*").alias("n0"),
+        F.count(F.when(c_lang, 1)).alias("n1"),
+        F.count(F.when(c_lang & c_len, 1)).alias("n2"),
+        F.count(F.when(c_lang & c_len & c_punct, 1)).alias("n3"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit(1).alias("stage"), F.lit("language_known").alias("gate"),
+            F.col("n0").alias("n_in"), F.col("n1").alias("n_out"),
+        ),
+        F.struct(
+            F.lit(2).alias("stage"), F.lit("length_gate").alias("gate"),
+            F.col("n1").alias("n_in"), F.col("n2").alias("n_out"),
+        ),
+        F.struct(
+            F.lit(3).alias("stage"), F.lit("punct_gate").alias("gate"),
+            F.col("n2").alias("n_in"), F.col("n3").alias("n_out"),
+        ),
+    )
+    return n.select(F.explode(rows).alias("r")).select("r.*")
+
+
 #: BPE-ish pre-tokenizer regex (GPT-2-style word/number/punct split,
 #: ASCII classes so Java regex and RE2 agree character-for-character)
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
