@@ -135,6 +135,7 @@ def main() -> int:
         _pq_mod._build_zordered,
         _pq_mod._build_rollup,
         _pq_mod._build_windowed_rollup,
+        _pq_mod._build_stream_dedup,
         _pq_mod._build_manifest,
     ):
         # per-builder: one failing fixture must neither skip the remaining

@@ -428,9 +428,55 @@ def expected_error_suppression(spark, sf_dir):
 #: (sf_dir) -> parquet path of the drained windowed continuous aggregate
 _WINAGG: dict[str, str] = {}
 
+#: (sf_dir) -> two-file NDJSON stream source of the events table
+_STREAM_SRC: dict[str, str] = {}
+
 #: micros-precision JSON timestamp format — the default writer format
 #: truncates to milliseconds, which would shift window membership
 _TS_JSON_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def _build_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """The shared file-stream source: events as exactly TWO NDJSON files,
+    so a maxFilesPerTrigger=1 reader sees two micro-batches — each key's
+    rows hash-split across both, which is what makes cross-batch state
+    (windows, dedup) actually exercised rather than vacuous."""
+    if sf_dir in _STREAM_SRC:
+        return _STREAM_SRC[sf_dir]
+    import shutil
+
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"bds_streamsrc_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    (
+        tbl(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            F.col("value").cast("decimal(24,10)").alias("value"),
+        )
+        .repartition(2, "event_id")  # two files -> two micro-batches
+        .write.option("timestampFormat", _TS_JSON_FMT)
+        .json(src)
+    )
+    _STREAM_SRC[sf_dir] = src
+    return src
+
+
+def _read_stream_src(spark: SparkSession, src: str):
+    return (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value decimal(24,10)"
+        )
+        .option("timestampFormat", _TS_JSON_FMT)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
 
 
 def _build_windowed_rollup(spark: SparkSession, sf_dir: str) -> str:
@@ -457,34 +503,15 @@ def _build_windowed_rollup(spark: SparkSession, sf_dir: str) -> str:
 
     from bridgedownstream_spark.streaming.windowed import windowed_counts
 
+    src = _build_stream_src(spark, sf_dir)
     base = os.path.join(
         tempfile.gettempdir(),
         f"bds_winagg_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
     )
     shutil.rmtree(base, ignore_errors=True)
-    src = os.path.join(base, "src")
     out = os.path.join(base, "agg")
     ckpt = os.path.join(base, "ckpt")
-    (
-        tbl(spark, sf_dir, "events")
-        .select(
-            "event_id",
-            "ts",
-            "event_type",
-            F.col("value").cast("decimal(24,10)").alias("value"),
-        )
-        .repartition(2, "event_id")  # two files -> two micro-batches
-        .write.option("timestampFormat", _TS_JSON_FMT)
-        .json(src)
-    )
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, event_type string, value decimal(24,10)"
-        )
-        .option("timestampFormat", _TS_JSON_FMT)
-        .option("maxFilesPerTrigger", "1")
-        .json(src)
-    )
+    stream = _read_stream_src(spark, src).drop("user_id")
     agg = windowed_counts(
         stream, "ts", "event_type", "10 minutes", watermark="90 days",
         sum_col="value",
@@ -545,6 +572,65 @@ def stream_windowed_rollup(spark, sf_dir):
             F.round("total_value", 2).cast("double").alias("total_value"),
         )
     )
+
+
+#: (sf_dir) -> parquet path of the drained stateful-dedup output
+_SDEDUP: dict[str, str] = {}
+
+
+def _build_stream_dedup(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _SDEDUP:
+        return _SDEDUP[sf_dir]
+    import shutil
+
+    from bridgedownstream_spark.streaming.stateful import dedup_stream
+
+    src = _build_stream_src(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bds_sdedup_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    # project to the KEY before the stateful dedup: per-key emission
+    # content is then fully determined, so the drain is oracle-checkable
+    # (emitting whole first-seen rows would depend on in-batch arrival
+    # order — real, but not deterministic)
+    keys = _read_stream_src(spark, src).select("user_id")
+    deduped = dedup_stream(keys, "user_id")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q_ = (
+        deduped.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q_.awaitTermination(300):
+        q_.stop()
+        raise TimeoutError(f"stateful dedup drain exceeded 300s ({ckpt})")
+    _SDEDUP[sf_dir] = out
+    return out
+
+
+@q(
+    "stream_dedup_e2e",
+    "SELECT DISTINCT user_id FROM events",
+)
+def stream_dedup_e2e(spark, sf_dir):
+    """applyInPandasWithState certified with a FULL value-hash oracle: the
+    custom stateful dedup (streaming/stateful.py) drains the two-batch
+    event stream keyed on user_id; each key's rows are hash-split across
+    BOTH micro-batches (_build_stream_src), so a key emitted once proves
+    the state store suppressed its re-deliveries across the batch
+    boundary — a failure would emit the key twice and break the oracle's
+    row count. The drained set must equal SELECT DISTINCT exactly."""
+    out = _build_stream_dedup(spark, sf_dir)
+    return spark.read.parquet(out).select("user_id")
 
 
 @q(
