@@ -148,17 +148,22 @@ def test_dq_report_flags_planted_violations(spark, tmp_path_factory):
 
 
 def test_fuzzy_match_blocks_and_ties(spark, tmp_path_factory):
-    """Matching stays inside the blocking key; a distance tie resolves to
-    the lowest candidate key; corrupted rows still self-match at lev 1."""
+    """Matching stays inside the composed blocking key (attributes × 4-char
+    name prefix); a distance tie resolves to the lowest candidate key;
+    corrupted rows still self-match at lev 1. Names are >= 5 chars — the
+    r4 prefix bucket is recall-safe only when truncating the last char
+    leaves the 4-char prefix intact, which holds for the real corpus's
+    long names (short-name corpora need a complementary blocking pass,
+    per the operator docstring)."""
     path = str(tmp_path_factory.mktemp("fuzzy") / "lake")
     parts = [
-        # block A: key 3 corrupts 'abc'->'ab', equidistant (lev 1) to both
-        # 'abc' (key 3) and 'abd'... ('ab'->'abd' is lev 1 too): tie -> key 3
-        (3, "abc", "B1", "T1", 1),
-        (4, "abd", "B1", "T1", 1),
-        # block B: identical NAME as block A's winner but different block —
+        # block A: key 3 corrupts 'gizmo'->'gizm', equidistant (lev 1) to
+        # both 'gizmo' (key 3) and 'gizma' (key 4): tie -> lowest key 3
+        (3, "gizmo", "B1", "T1", 1),
+        (4, "gizma", "B1", "T1", 1),
+        # block B: identical NAME as block A's winner but different brand —
         # must never be a candidate for block A's rows
-        (5, "abc", "B2", "T1", 1),
+        (5, "gizmo", "B2", "T1", 1),
         # lone block: uncorrupted, exact self-match
         (7, "widget", "B3", "T1", 2),
     ]

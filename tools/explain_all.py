@@ -119,15 +119,60 @@ HEADLINERS = {
     ),
     "fuzzy_match_parts": (
         "Record linkage: candidate generation is an EQUI-join on the "
-        "(brand, type, size) blocking key — no cartesian node anywhere — "
-        "with Levenshtein evaluated only inside blocks; resolution is "
-        "one window over each dirty record's candidate set."
+        "COMPOSED (brand, type, size, name-prefix) blocking key — no "
+        "cartesian node anywhere, in-block pairs measured LINEAR in data "
+        "size (r4) — with Levenshtein evaluated only inside blocks; "
+        "resolution is one window over each dirty record's candidate set."
     ),
     "snapshot_diff": (
         "CDC audit: both snapshots reduce to (key, md5 digest) "
         "projections BEFORE the full-outer join, so the wide shuffle "
         "carries 40-byte rows, never event bodies; classification is a "
         "row-local CASE over the joined pair."
+    ),
+    "adaptive_skew_join": (
+        "Diagnose-then-salt (r4): the hot-key frame is a bounded "
+        "localCheckpointed aggregate consumed by broadcast semi/anti "
+        "splits; ONLY hot keys' dim rows explode salt-ways, the cold "
+        "tail joins plain, and the union preserves plain-join semantics. "
+        "No cartesian, no global window."
+    ),
+    "stats_pruned_scan": (
+        "Manifest-driven data skipping (r4): the scan's file list comes "
+        "from the manifest table's intersection filter (manifest rows = "
+        "file count, never data rows); the data-side plan is a plain "
+        "pruned parquet scan over ONLY the surviving files with the "
+        "exact predicate re-applied."
+    ),
+    "pq_adc_search": (
+        "PQ ADC search (r4, oracle-full): the codebook and the per-query "
+        "lookup table broadcast; the 16 B/vector code table joins them "
+        "hashed and one partial→final aggregate merges the DECIMAL "
+        "partial dots — the float corpus never shuffles."
+    ),
+    "duplicate_spans": (
+        "Substring-dedup diagnostic (r4): distinct 8-grams hash to "
+        "60-bit ids in the scan stage, so both the sharers aggregate "
+        "and the per-doc join shuffle (doc_id, hash) pairs only — gram "
+        "strings never cross the wire."
+    ),
+    "rebalance_domains": (
+        "Domain-mix rebalancing (r4): one (domain, count) partial-agg "
+        "shuffle derives the integer-bp rate table (always broadcast); "
+        "membership is a hash-gate FILTER in the projection stage — "
+        "bodies never shuffle."
+    ),
+    "curation_funnel": (
+        "Curation funnel (r4): three cumulative gate conditionals fuse "
+        "into ONE partial→final aggregate over a single scan; the 3-row "
+        "attrition report explodes from the 1-row aggregate — stage "
+        "count never adds passes."
+    ),
+    "stream_windowed_rollup": (
+        "Streaming continuous aggregate (r4): the drained update-mode "
+        "output is read back and merged latest-per-window with one "
+        "window over (window_start, event_type) — the batch-equivalence "
+        "is certified by the full value-hash oracle."
     ),
 }
 
