@@ -223,6 +223,115 @@ def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hypertable-style time-bucket rollup
 # ---------------------------------------------------------------------------
 
+_DAY_US = 86_400_000_000  # one day of microseconds
+
+
+@q(
+    "gap_fill",
+    f"""
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) // {_DAY_US} AS day_idx
+      FROM events WHERE user_id < 20
+    ),
+    obs AS (SELECT user_id, day_idx, count(*) AS n FROM d GROUP BY 1, 2),
+    rng AS (SELECT user_id, min(day_idx) AS mn, max(day_idx) AS mx
+            FROM d GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS day_idx
+             FROM rng)
+    SELECT g.user_id, g.day_idx, CAST(coalesce(o.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN obs o USING (user_id, day_idx)
+    """,
+)
+def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (the Timescale ``time_bucket_gapfill`` /
+    Flink fill shape): every user's daily activity series densified to a
+    contiguous per-user day grid — missing days materialize with n=0, so
+    downstream rolling windows and period-over-period math see a complete
+    axis instead of silently skipping quiet days.
+
+    Scale shape: the grid derives from each key's own [min, max] span —
+    one narrow explode of per-key sequences, never a global calendar
+    cross join; both aggregations and the fill join share the (user, day)
+    clustering. Grid size is bounded by keys × span-days, independent of
+    event volume."""
+    ev = tbl(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    d = ev.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day_idx"),
+    )
+    obs = d.groupBy("user_id", "day_idx").agg(F.count("*").alias("n"))
+    rng = d.groupBy("user_id").agg(
+        F.min("day_idx").alias("mn"), F.max("day_idx").alias("mx")
+    )
+    grid = rng.select(
+        "user_id", F.explode(F.expr("sequence(mn, mx)")).alias("day_idx")
+    )
+    return grid.join(obs, ["user_id", "day_idx"], "left").select(
+        "user_id",
+        "day_idx",
+        F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+    )
+
+
+@q(
+    "concurrency_peaks",
+    f"""
+    WITH deltas AS (
+      SELECT event_type, t, delta FROM (
+        SELECT event_type,
+               unnest([epoch_us(ts), epoch_us(ts) + 600000000]) AS t,
+               unnest([1, -1]) AS delta
+        FROM events
+      )
+    ),
+    running AS (
+      SELECT event_type,
+             CAST(sum(delta) OVER (
+                 PARTITION BY event_type ORDER BY t, delta
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS live
+      FROM deltas
+    )
+    SELECT event_type, CAST(max(live) AS BIGINT) AS peak_concurrency
+    FROM running GROUP BY 1
+    """,
+)
+def concurrency_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency via the sweep-line trick: each event
+    opens a 10-minute presence interval [ts, ts+10min); the per-type peak
+    is the max of a running ±1 sum over the interval endpoints — the
+    standard "max concurrent sessions" operator, with no interval
+    self-join (the naive formulation is O(n²)).
+
+    Determinism at ties: endpoints sharing a timestamp order ends (-1)
+    before starts (+1) — half-open interval semantics — and within an
+    equal (t, delta) run the partial sums are monotone, so the MAX is
+    invariant to intra-tie order even though intermediate prefixes are
+    not. One exchange (event_type), one window, one aggregate."""
+    ev = tbl(spark, sf_dir, "events")
+    deltas = ev.select(
+        "event_type",
+        F.explode(
+            F.expr(
+                "array(struct(unix_micros(ts) AS t, 1 AS delta), "
+                "struct(unix_micros(ts) + 600000000 AS t, -1 AS delta))"
+            )
+        ).alias("e"),
+    ).select("event_type", "e.t", "e.delta")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        deltas.select(
+            "event_type", F.sum("delta").over(w).cast("long").alias("live")
+        )
+        .groupBy("event_type")
+        .agg(F.max("live").alias("peak_concurrency"))
+    )
+
+
 _BUCKET_US = 900_000_000  # 15 minutes
 
 
