@@ -329,6 +329,111 @@ def curation_funnel(spark, sf_dir):
     return n.select(F.explode(rows).alias("r")).select("r.*")
 
 
+#: BM25 over a fixed query — all-integer scoring (k1=1.2, b=0.75 scaled to
+#: thousandths) per the tfidf_top_terms libm-independence discipline
+_BM25_TERMS = ("window", "merge", "stream", "spark")
+_BM25_K = 10
+
+
+def _bm25_tf_sql(term: str) -> str:
+    return f"len(list_filter(toks, t -> t = '{term}'))"
+
+
+def _bm25_sql() -> str:
+    per_term = " + ".join(
+        f"""(
+          CASE WHEN tf_{i} = 0 THEN 0 ELSE
+            (((n_docs - df_{i}) * 1000) // (df_{i} + 1) + 1000)
+            * ((tf_{i} * 2200 * 1000000)
+               // (tf_{i} * 1000
+                   + (1200 * (250 + (750 * dl * n_docs) // total_len)) // 1000))
+          END)"""
+        for i in range(len(_BM25_TERMS))
+    )
+    tf_cols = ", ".join(
+        f"{_bm25_tf_sql(t)} AS tf_{i}" for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"count(CASE WHEN tf_{i} > 0 THEN 1 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    t AS (SELECT doc_id, len(toks) AS dl, {tf_cols} FROM d),
+    g AS (SELECT count(*) AS n_docs, sum(dl) AS total_len, {df_cols} FROM t)
+    SELECT doc_id, CAST(score AS BIGINT) AS score, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT doc_id, {per_term} AS score,
+             row_number() OVER (ORDER BY {per_term} DESC, doc_id) AS rnk
+      FROM t CROSS JOIN g
+    ) WHERE rnk <= {_BM25_K}
+    """
+
+
+@q("bm25_topk", _bm25_sql())
+def bm25_topk(spark, sf_dir):
+    """BM25 retrieval for a fixed 4-term query: top-10 documents by the
+    Okapi score (k1=1.2, b=0.75), computed entirely in scaled-integer
+    arithmetic — idf in thousandths, tf-saturation in millionths — so the
+    ranking is bit-identical across engines and libm versions (the same
+    discipline tfidf_top_terms documents; a float ln() idf could flip
+    last-bit ties).
+
+    Plan: per-doc tf columns are codegen'd HOF filters over ONE tokenize
+    (no per-term scans); the corpus-level df/N/total_len fold into a
+    1-row aggregate that broadcasts back; ranking is one TakeOrdered-k.
+    At 100 TB the dominant cost is the tokenize scan — df/N are
+    index-free corpus statistics a production deployment caches per
+    corpus version like the PQ codebook."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    t = d.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.expr(
+                f"size(filter(toks, t -> t = '{term}'))"
+            ).alias(f"tf_{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    g = t.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    per_term = " + ".join(
+        f"""(
+          CASE WHEN tf_{i} = 0 THEN CAST(0 AS BIGINT) ELSE
+            (((n_docs - df_{i}) * 1000) div (df_{i} + 1) + 1000)
+            * ((CAST(tf_{i} AS BIGINT) * 2200 * 1000000)
+               div (CAST(tf_{i} AS BIGINT) * 1000
+                    + (1200 * (250 + (750 * CAST(dl AS BIGINT) * n_docs)
+                               div total_len)) div 1000))
+          END)"""
+        for i in range(len(_BM25_TERMS))
+    )
+    from pyspark.sql import Window as W
+
+    scored = t.crossJoin(F.broadcast(g)).select(
+        "doc_id", F.expr(per_term).alias("score")
+    )
+    # TakeOrdered cut BEFORE the rank window: a global row_number would
+    # funnel the whole corpus into one task (the hot_key_report rule);
+    # the window then ranks only the k survivors
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_BM25_K)
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("int").alias("rnk")
+    )
+
+
 #: BPE-ish pre-tokenizer regex (GPT-2-style word/number/punct split,
 #: ASCII classes so Java regex and RE2 agree character-for-character)
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
