@@ -26,6 +26,22 @@ from bridgedownstream_spark.queries import (
 #: representative per LLM-pipeline extension family FIRST; redundant
 #: variants and already-covered extras fill the tail. Keep every §2
 #: component's certifying query inside the first 50 names.
+#: Round-5 rotation backlog (never driver-certified after r4, in rough
+#: promotion-priority order — new r4 ops first, then analytics/curation
+#: variants, then redundant family members): gap_fill, concurrency_peaks,
+#: stream_dedup_e2e, stats_pruned_scan, rebalance_domains, duplicate_spans,
+#: curation_funnel, bm25_topk, retention_cohorts, winsorized_stats,
+#: fuzzy_match_parts, snapshot_diff, event_transitions, conversion_latency,
+#: groupwise_regression, metric_correlations, value_histogram,
+#: zscore_anomalies, hot_key_report, bpe_token_count, contamination_check,
+#: repetition_stats, quality_weighted_sample, train_shards, ngram_topk,
+#: doc_chunking, pack_sequences, minhash_signature, simhash16,
+#: ann_topk_cosine, ann_lsh_bucketed, ann_quantized_topk,
+#: embedding_near_dup, kmeans_refine_centroids, ann_recall,
+#: dedup_graph_triangles, multimodal_decode/features/frame_sample/resize.
+#: Rotate r1-r3-certified window entries out for these, keeping >=1 green
+#: row per §2 component and per extension family (same rule as below).
+#
 #: Round-4 rotation (VERDICT r3 #3): queries whose §2 component stays
 #: certified by ANOTHER window entry rotate out so never-driver-checked
 #: queries gain driver rows. Rotated out (r1-r3 driver-green; component
