@@ -1009,6 +1009,103 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "fuzzy_match_two_pass",
+    """
+    WITH dirty AS (
+      SELECT p_partkey AS d_key,
+             CASE WHEN p_partkey % 3 = 0
+                  THEN substr(p_name, 1, len(p_name) - 1)
+                  WHEN p_partkey % 5 = 0
+                  THEN substr(p_name, 2)
+                  ELSE p_name END AS d_name,
+             p_brand, p_type, p_size
+      FROM part
+    ),
+    cand AS (
+      SELECT d_key, m_key, levenshtein(d_name, m_name) AS lev FROM (
+        SELECT d.d_key, d.d_name, p.p_partkey AS m_key, p.p_name AS m_name
+        FROM dirty d JOIN part p
+          ON d.p_brand = p.p_brand AND d.p_type = p.p_type
+             AND d.p_size = p.p_size
+             AND substr(d.d_name, 1, 4) = substr(p.p_name, 1, 4)
+        UNION
+        SELECT d.d_key, d.d_name, p.p_partkey, p.p_name
+        FROM dirty d JOIN part p
+          ON d.p_brand = p.p_brand AND d.p_type = p.p_type
+             AND d.p_size = p.p_size
+             AND substr(d.d_name, -4) = substr(p.p_name, -4)
+      ) WHERE levenshtein(d_name, m_name) <= 2
+    ),
+    best AS (
+      SELECT d_key, m_key, lev,
+             row_number() OVER (PARTITION BY d_key ORDER BY lev, m_key) AS rn
+      FROM cand
+    )
+    SELECT d_key, m_key, CAST(lev AS INT) AS lev, m_key = d_key AS self_match
+    FROM best WHERE rn = 1
+    """,
+)
+def fuzzy_match_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complementary-blocking-pass composition fuzzy_match_parts'
+    docstring promises: candidates are the UNION of a name-PREFIX-blocked
+    join (catches suffix edits — here every 3rd part's last char dropped)
+    and a name-SUFFIX-blocked join (catches prefix edits — every 5th
+    part's first char dropped), deduped before scoring. Either pass alone
+    would orphan one corruption class; the union restores full recall
+    while each pass keeps the bounded-block-size property (pairs linear
+    in catalog size, never quadratic).
+
+    This is the standard multi-pass blocking of production record
+    linkage: O(passes) bounded equi-joins instead of one unbounded block
+    or an all-pairs comparison."""
+    p = tbl(spark, sf_dir, "part")
+    dirty = p.select(
+        F.col("p_partkey").alias("d_key"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.expr("substring(p_name, 1, length(p_name) - 1)"),
+        )
+        .when(F.col("p_partkey") % 5 == 0, F.expr("substring(p_name, 2)"))
+        .otherwise(F.col("p_name"))
+        .alias("d_name"),
+        "p_brand",
+        "p_type",
+        "p_size",
+    )
+
+    def blocked(key_expr_d: str, key_expr_p: str) -> DataFrame:
+        d = dirty.withColumn("blk", F.expr(key_expr_d))
+        pp = p.withColumn("blk", F.expr(key_expr_p))
+        return d.join(pp, ["p_brand", "p_type", "p_size", "blk"]).select(
+            "d_key",
+            "d_name",
+            F.col("p_partkey").alias("m_key"),
+            F.col("p_name").alias("m_name"),
+        )
+
+    cand = (
+        blocked("substring(d_name, 1, 4)", "substring(p_name, 1, 4)")
+        .unionByName(
+            blocked("substring(d_name, -4, 4)", "substring(p_name, -4, 4)")
+        )
+        .distinct()
+        .withColumn("lev", F.levenshtein("d_name", "m_name"))
+        .where(F.col("lev") <= 2)
+    )
+    rn = F.row_number().over(W.partitionBy("d_key").orderBy("lev", "m_key"))
+    return (
+        cand.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "d_key",
+            "m_key",
+            F.col("lev").cast("int").alias("lev"),
+            (F.col("m_key") == F.col("d_key")).alias("self_match"),
+        )
+    )
+
+
 #: fixed 2-dp decimal render — the one float→string path both engines
 #: format identically (same trick as array_slice_limit)
 _VAL_DIG = "CAST(CAST(round(value, 2) AS DECIMAL(18,2)) AS VARCHAR)"
