@@ -603,6 +603,58 @@ def ann_lsh_bucketed(spark, sf_dir):
 _N_CELLS = 8  # IVF coarse quantizer size
 
 
+def _ivf_cent(spark, sf_dir):
+    e = _emb_norms(spark, sf_dir)
+    return e, F.broadcast(
+        e.where(
+            (F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 250 * _N_CELLS)
+        ).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+
+
+def _ivf_ccos():
+    return F.round(
+        F.expr(_DOT_SPARK.format(a="emb", b="c_emb"))
+        / (F.col("nrm") * F.col("c_nrm")),
+        6,
+    )
+
+
+def _ivf_assign(spark, sf_dir):
+    """The cached 1-cell corpus assignment (vec_id, emb, nrm, cent_id) —
+    the IVF index; built once per corpus version, shared by 1-probe and
+    multi-probe searches."""
+    from pyspark.sql import Window as W
+
+    key = _corpus_stamp(sf_dir, "embeddings") + "|ivf"
+    if key not in _BUCKETED_CACHE:  # shared stamped store; see _bucketed
+        for stale in [
+            k
+            for k in _BUCKETED_CACHE
+            if k.startswith(f"{sf_dir}|embeddings|")
+            and k.endswith("|ivf")
+            and k != key
+        ]:
+            _BUCKETED_CACHE.pop(stale).unpersist()
+        e, cent = _ivf_cent(spark, sf_dir)
+        wa = W.partitionBy("vec_id").orderBy(
+            F.col("ccos").desc(), F.col("cent_id")
+        )
+        _BUCKETED_CACHE[key] = (
+            e.crossJoin(cent)
+            .withColumn("ccos", _ivf_ccos())
+            .withColumn("rc", F.row_number().over(wa))
+            .where(F.col("rc") == 1)
+            .select("vec_id", "emb", "nrm", "cent_id")
+            .persist()
+        )
+    return _BUCKETED_CACHE[key]
+
+
 @q(
     "ann_ivf_topk",
     _EMB_CTE_DUCK + f"""
@@ -643,38 +695,7 @@ def ann_ivf_topk(spark, sf_dir):
     the part Spark executes — is identical."""
     from pyspark.sql import Window as W
 
-    e = _emb_norms(spark, sf_dir)
-    cent = F.broadcast(
-        e.where((F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 250 * _N_CELLS)).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("emb").alias("c_emb"),
-            F.col("nrm").alias("c_nrm"),
-        )
-    )
-    ccos = F.round(
-        F.expr(_DOT_SPARK.format(a="emb", b="c_emb")) / (F.col("nrm") * F.col("c_nrm")),
-        6,
-    )
-    wa = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
-    key = _corpus_stamp(sf_dir, "embeddings") + "|ivf"
-    if key not in _BUCKETED_CACHE:  # shared stamped store; see _bucketed
-        for stale in [
-            k
-            for k in _BUCKETED_CACHE
-            if k.startswith(f"{sf_dir}|embeddings|")
-            and k.endswith("|ivf")
-            and k != key
-        ]:
-            _BUCKETED_CACHE.pop(stale).unpersist()
-        _BUCKETED_CACHE[key] = (
-            e.crossJoin(cent)
-            .withColumn("ccos", ccos)
-            .withColumn("rc", F.row_number().over(wa))
-            .where(F.col("rc") == 1)
-            .select("vec_id", "emb", "nrm", "cent_id")
-            .persist()
-        )
-    assign = _BUCKETED_CACHE[key]
+    assign = _ivf_assign(spark, sf_dir)
     qs = assign.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
@@ -698,6 +719,94 @@ def ann_ivf_topk(spark, sf_dir):
         .where(F.col("rnk") <= _TOP_K)
         .select(
             "query_id", "neighbor_id", "cell", "cos_sim", F.col("rnk").cast("int").alias("rnk")
+        )
+    )
+
+
+_N_PROBES = 2  # cells probed per query in the multi-probe search
+
+
+@q(
+    "ann_ivf_multiprobe",
+    _EMB_CTE_DUCK + f"""
+    , cent AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm FROM n
+               WHERE vec_id % 250 = 0 AND vec_id < {250 * _N_CELLS}),
+    ranked AS (
+        SELECT v.vec_id, v.emb, v.nrm, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY round({_DOT_DUCK.format(a='v.emb', b='c.c_emb')} / (v.nrm * c.c_nrm), 6) DESC,
+                            c.cent_id
+               ) AS rc
+        FROM n v CROSS JOIN cent c
+    ),
+    assign AS (SELECT vec_id, emb, nrm, cent_id FROM ranked WHERE rc = 1),
+    qcells AS (SELECT vec_id, emb, nrm, cent_id FROM ranked
+               WHERE rc <= {_N_PROBES} AND vec_id < {_N_QUERIES})
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({_DOT_DUCK.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 4) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_DOT_DUCK.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 4) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM qcells q JOIN assign c
+          ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+    ) WHERE rnk <= {_TOP_K}
+    """,
+)
+def ann_ivf_multiprobe(spark, sf_dir):
+    """Multi-probe IVF: each query searches its TOP-2 nearest cells
+    instead of one — the standard recall knob for inverted-file ANN
+    (boundary queries whose true neighbors sit just across the Voronoi
+    edge are the 1-probe failure mode). The corpus index is UNCHANGED
+    (each vector in exactly one cell, reused from the cached 1-probe
+    assignment), so probing more cells multiplies only the per-query
+    candidate volume — cells × probes, never corpus size — and no pair
+    can appear twice (a corpus vector has one cell)."""
+    from pyspark.sql import Window as W
+
+    assign = _ivf_assign(spark, sf_dir)
+    e, cent = _ivf_cent(spark, sf_dir)
+    wa = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    qcells = (
+        e.where(F.col("vec_id") < _N_QUERIES)
+        .crossJoin(cent)
+        .withColumn("ccos", _ivf_ccos())
+        .withColumn("rc", F.row_number().over(wa))
+        .where(F.col("rc") <= _N_PROBES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    pairs = F.broadcast(qcells).join(
+        assign,
+        (F.col("cell") == F.col("cent_id"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = F.round(
+        F.expr(_DOT_SPARK.format(a="q_emb", b="emb"))
+        / (F.col("q_nrm") * F.col("nrm")),
+        4,
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rnk").cast("int").alias("rnk"),
         )
     )
 
