@@ -471,6 +471,97 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: portable HLL parameters: m=64 registers (6-bit bucket), 54-bit rho
+#: domain from the 60-bit portable hash; register terms scale to EXACT
+#: bigints (2^(56-M) ≤ 2^56, ≤64 terms → sums fit bigint), so the
+#: register state — and the estimate derived from it — is bit-identical
+#: across engines and partial-agg merge orders.
+_HLL_M = 64
+#: raw harmonic-mean estimate, plus the standard linear-counting switch for
+#: the small-range regime (raw <= 2.5m and empty registers remain): both
+#: branches and the branch CONDITION derive from exact integers, so the
+#: engines take the same branch; ln() noise is absorbed by round(2) (the
+#: lm_perplexity precedent)
+_HLL_RAW = "(0.709 * 4096 * 72057594037927936 / CAST(int_sum AS DOUBLE))"
+_HLL_EST = (
+    f"CASE WHEN {_HLL_RAW} <= {2.5 * _HLL_M} AND empty_registers > 0 "
+    f"THEN round({_HLL_M} * ln({_HLL_M} / CAST(empty_registers AS DOUBLE)), 2) "
+    f"ELSE round({_HLL_RAW}, 2) END"
+)
+
+
+@q(
+    "portable_hll_cardinality",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             {HASH60.format(x="CAST(user_id AS VARCHAR)")} AS hv
+      FROM events
+    ),
+    reg AS (
+      SELECT event_type, hv % {_HLL_M} AS r,
+             CASE WHEN hv // {_HLL_M} = 0 THEN 55
+                  ELSE 55 - length(bin(hv // {_HLL_M})) END AS rho
+      FROM h
+    ),
+    m AS (SELECT event_type, r, max(rho) AS mj FROM reg GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             CAST(sum(1::BIGINT << (56 - mj))
+                  + ({_HLL_M} - count(*)) * (1::BIGINT << 56) AS BIGINT)
+                 AS int_sum,
+             CAST({_HLL_M} - count(*) AS BIGINT) AS empty_registers
+      FROM m GROUP BY 1
+    )
+    SELECT event_type, int_sum, empty_registers,
+           {_HLL_EST} AS est_users
+    FROM s
+    """,
+)
+def portable_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with a FULL value-hash oracle — the certifiable twin of
+    sketch_cardinality's DataSketches path. Registers derive from the
+    portable md5-60 hash (bucket = h mod m, rho = leading-zero rank of
+    the remaining 54 bits via bin-string length — both engines render
+    bin() identically); the per-register max is algebraic (mergeable in
+    any order), and the harmonic-mean denominator is computed as an EXACT
+    integer (sum of 2^(56-M) terms in bigint), so even the floating
+    estimate is deterministic: one division for the raw branch, and the
+    small-range linear-counting branch (raw ≤ 2.5m with empty registers)
+    switches on exact integers so both engines take the same path.
+    Accuracy is floor-asserted in pytest against the exact distinct
+    count (standard error ~1.04/sqrt(64) ≈ 13%).
+
+    At 100 TB: the shuffle carries at most groups × 64 register rows
+    (map-side max-combine), replacing the exact count-distinct's shuffle
+    of every distinct key — same story as the binary-sketch path, but
+    engine-portable and hash-certifiable."""
+    ev = tbl(spark, sf_dir, "events")
+    h_sql = "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    reg = ev.selectExpr(
+        "event_type",
+        f"{h_sql} % {_HLL_M} AS r",
+        f"CASE WHEN {h_sql} div {_HLL_M} = 0 THEN 55 "
+        f"ELSE 55 - length(bin({h_sql} div {_HLL_M})) END AS rho",
+    )
+    m = reg.groupBy("event_type", "r").agg(F.max("rho").alias("mj"))
+    s = m.groupBy("event_type").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 56 - mj)"))
+            + (F.lit(_HLL_M) - F.count("*")) * F.expr("shiftleft(CAST(1 AS BIGINT), 56)")
+        )
+        .cast("bigint")
+        .alias("int_sum"),
+        (F.lit(_HLL_M) - F.count("*")).cast("bigint").alias("empty_registers"),
+    )
+    return s.select(
+        "event_type",
+        "int_sum",
+        "empty_registers",
+        F.expr(_HLL_EST).alias("est_users"),
+    )
+
+
 @q("sketch_cardinality", None)  # approximate by definition → rows-only check
 def sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type distinct-user cardinality via HyperLogLog sketches plus

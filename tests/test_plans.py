@@ -130,6 +130,32 @@ def test_sketch_estimates_bounded(spark):
         assert r["value_p95"] >= r["value_p50"], et
 
 
+def test_portable_hll_estimate_bounded(spark):
+    """The portable (oracle-certified) HLL's estimate must land within the
+    m=64 error envelope of the exact distinct count — the quality half of
+    the certification (the value-hash oracle proves determinism, not
+    accuracy)."""
+    from bridgedownstream_spark.queries.util import tbl
+    from pyspark.sql import functions as F
+
+    est = {
+        r["event_type"]: r["est_users"]
+        for r in REGISTRY["portable_hll_cardinality"][0](spark, SF).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in tbl(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for et, e in exact.items():
+        # ~13% standard error at m=64; allow 3 sigma (and small-N slack —
+        # no linear-counting correction in the certified columns)
+        assert abs(est[et] - e) <= max(5, 0.4 * e), (et, est[et], e)
+
+
 def test_every_query_plan_is_scale_clean(spark):
     """Global guard over the WHOLE query registry: no physical plan may
     contain a cartesian product or a row-at-a-time Python UDF
