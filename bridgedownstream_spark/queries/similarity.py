@@ -252,6 +252,103 @@ def _lsh_candidates(spark, sf_dir):
     return _LSH_CACHE[key]
 
 
+@q(
+    "near_dup_incremental",
+    _SIG_CTE_DUCK
+    + ", bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_hash_duck(b)} AS bh FROM sig"
+        for b in range(_BANDS)
+    )
+    + """), cand AS (
+      SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS match_doc
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id % 10 = 0 AND b.doc_id <> a.doc_id
+        AND (b.doc_id % 10 <> 0 OR b.doc_id > a.doc_id)
+    )
+    SELECT new_doc, match_doc, round(jac, 3) AS jaccard,
+           match_doc % 10 <> 0 AS vs_corpus
+    FROM (
+      SELECT c.new_doc, c.match_doc,
+             len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                 / greatest(len(list_distinct(sa.sh || sb.sh)), 1) AS jac
+      FROM cand c JOIN sh sa ON sa.doc_id = c.new_doc
+                  JOIN sh sb ON sb.doc_id = c.match_doc
+    ) WHERE jac >= 0.5
+    """,
+)
+def near_dup_incremental(spark, sf_dir):
+    """Incremental near-dup: a NEW BATCH (doc_id % 10 = 0 simulates the
+    delta) checked against the already-indexed corpus — the index-
+    maintenance path of a production dedup pipeline, where each arriving
+    batch joins its band hashes against the stored band table instead of
+    re-running the corpus×corpus self-join.
+
+    The delta side drives every join: candidates are delta-bands ⋈
+    all-bands (delta×corpus both orders collapse to one via the id
+    filter; delta×delta deduped by `<`), so per-batch cost scales with
+    |delta| × bucket collision rate — the corpus pair space is never
+    revisited. Verification re-shingles only docs appearing in a
+    candidate pair, as the bulk pipeline does. `vs_corpus` distinguishes
+    matches against the index from duplicates inside the batch itself
+    (both matter: the first dedups against history, the second within
+    the delivery)."""
+    sig = _signatures(spark, sf_dir)
+    bands = sig.selectExpr(
+        "doc_id",
+        "stack("
+        + str(_BANDS)
+        + ", "
+        + ", ".join(f"{b}, {_band_hash_spark(b)}" for b in range(_BANDS))
+        + ") AS (band, bh)",
+    )
+    delta = bands.where(F.col("doc_id") % 10 == 0).alias("a")
+    allb = bands.alias("b")
+    cand = (
+        delta.join(
+            allb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("b.doc_id") != F.col("a.doc_id"))
+            & (
+                (F.col("b.doc_id") % 10 != 0)
+                | (F.col("b.doc_id") > F.col("a.doc_id"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("match_doc"),
+        )
+        .distinct()
+    )
+    ids = (
+        cand.select(F.col("new_doc").alias("doc_id"))
+        .union(cand.select(F.col("match_doc").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingled_for(spark, sf_dir, ids)
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    jac = F.col("n_common").cast("double") / F.greatest(F.col("n_union"), F.lit(1))
+    return (
+        F.broadcast(cand)
+        .join(sa, F.col("new_doc") == F.col("sa.doc_id"))
+        .join(sb, F.col("match_doc") == F.col("sb.doc_id"))
+        .select(
+            "new_doc",
+            "match_doc",
+            F.size(F.array_intersect("sa.sh", "sb.sh")).alias("n_common"),
+            F.size(F.array_union("sa.sh", "sb.sh")).alias("n_union"),
+        )
+        .where(jac >= 0.5)
+        .select(
+            "new_doc",
+            "match_doc",
+            F.round(jac, 3).alias("jaccard"),
+            (F.col("match_doc") % 10 != 0).alias("vs_corpus"),
+        )
+    )
+
+
 #: CTE chain ending in ``pairs(doc_a, doc_b, jaccard)`` — shared by the
 #: pair query and the connected-components dedup oracle
 _PAIRS_CTE_DUCK = (
