@@ -574,6 +574,82 @@ def stream_windowed_rollup(spark, sf_dir):
     )
 
 
+#: (sf_dir) -> parquet path of the drained stream-stream interval join
+_SIJOIN: dict[str, str] = {}
+
+
+def _build_stream_ijoin(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _SIJOIN:
+        return _SIJOIN[sf_dir]
+    import shutil
+
+    from bridgedownstream_spark.streaming.joins import interval_join_streams
+
+    src = _build_stream_src(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bds_sijoin_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    left = (
+        _read_stream_src(spark, src)
+        .where(F.col("event_id") % 2 == 0)
+        .select("user_id", "event_id", "ts")
+    )
+    right = (
+        _read_stream_src(spark, src)
+        .where(F.col("event_id") % 2 == 1)
+        .select("user_id", "event_id", "ts")
+    )
+    joined = interval_join_streams(
+        left, right, "user_id", tolerance="10 minutes", watermark="90 days"
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q_ = (
+        joined.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q_.awaitTermination(300):
+        q_.stop()
+        raise TimeoutError(f"stream interval-join drain exceeded 300s ({ckpt})")
+    _SIJOIN[sf_dir] = out
+    return out
+
+
+@q(
+    "stream_interval_join_e2e",
+    """
+    SELECT l.event_id, r.event_id AS r_event_id, l.user_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    """,
+)
+def stream_interval_join_e2e(spark, sf_dir):
+    """Stream-stream interval join certified with a FULL value-hash
+    oracle: even-id events join odd-id events of the same user within
+    [ts, ts+10min], drained over the two-batch file stream — matched
+    pairs emit exactly once, and with the watermark sized past the
+    corpus's event-time span no buffered row can expire before its
+    partner arrives, so the drained pair SET equals the batch interval
+    join bit-for-bit. (Watermark-bounded state EVICTION — the at-scale
+    behavior — is separately pinned by tests/test_stream_join.py; this
+    query certifies the end-to-end exactness of the two-sided state
+    machine.)"""
+    out = _build_stream_ijoin(spark, sf_dir)
+    return spark.read.parquet(out).select(
+        "event_id", "r_event_id", "user_id"
+    )
+
+
 #: (sf_dir) -> parquet path of the drained stateful-dedup output
 _SDEDUP: dict[str, str] = {}
 
