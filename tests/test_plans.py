@@ -365,6 +365,30 @@ def test_certifying_prefix_is_stable():
     assert not missing, f"certifying window lost: {missing}"
 
 
+def test_duplicate_spans_shuffles_hashes_not_grams(spark):
+    """Every exchange in the duplicate-span plan partitions on the 60-bit
+    gram hash or the doc id — gram STRINGS must never be a shuffle key
+    (at 100 TB the text n-grams dwarf the 8-byte hashes)."""
+    plan = plan_of(spark, "duplicate_spans")
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys, "expected hash exchanges in the plan"
+    assert all(k.startswith(("gh", "doc_id")) for k in keys), keys
+
+
+def test_bm25_topk_is_takeordered(spark):
+    """BM25's global top-k must be a TakeOrdered cut, never a global
+    row_number window (which would funnel the whole corpus into one
+    task); the corpus-stats side folds to a broadcast single-row agg."""
+    plan = plan_of(spark, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    # the rank window sits ABOVE the TakeOrdered cut (consumes 10 rows,
+    # not the corpus), and the only exchanges are the 1-row stats agg's
+    # SinglePartition + its broadcast — never a corpus-wide repartition
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_asof_join_has_no_join_node(spark):
     # the union-trick as-of: one hash exchange on the key, zero join
     # operators of any kind in the physical plan
