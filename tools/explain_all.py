@@ -174,6 +174,31 @@ HEADLINERS = {
         "window over (window_start, event_type) — the batch-equivalence "
         "is certified by the full value-hash oracle."
     ),
+    "portable_hll_cardinality": (
+        "Portable HLL (r4): registers shuffle as (group, register, "
+        "max-rho) after a map-side max-combine — at most groups x 64 "
+        "rows cross the wire, replacing exact count-distinct's shuffle "
+        "of every key; the estimate derives from an EXACT bigint sum, "
+        "so it is bit-identical across engines and merge orders."
+    ),
+    "near_dup_incremental": (
+        "Incremental near-dup (r4): the delta's band hashes join the "
+        "full band table — per-batch cost scales with |delta| x "
+        "collision rate, the corpus pair space is never revisited; "
+        "verification re-shingles only candidate docs."
+    ),
+    "fuzzy_match_two_pass": (
+        "Two-pass blocking (r4): prefix-block UNION suffix-block "
+        "candidates, deduped before Levenshtein — full recall over both "
+        "edit classes with each pass keeping bounded blocks; still no "
+        "cartesian node anywhere."
+    ),
+    "ann_ivf_multiprobe": (
+        "Multi-probe IVF (r4): queries carry their top-2 cells into the "
+        "hash join against the UNCHANGED cached 1-cell corpus "
+        "assignment — candidate volume scales with probes, never corpus "
+        "size; centroids broadcast."
+    ),
 }
 
 
