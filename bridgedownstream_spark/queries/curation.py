@@ -257,14 +257,13 @@ def quality_weighted_sample(spark, sf_dir):
       SELECT doc_id, unnest(list_distinct({_grams_sql("t", 8)})) AS g FROM toks
     ),
     h AS (SELECT doc_id, {{hash_g}} AS gh FROM grams),
-    shared AS (SELECT gh FROM h GROUP BY gh HAVING count(DISTINCT doc_id) > 1)
-    SELECT h.doc_id,
+    c AS (SELECT doc_id, count(*) OVER (PARTITION BY gh) AS n_g FROM h)
+    SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_grams,
-           CAST(count(s.gh) AS BIGINT) AS n_shared,
-           CAST((10000 * count(s.gh)) // greatest(count(*), 1) AS BIGINT)
-               AS shared_bp
-    FROM h LEFT JOIN shared s USING (gh)
-    GROUP BY 1
+           CAST(count(CASE WHEN n_g > 1 THEN 1 END) AS BIGINT) AS n_shared,
+           CAST((10000 * count(CASE WHEN n_g > 1 THEN 1 END))
+                // greatest(count(*), 1) AS BIGINT) AS shared_bp
+    FROM c GROUP BY 1
     """.format(hash_g=HASH60.format(x="g")),
 )
 def duplicate_spans(spark, sf_dir):
@@ -276,11 +275,19 @@ def duplicate_spans(spark, sf_dir):
     basis points. The downstream dedup decision (drop spans vs drop
     docs) keys off shared_bp.
 
-    Scale shape: gram STRINGS never shuffle — each doc's distinct grams
-    hash to 60-bit ids at the scan (narrow), and both the sharers count
-    and the per-doc join move only (doc_id, gh) pairs. Documents shorter
-    than 8 tokens have no spans and are absent by construction (both
-    engines explode zero rows)."""
+    Scale shape: ONE tokenize pass — gram strings hash to 60-bit ids at
+    the scan (narrow), the sharers count is a single COUNT(*) window over
+    the gram hash (each doc contributes at most one row per hash, so
+    row-count == sharing-doc-count; both engines define sharing this same
+    way, so the rare 60-bit intra-doc collision cannot diverge them), and
+    only (doc_id, gh) pairs ever shuffle. The previous agg+join
+    formulation re-ran the tokenize explode on both input branches (no
+    exchange reuse — the two subtrees shuffle different payloads); the
+    window form halves the dominant cost. Documents shorter than 8
+    tokens have no spans and are absent by construction (both engines
+    explode zero rows)."""
+    from pyspark.sql import Window as W
+
     d = tbl(spark, sf_dir, "documents").withColumn(
         "t", F.expr(_NORM_TOKS_EXPR)
     )
@@ -288,18 +295,13 @@ def duplicate_spans(spark, sf_dir):
         "doc_id",
         F.explode(F.array_distinct(F.expr(_grams_expr("t", 8)))).alias("g"),
     ).select("doc_id", portable_hash60(F.col("g")).alias("gh"))
-    shared = (
-        h.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") > 1)
-        .select("gh", F.lit(1).alias("hit"))
-    )
+    n_g = F.count("*").over(W.partitionBy("gh"))
     return (
-        h.join(shared, "gh", "left")
+        h.select("doc_id", n_g.alias("n_g"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
-            F.count("hit").alias("n_shared"),
+            F.count(F.when(F.col("n_g") > 1, 1)).alias("n_shared"),
         )
         .select(
             "doc_id",
