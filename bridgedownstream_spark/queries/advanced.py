@@ -235,7 +235,7 @@ _DAY_US = 86_400_000_000  # one day of microseconds
     ),
     obs AS (SELECT user_id, day_idx, count(*) AS n FROM d GROUP BY 1, 2),
     rng AS (SELECT user_id, min(day_idx) AS mn, max(day_idx) AS mx
-            FROM d GROUP BY 1),
+            FROM obs GROUP BY 1),
     grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS day_idx
              FROM rng)
     SELECT g.user_id, g.day_idx, CAST(coalesce(o.n, 0) AS BIGINT) AS n
@@ -259,8 +259,10 @@ def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day_idx"),
     )
+    # span derives from the (tiny) per-day aggregate, not a second raw
+    # scan — the day-index set is identical either way
     obs = d.groupBy("user_id", "day_idx").agg(F.count("*").alias("n"))
-    rng = d.groupBy("user_id").agg(
+    rng = obs.groupBy("user_id").agg(
         F.min("day_idx").alias("mn"), F.max("day_idx").alias("mx")
     )
     grid = rng.select(
