@@ -574,6 +574,138 @@ def stream_windowed_rollup(spark, sf_dir):
     )
 
 
+#: (sf_dir) -> parquet path of the drained streaming sessionization
+_SSESS: dict[str, str] = {}
+
+
+def _build_stream_sessions(spark: SparkSession, sf_dir: str) -> str:
+    """APPEND-mode session drain: session windows refuse update mode (a
+    merged session has no stable update key), so finalization must come
+    from the WATERMARK — which an availableNow drain only advances at
+    batch boundaries, and whose final advance needs a following batch to
+    emit. The fixture therefore builds a TIME-ORDERED four-file source
+    (two real halves split at the midpoint timestamp, then two sentinel
+    files an hour+ past the real maximum, mtime-staggered so the file
+    stream processes them in order): no event is ever late, the
+    sentinel batches push the watermark past every real session's
+    end+gap, and the last batch emits the finalized tail. The appended
+    output is exactly the batch sessionization of the real events."""
+    if sf_dir in _SSESS:
+        return _SSESS[sf_dir]
+    import glob
+    import shutil
+    import time as _time
+
+    from bridgedownstream_spark.streaming.windowed import session_counts
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bds_ssess_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    ev = tbl(spark, sf_dir, "events").select("user_id", "ts")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    import datetime as _dt
+
+    parts = [
+        ev.where(F.col("ts") <= F.lit(mid)),
+        ev.where(F.col("ts") > F.lit(mid)),
+        spark.createDataFrame(
+            [(-1, hi + _dt.timedelta(hours=1))], "user_id long, ts timestamp"
+        ),
+        spark.createDataFrame(
+            [(-1, hi + _dt.timedelta(hours=2))], "user_id long, ts timestamp"
+        ),
+    ]
+    now = _time.time()
+    for i, p in enumerate(parts):
+        tmp = os.path.join(base, f"tmp{i}")
+        p.coalesce(1).write.option("timestampFormat", _TS_JSON_FMT).json(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.json"))
+        dst = os.path.join(src, f"{i:02d}.json")
+        shutil.move(part, dst)
+        # the file stream picks files oldest-mtime-first: pin the order
+        os.utime(dst, (now + 30 * i, now + 30 * i))
+        shutil.rmtree(tmp, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("timestampFormat", _TS_JSON_FMT)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    sess = session_counts(
+        stream, "ts", "user_id", gap="30 minutes", watermark="10 minutes"
+    )
+    q_ = (
+        sess.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q_.awaitTermination(300):
+        q_.stop()
+        raise TimeoutError(f"stream sessionize drain exceeded 300s ({ckpt})")
+    _SSESS[sf_dir] = out
+    return out
+
+
+@q(
+    "stream_sessionize_e2e",
+    """
+    WITH d AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sess_id
+      FROM d
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
+def stream_sessionize_e2e(spark, sf_dir):
+    """Streaming sessionization (F.session_window, APPEND mode) certified
+    with a FULL value-hash oracle — the real watermark-finalization
+    machinery, not a merge trick: sessions emit exactly once, when the
+    watermark passes session_end + gap, and the sentinel batches
+    (fixture rationale in _build_stream_sessions) guarantee every real
+    session finalizes before the drain ends. The emitted set — sentinel
+    key filtered out — must equal the batch gaps-and-islands
+    sessionization of the source events (session_end = last event +
+    gap) bit-for-bit."""
+    out = _build_stream_sessions(spark, sf_dir)
+    e = spark.read.parquet(out).where(F.col("user_id") >= 0)
+
+    def ts_s(c):
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+    return e.select(
+        "user_id",
+        ts_s("session_start").alias("session_start"),
+        ts_s("session_end").alias("session_end"),
+        "n_events",
+    )
+
+
 #: (sf_dir) -> parquet path of the drained stream-stream interval join
 _SIJOIN: dict[str, str] = {}
 
