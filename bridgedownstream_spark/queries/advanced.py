@@ -564,6 +564,94 @@ def portable_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QB = 256  # quantile bands
+
+
+@q(
+    "portable_quantile_bands",
+    f"""
+    WITH g AS (SELECT min(value) AS lo, max(value) AS hi,
+                      (max(value) - min(value)) / {_QB} AS w
+               FROM events),
+    b AS (
+      SELECT event_type,
+             least(CAST(floor((value - g.lo) / g.w) AS BIGINT), {_QB - 1}) AS bk
+      FROM events CROSS JOIN g
+    ),
+    c AS (SELECT event_type, bk, count(*) AS n FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bk, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bk
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cn,
+             sum(n) OVER (PARTITION BY event_type) AS nt
+      FROM c
+    )
+    SELECT event_type,
+           round(min(CASE WHEN 2 * cn >= nt THEN g.lo + (bk + 0.5) * g.w END),
+                 4) AS p50_est,
+           round(min(CASE WHEN 20 * cn >= 19 * nt
+                          THEN g.lo + (bk + 0.5) * g.w END), 4) AS p95_est
+    FROM cum CROSS JOIN g
+    GROUP BY 1
+    """,
+)
+def portable_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile estimation with a FULL value-hash oracle — the
+    quantile twin of portable_hll_cardinality. The sketch is a 256-band
+    equi-width histogram: band counts are exact integers (mergeable by
+    addition in any order), the quantile is the midpoint of the first
+    band whose cumulative count crosses the integer threshold
+    (2·cum ≥ n for p50, 20·cum ≥ 19·n for p95 — no float fractions), so
+    the estimate is bit-identical across engines and merge orders,
+    unlike approx_percentile's t-digest (rows-only sketch_cardinality).
+    Error is bounded by the band width, asserted against exact
+    percentiles in pytest.
+
+    At 100 TB: one global min/max pass (1-row broadcast), then one
+    (group, band) partial-agg shuffle of ≤ groups × 256 rows — the same
+    constant-state merge story as the HLL registers."""
+    ev = tbl(spark, sf_dir, "events")
+    g = F.broadcast(
+        ev.agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            ((F.max("value") - F.min("value")) / _QB).alias("w"),
+        )
+    )
+    b = ev.crossJoin(g).select(
+        "event_type",
+        "lo",
+        "w",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / F.col("w")).cast("long"),
+            F.lit(_QB - 1),
+        ).alias("bk"),
+    )
+    c = b.groupBy("event_type", "lo", "w", "bk").agg(F.count("*").alias("n"))
+    wc = W.partitionBy("event_type").orderBy("bk").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wt = W.partitionBy("event_type")
+    cum = c.select(
+        "event_type",
+        "lo",
+        "w",
+        "bk",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("n").over(wt).alias("nt"),
+    )
+    mid = F.col("lo") + (F.col("bk") + 0.5) * F.col("w")
+    return cum.groupBy("event_type").agg(
+        F.round(F.min(F.when(2 * F.col("cn") >= F.col("nt"), mid)), 4).alias(
+            "p50_est"
+        ),
+        F.round(
+            F.min(F.when(20 * F.col("cn") >= 19 * F.col("nt"), mid)), 4
+        ).alias("p95_est"),
+    )
+
+
 @q("sketch_cardinality", None)  # approximate by definition → rows-only check
 def sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type distinct-user cardinality via HyperLogLog sketches plus

@@ -156,6 +156,38 @@ def test_portable_hll_estimate_bounded(spark):
         assert abs(est[et] - e) <= max(5, 0.4 * e), (et, est[et], e)
 
 
+def test_portable_quantile_bands_bounded(spark):
+    """The band-sketch quantiles must land within one band width of the
+    exact percentiles (the sketch's stated error bound)."""
+    from bridgedownstream_spark.queries.util import tbl
+    from pyspark.sql import functions as F
+
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["portable_quantile_bands"][0](spark, SF).collect()
+    }
+    ev = tbl(spark, SF, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    width = (hi - lo) / 256
+    import math
+
+    vals: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():  # test scale only
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    assert set(got) == set(vals)
+    for et, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+        # the sketch's contract: the band holding the smallest value whose
+        # cumulative rank crosses the threshold (the ORDER STATISTIC, not
+        # the interpolated percentile — interpolation can sit bands away
+        # in a sparse tail), to within half a band width either side
+        p50_stat = vs[math.ceil(n / 2) - 1]
+        p95_stat = vs[math.ceil(19 * n / 20) - 1]
+        assert abs(got[et]["p50_est"] - p50_stat) <= width / 2 + 1e-6, et
+        assert abs(got[et]["p95_est"] - p95_stat) <= width / 2 + 1e-6, et
+
+
 def test_every_query_plan_is_scale_clean(spark):
     """Global guard over the WHOLE query registry: no physical plan may
     contain a cartesian product or a row-at-a-time Python UDF
