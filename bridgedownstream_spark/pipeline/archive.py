@@ -133,12 +133,22 @@ def prune_archives(
             for name in names
         ]
         if orphans:
+            # Two indistinguishable causes, so fail safe and name both:
+            # a sibling dataset's archives, or debris of a previously
+            # INTERRUPTED prune (root dir removed, children of the same
+            # update left behind). Auto-deleting would be wrong for the
+            # sibling case (an older sibling update looks identical to
+            # debris), so recovery is explicit either way.
             raise ValueError(
                 f"prune_archives: {sorted(orphans)} match dataset "
                 f"{dataset!r}'s child pattern but have no corresponding "
-                f"root update — likely a SIBLING dataset's archives "
-                "(e.g. 'gait_v2_3' vs dataset 'gait'); pass tables= with "
-                "the dataset's real table names to prune safely"
+                f"root update. Either (a) they belong to a SIBLING dataset "
+                "(e.g. 'gait_v2_3' vs dataset 'gait') — pass tables= with "
+                "the dataset's real table names to prune safely — or (b) "
+                "they are leftovers of a prune interrupted mid-delete "
+                "(root directory removed first) — verify and remove the "
+                "orphan directories, or pass tables= including their table "
+                "names so retention can reclaim them"
             )
     removed: list[str] = []
     for n in sorted(by_update)[: max(0, len(by_update) - keep_last)]:

@@ -42,6 +42,15 @@ __all__ = [
 ]
 
 
+def _file_key(uri: str) -> str:
+    """Scheme/escape-insensitive identity for a data file: input_file_name()
+    and inputFiles() disagree on URI escaping, but within one dataset the
+    part-file basenames are globally unique (UUID-suffixed)."""
+    from urllib.parse import unquote
+
+    return unquote(uri).rsplit("/", 1)[-1]
+
+
 def _bucket_cols(df: DataFrame, cols: list[str], bits: int) -> list[Column]:
     """Equi-depth bucket ids in [0, 2^bits) for every ``cols`` entry, from
     sampled quantile boundaries — ONE approxQuantile job covers all
@@ -171,6 +180,7 @@ def skipping_scan(
     path: str,
     manifest_path: str,
     predicates: dict[str, tuple],
+    verify: bool = True,
 ) -> DataFrame:
     """Manifest-pruned scan: read ONLY the files whose stats box intersects
     every ``{col: (lo, hi)}`` closed interval, then re-apply the exact
@@ -182,8 +192,35 @@ def skipping_scan(
     every query planner materializes), never data rows. A file whose
     stats are NULL for a predicate column holds only NULL values there
     and cannot satisfy a range predicate, so dropping it is exact.
+
+    ``verify=True`` (default) lists the dataset and raises if the manifest
+    file set diverges — a manifest older than the data would otherwise
+    silently exclude every file written after it. The check costs one
+    directory LISTING (no footer reads — the same listing a plain scan
+    performs anyway); pass ``verify=False`` only when the caller owns
+    manifest freshness (e.g. the compaction job that just rebuilt it).
     """
+    if not predicates:
+        raise ValueError(
+            "skipping_scan: empty predicates dict — nothing to prune on; "
+            "use spark.read.parquet(path) for a full scan"
+        )
     m = spark.read.parquet(manifest_path)
+    if verify:
+        actual = {
+            _file_key(f) for f in spark.read.parquet(path).inputFiles()
+        }
+        listed = {_file_key(r["file"]) for r in m.select("file").collect()}
+        if actual != listed:
+            missing = sorted(actual - listed)[:5]
+            gone = sorted(listed - actual)[:5]
+            raise ValueError(
+                f"skipping_scan: stale manifest {manifest_path!r}: dataset "
+                f"has {len(actual)} files, manifest lists {len(listed)}. "
+                f"Unlisted files the scan would silently drop: {missing}; "
+                f"listed files no longer present: {gone}. Rebuild with "
+                "write_stats_manifest() after every layout rewrite."
+            )
     cond = None
     for c, (lo, hi) in predicates.items():
         p = (F.col(f"max_{c}") >= F.lit(lo)) & (F.col(f"min_{c}") <= F.lit(hi))

@@ -26,35 +26,39 @@ from bridgedownstream_spark.queries import (
 #: representative per LLM-pipeline extension family FIRST; redundant
 #: variants and already-covered extras fill the tail. Keep every §2
 #: component's certifying query inside the first 50 names.
-#: Round-5 rotation backlog (never driver-certified after r4, in rough
-#: promotion-priority order — new r4 ops first, then analytics/curation
-#: variants, then redundant family members): gap_fill, concurrency_peaks,
-#: stream_dedup_e2e, stats_pruned_scan, rebalance_domains, duplicate_spans,
-#: curation_funnel, bm25_topk, retention_cohorts, winsorized_stats,
-#: fuzzy_match_parts, snapshot_diff, event_transitions, conversion_latency,
-#: groupwise_regression, metric_correlations, value_histogram,
-#: zscore_anomalies, hot_key_report, bpe_token_count, contamination_check,
-#: repetition_stats, quality_weighted_sample, train_shards, ngram_topk,
-#: doc_chunking, pack_sequences, minhash_signature, simhash16,
-#: ann_topk_cosine, ann_lsh_bucketed, ann_quantized_topk,
-#: embedding_near_dup, kmeans_refine_centroids, ann_recall,
-#: dedup_graph_triangles, multimodal_decode/features/frame_sample/resize.
-#: Rotate r1-r3-certified window entries out for these, keeping >=1 green
+#: Round-6 rotation backlog (never driver-certified after r5, in rough
+#: promotion-priority order): groupwise_regression, metric_correlations,
+#: value_histogram, zscore_anomalies, hot_key_report, bpe_token_count,
+#: contamination_check, repetition_stats, quality_weighted_sample,
+#: train_shards, ngram_topk, doc_chunking, pack_sequences,
+#: minhash_signature, simhash16, ann_topk_cosine, ann_lsh_bucketed,
+#: ann_quantized_topk, embedding_near_dup, kmeans_refine_centroids,
+#: ann_recall, dedup_graph_triangles, near_dup_incremental,
+#: portable_hll_cardinality, portable_quantile_bands,
+#: multimodal_decode/features/frame_sample/resize, stream_interval_join_e2e,
+#: stream_sessionize_e2e, pipeline_compaction_equiv, upsert variants.
+#: Rotate r1-r4-certified window entries out for these, keeping >=1 green
 #: row per §2 component and per extension family (same rule as below).
 #
-#: Round-4 rotation (VERDICT r3 #3): queries whose §2 component stays
-#: certified by ANOTHER window entry rotate out so never-driver-checked
-#: queries gain driver rows. Rotated out (r1-r3 driver-green; component
-#: coverage noted inline below on the entries that retain it):
-#: distinct_projection, conjunctive_filter, join_revenue_by_nation,
-#: asof_closest, union_distinct, top_k_per_group, relationalize_root,
-#: pipeline_incremental_idempotent, near_dup_components, pii_redact,
-#: funnel_conversion — plus pq_ann_shortlist (rows-only by construction;
-#: its slot could never turn green — replaced by the oracle-full
-#: pq_adc_search).
+#: Round-5 rotation (VERDICT r4 #1): promote the full 14-query backlog the
+#: r4 verdict names. Rotated out (driver-green r1-r4; the §2 component /
+#: family each certifies stays green via the inline-noted survivor):
+#: pricing_summary (A6/A4/O1 → q6/reconcile_counts/q3; still the entry()
+#: flagship the driver smoke-checks every round), q10_returned_items (J1 →
+#: q3), running_total + sessionize (§2.5 → dedup_latest + the lag-window
+#: promotions gap_fill/event_transitions/retention_cohorts),
+#: skew_salted_agg (skew → adaptive_skew_join), stream_windowed_rollup
+#: (streaming → stream_sync_e2e + stream_dedup_e2e), pipeline_e2e_child
+#: (N3-N5 → relationalize_child), zorder_box_query (layout →
+#: stats_pruned_scan), rollup_incremental_equiv (incremental → §2.11 via
+#: stream_sync_e2e), lm_perplexity (curation → curation_funnel +
+#: bm25_topk), scd2_intervals + dq_constraint_report (product-analytics /
+#: DQ → retention_cohorts, event_transitions, conversion_latency,
+#: winsorized_stats, snapshot_diff), orc_export_roundtrip (formats →
+#: csv_export_roundtrip), near_dup_lsh_pairs (LSH → near_dup_keep_best,
+#: which consumes the same LSH candidate pipeline).
 _CERTIFYING: tuple[str, ...] = (
     # §2 core: scans, projections, filters (S6/S7, P1-P6)
-    "pricing_summary",          # A6 sum, A4 count, O1 sort
     "projection_pushdown",      # S6 pruned parquet scan, P1
     "intersect_keys",           # P2/A1 projection+distinct, §2.7 intersect
     "q6_forecast_revenue",      # P4 conjunctive range filter, A6 (TPC-H Q6)
@@ -63,7 +67,6 @@ _CERTIFYING: tuple[str, ...] = (
     "sql_view_query",           # S7 SQL surface
     # joins (J1-J4)
     "q3_shipping_priority",     # J1 broadcast dims, O1 sort+limit (TPC-H Q3)
-    "q10_returned_items",       # J1 multi-dim join, A6 (TPC-H Q10)
     "anti_join_missing",        # J2
     "anti_join_union",          # J3, §2.7 union
     "relationalize_child",      # N3/N4 key inheritance, N5/F4 naming
@@ -74,8 +77,6 @@ _CERTIFYING: tuple[str, ...] = (
     "count_reconciliation_report",  # A5
     "group_collect",            # A8
     "config_cache_dedup",       # A9
-    "sessionize",               # §2.5 lag windows + gaps-and-islands
-    "running_total",            # §2.5 running/range frames
     "asof_join_events",         # P3 closest-match as the single-exchange
                                 # union-trick as-of join
     # order/limit/batch (O2/O3) + set ops (§2.7)
@@ -86,13 +87,12 @@ _CERTIFYING: tuple[str, ...] = (
     "case_when_routing",        # F6
     "json_extract",             # F9
     "basename_extract",         # F7
-    # skew (the r2 hash-failure; oracle dtype fixed r4, kept visible) +
-    # the diagnose-then-salt auto-remediating join built on it (r4 new)
-    "skew_salted_agg",
+    # skew: diagnose-then-salt auto-remediating join (covers the salted-agg
+    # machinery skew_salted_agg certified r4)
     "adaptive_skew_join",
-    # format round-trips (the reference's "export to Parquet/CSV" surface)
+    # format round-trips (the reference's "export to Parquet/CSV" surface;
+    # ORC twin driver-green r4)
     "csv_export_roundtrip",     # RFC-4180 quoting survives write→read
-    "orc_export_roundtrip",     # columnar alt-format sink/source
     # pipeline / ingest e2e (S1-S5, S8-S10, J5, F2, N1/N2/N6, V1-V4, §2.11, P7)
     "listing_scan",             # S9 listing source
     "workflow_properties",      # S10 manifest-from-messages source
@@ -101,26 +101,32 @@ _CERTIFYING: tuple[str, ...] = (
     "expected_error_suppression",  # P8/V3 whitelist subtraction
     "stream_sync_e2e",          # streaming family + §2.11 incremental
                                 # (checkpointed availableNow = bookmarks)
-    "stream_windowed_rollup",   # watermarked windowed state across
-                                # micro-batches, full value-hash oracle
-                                # (r4 new)
+    "stream_dedup_e2e",         # applyInPandasWithState stateful dedup —
+                                # the last streaming operator without a
+                                # driver row (r5 promotion)
     "pipeline_e2e_root",        # S2/S5/N1/N2
-    "pipeline_e2e_child",       # N3-N5 at e2e scale
     "pipeline_partition_pruned",        # P7
-    "zorder_box_query",         # clustered layout
-    "rollup_incremental_equiv",  # incremental rollup
-    # LLM-pipeline extension families, one representative each — r4 rotates
-    # in a NEVER-driver-checked member where the family has one
-    "near_dup_lsh_pairs",       # MinHash+LSH family
-    "near_dup_keep_best",       # clustering family (components + election)
+    "stats_pruned_scan",        # layout family: manifest data skipping
+                                # (r5 promotion; zorder_box_query r4-green)
+    # r5 promotions: analytics / time-series over events
+    "gap_fill",                 # calendar densification + interpolation
+    "concurrency_peaks",        # interval overlap via +1/-1 sweep
+    "retention_cohorts",        # cohort × offset retention triangle
+    "event_transitions",        # §2.5 lag windows: Markov transition counts
+    "conversion_latency",       # funnel step latency quantiles
+    "snapshot_diff",            # CDC-style table diff
+    "winsorized_stats",         # robust stats / DQ family
+    # r5 promotions: curation / text
+    "rebalance_domains",        # domain-mix resampler (ppb hash gate)
+    "duplicate_spans",          # n-gram span-level duplication audit
+    "curation_funnel",          # multi-stage filter funnel w/ attrition
+    "bm25_topk",                # scaled-integer Okapi BM25 ranking
+    "fuzzy_match_parts",        # blocked edit-distance entity resolution
+    # LLM-pipeline extension families, one representative each
+    "near_dup_keep_best",       # clustering family (components + election,
+                                # consumes the LSH candidate pipeline)
     "ann_ivf_topk",             # ANN family (IVF scale path)
     "pq_adc_search",            # PQ family — full rows+schema+hash oracle
-    "lm_perplexity",            # curation family (bigram-LM scoring)
-    # (media_phash_pairs / segment_dedup — multimodal and segment-dedup
-    # family reps, driver-green r3 — yielded their slots to the two r4
-    # operators above, same rotation rule as r3's exact_dedup/pii_redact)
-    "scd2_intervals",           # product-analytics family
-    "dq_constraint_report",     # data-quality family
 )
 
 #: name -> (query_fn, oracle_sql_or_None)

@@ -320,11 +320,12 @@ def duplicate_spans(spark, sf_dir):
     WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
     m AS (SELECT min(n_docs) AS mn FROM c),
     r AS (SELECT source, n_docs,
-                 CAST((10000 * m.mn) // n_docs AS BIGINT) AS rate_bp
+                 CAST((CAST(1000000000 AS BIGINT) * m.mn) // n_docs AS BIGINT)
+                     AS rate_ppb
           FROM c, m)
-    SELECT r.source, r.n_docs, r.rate_bp,
+    SELECT r.source, r.n_docs, r.rate_ppb,
            CAST(count(CASE WHEN {HASH60.format(x="CAST(doc_id AS VARCHAR)")}
-                                % 10000 < r.rate_bp THEN 1 END) AS BIGINT)
+                                % 1000000000 < r.rate_ppb THEN 1 END) AS BIGINT)
                AS n_kept
     FROM documents d JOIN r USING (source)
     GROUP BY 1, 2, 3
@@ -333,8 +334,9 @@ def duplicate_spans(spark, sf_dir):
 def rebalance_domains(spark, sf_dir):
     """Domain-mix rebalancing (operators/sampling.py): every source domain
     deterministically downsampled to the smallest domain's size —
-    rate_bp = (10000·min_n) div n_d, membership = portable-hash gate on
-    doc_id. The audited output is the per-domain plan + achieved counts;
+    rate_ppb = (10^9·min_n) div n_d, membership = portable-hash gate on
+    doc_id (ppb, not bp: a bp gate zeroes any domain >10^4× the minority).
+    The audited output is the per-domain plan + achieved counts;
     the oracle recomputes rates AND membership, so a pass certifies both
     the rate derivation and the exact surviving-row set. At 100 TB: one
     (domain, count) shuffle for the rates, then a broadcast-joined
@@ -354,7 +356,7 @@ def rebalance_domains(spark, sf_dir):
         .select(
             "source",
             "n_docs",
-            "rate_bp",
+            "rate_ppb",
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )

@@ -660,9 +660,14 @@ def _build_stream_sessions(spark: SparkSession, sf_dir: str) -> str:
     "stream_sessionize_e2e",
     """
     WITH d AS (
+      -- break at gap >= 30min, matching session_window's half-open state
+      -- interval [start, last_event + gap): an event landing EXACTLY at
+      -- last_event + gap starts a NEW session in Spark, so the oracle
+      -- must break on >=, not > (tie-break parity even for exact-boundary
+      -- timestamps, which are measure-zero on this microsecond corpus)
       SELECT user_id, ts,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL 30 MINUTE
+                       >= INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS brk
       FROM events

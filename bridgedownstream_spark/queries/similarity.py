@@ -1208,10 +1208,13 @@ def ann_recall(spark, sf_dir):
         F.col("neighbor_id").alias("a_neighbor_id"),
     )
     hits = F.count("a_neighbor_id")
+    # hint the BUILD side: for a left-outer join only the right side can
+    # be the broadcast hash side (a hint on the preserved left side is
+    # rejected at runtime and Catalyst falls back un-hinted); approx is
+    # query-sample × shortlist rows — comfortably broadcastable
     return (
-        F.broadcast(truth)
-        .join(
-            approx,
+        truth.join(
+            F.broadcast(approx),
             (F.col("query_id") == F.col("a_query_id"))
             & (F.col("neighbor_id") == F.col("a_neighbor_id")),
             "left",
@@ -1336,10 +1339,11 @@ def pq_recall(spark, sf_dir):
         F.col("vec_id").alias("a_neighbor_id"),
     )
     hits = F.count("a_neighbor_id")
+    # build-side hint, same rationale as ann_recall: left-outer can only
+    # broadcast the right side; the PQ shortlist is sample-sized
     return (
-        F.broadcast(truth)
-        .join(
-            approx,
+        truth.join(
+            F.broadcast(approx),
             (F.col("query_id") == F.col("a_query_id"))
             & (F.col("neighbor_id") == F.col("a_neighbor_id")),
             "left",

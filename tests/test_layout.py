@@ -126,3 +126,40 @@ def test_skipping_scan_prunes_files_exactly(spark, tmp_path):
     empty = skipping_scan(spark, path, mpath, {"user_id": (10**9, 10**9 + 1)})
     assert empty.count() == 0
     assert empty.columns == spark.read.parquet(path).columns
+
+
+def test_skipping_scan_guards(spark, tmp_path):
+    """Empty predicates raise a clear error; a manifest that predates new
+    data files fails loudly instead of silently dropping them."""
+    import pytest
+
+    from bridgedownstream_spark.pipeline.layout import (
+        skipping_scan,
+        write_sorted,
+        write_stats_manifest,
+    )
+
+    ev = _events(spark)
+    path = os.path.join(tmp_path, "s")
+    mpath = os.path.join(tmp_path, "manifest")
+    write_sorted(ev, path, "user_id", num_files=4)
+    write_stats_manifest(spark, path, ["user_id"], mpath)
+
+    with pytest.raises(ValueError, match="empty predicates"):
+        skipping_scan(spark, path, mpath, {})
+
+    # append new files WITHOUT rebuilding the manifest -> stale
+    ev.limit(10).write.mode("append").parquet(path)
+    with pytest.raises(ValueError, match="stale manifest"):
+        skipping_scan(spark, path, mpath, {"user_id": (0, 100)})
+    # verify=False opts out for callers that own freshness
+    out = skipping_scan(
+        spark, path, mpath, {"user_id": (0, 100)}, verify=False
+    )
+    assert out.count() >= 0
+
+    # rebuilt manifest is fresh again
+    write_stats_manifest(spark, path, ["user_id"], mpath)
+    full = spark.read.parquet(path).where(F.col("user_id").between(0, 100))
+    out = skipping_scan(spark, path, mpath, {"user_id": (0, 100)})
+    assert out.count() == full.count()

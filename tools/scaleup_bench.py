@@ -1,19 +1,23 @@
-"""Reproducible 10x scale-up harness for SCALE.md's measured table.
+"""Reproducible 10x/100x scale-up harness for SCALE.md's measured table.
 
-Builds a deterministic 10x replica of the sf0.1 testdata under /tmp
+Builds a deterministic Nx replica of the sf0.1 testdata under /tmp
 (keys shifted per copy so cardinalities grow honestly; document texts
 word-salted per copy so near-dup structure stays PER-COPY instead of
-creating 10-way cross-copy duplicate cliques that no real corpus growth
+creating N-way cross-copy duplicate cliques that no real corpus growth
 would produce), then the caller times the headline queries with bench.py
 against both directories:
 
-    python tools/scaleup_bench.py                # build replica, print dir
+    python tools/scaleup_bench.py          # build 10x replica, print dir
+    python tools/scaleup_bench.py 100      # build 100x replica, print dir
     for i in 1 2 3; do
         SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py <queries>
         SPARK_GRAFT_SF_DIR=$(python tools/scaleup_bench.py) python bench.py <queries>
     done
 
-Take the min per config per query (the SCALE.md methodology).
+Take the min per config per query (the SCALE.md methodology). The 100x
+replica (~60 M lineitem rows / ~500 k documents) is where shuffle
+partition counts, Pregel round counts, and the LSH band-index size first
+bind — the 10x point mostly measures idle-core absorption on local[32].
 """
 
 from __future__ import annotations
@@ -24,8 +28,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/bds_scaleup_sf0.1_x10"
-COPIES = 10
 
 #: per-table key columns to shift by copy_index * stride (stride chosen
 #: past each key's sf0.1 range so copies never collide)
