@@ -21,6 +21,13 @@ codec fails its task loudly (ImportError) instead of falling back.
 deterministic path (the oracle-checked queries do this so their DuckDB
 twins can recompute the digests). Only the innermost per-payload function
 differs between paths — a real deployment changes nothing else.
+
+``codec="mini"`` selects the vendored pure-Python PPM/BMP codec
+(:mod:`~bridgedownstream_spark.operators.miniimg`) — a REAL decode path
+with zero dependencies, so the real-vs-stub branch is exercised
+hermetically in CI on genuine bitmaps. It shares the per-payload slots
+with PIL; payloads it cannot parse are reported "undecodable", never
+faked (same contract as the PIL path's undecodable handling).
 """
 
 from __future__ import annotations
@@ -70,16 +77,20 @@ def _resolve(codec: str, strict: bool, op: str) -> str:
     """Resolve ``auto`` against the DRIVER's importable codec; enforce
     ``strict``/explicit-real requests. Called at DataFrame-construction
     time so one concrete codec is captured in the UDF closure and every
-    task of the job uses the same path."""
+    task of the job uses the same path. ``mini`` (the vendored PPM/BMP
+    codec) is always satisfiable; ``pil`` requires PIL on the driver."""
+    if codec not in ("auto", "pil", "mini", "stub"):
+        raise ValueError(f"{op}: unknown codec {codec!r}")
     if strict and codec == "auto":
         codec = "pil"
     resolved = detect_codec() if codec == "auto" else codec
-    if resolved != "stub" and detect_codec() == "stub":
+    if resolved == "pil" and detect_codec() == "stub":
         raise NotImplementedError(
             f"{op}: codec={resolved!r} requested but no imaging library "
             "(PIL et al.) is importable on the DRIVER, where the codec is "
             "resolved for the whole job; install one there (executors need "
-            "it too) or use codec='stub' / strict=False"
+            "it too) or use codec='mini' (vendored PPM/BMP), codec='stub', "
+            "or strict=False"
         )
     return resolved
 
@@ -105,6 +116,14 @@ def _pil_decode(payload: bytes) -> tuple[str, int, int]:
         return "undecodable", 0, 0
 
 
+def _mini_decode(payload: bytes) -> tuple[str, int, int]:
+    """Vendored real decode (PPM/BMP); same undecodable contract as PIL."""
+    from bridgedownstream_spark.operators import miniimg
+
+    out = miniimg.decode(payload)
+    return ("undecodable", 0, 0) if out is None else out[:3]
+
+
 def decode_images(
     df: DataFrame,
     content_col: str = "content",
@@ -117,7 +136,9 @@ def decode_images(
         list(df.schema.fields) + [T.StructField("meta", MEDIA_META_SCHEMA)]
     )
 
-    one = _pil_decode if _resolve(codec, strict, "decode_images") == "pil" else _fake_decode
+    one = {"pil": _pil_decode, "mini": _mini_decode, "stub": _fake_decode}[
+        _resolve(codec, strict, "decode_images")
+    ]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -169,7 +190,20 @@ def extract_features(
         except Exception:  # noqa: BLE001
             return [0.0] * dim
 
-    one = _pil_feat if _resolve(codec, strict, "extract_features") == "pil" else _stub_feat
+    def _mini_feat(b: bytes) -> list[float]:
+        from bridgedownstream_spark.operators import miniimg
+
+        out = miniimg.decode(b)
+        if out is None:
+            return [0.0] * dim
+        _fmt, w, h, pixels = out
+        side = max(1, int(dim**0.5))
+        px = miniimg.grayscale(miniimg.resize_nearest(w, h, pixels, side, side))
+        return [(px * (dim // len(px) + 1))[i] / 255.0 for i in range(dim)]
+
+    one = {"pil": _pil_feat, "mini": _mini_feat, "stub": _stub_feat}[
+        _resolve(codec, strict, "extract_features")
+    ]
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -232,7 +266,19 @@ def resize_images(
         except Exception:  # noqa: BLE001
             return b"", "undecodable"
 
-    one = _pil_resize if _resolve(codec, strict, "resize_images") == "pil" else _stub_resize
+    def _mini_resize(b: bytes) -> tuple[bytes, str]:
+        from bridgedownstream_spark.operators import miniimg
+
+        out = miniimg.decode(b)
+        if out is None:
+            return b"", "undecodable"
+        _fmt, w, h, pixels = out
+        resized = miniimg.resize_nearest(w, h, pixels, width, height)
+        return miniimg.encode_ppm(width, height, resized), "ppm"
+
+    one = {"pil": _pil_resize, "mini": _mini_resize, "stub": _stub_resize}[
+        _resolve(codec, strict, "resize_images")
+    ]
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -291,7 +337,18 @@ def perceptual_hash(
         except Exception:  # noqa: BLE001
             return b"\x00" * 16
 
-    grid_of = _grid_pil if _resolve(codec, strict, "perceptual_hash") == "pil" else _grid_stub
+    def _grid_mini(b: bytes) -> bytes:
+        from bridgedownstream_spark.operators import miniimg
+
+        out = miniimg.decode(b)
+        if out is None:
+            return b"\x00" * 16
+        _fmt, w, h, pixels = out
+        return bytes(miniimg.grayscale(miniimg.resize_nearest(w, h, pixels, 4, 4)))
+
+    grid_of = {"pil": _grid_pil, "mini": _grid_mini, "stub": _grid_stub}[
+        _resolve(codec, strict, "perceptual_hash")
+    ]
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -64,18 +64,99 @@ def test_codec_autodetect_matches_environment(media):
     assert decode_images(media).count() == 2
 
 
-def test_pil_path_decodes_real_image(spark):
-    """Runs only where PIL exists: the SAME operator call decodes a real
-    PNG, proving auto-detection turns the stub plumbing production-real
-    with zero code change."""
-    PIL_Image = pytest.importorskip("PIL.Image")
-    import io as _io
+def _real_codecs():
+    """Real codecs available HERE: the vendored mini codec always, PIL
+    when importable — so the real-decode branch is never skipped."""
+    codecs = ["mini"]
+    try:
+        import PIL.Image  # noqa: F401
 
-    buf = _io.BytesIO()
-    PIL_Image.new("RGB", (12, 7), (200, 10, 10)).save(buf, format="PNG")
-    df = spark.createDataFrame([(1, buf.getvalue())], "id int, content binary")
-    meta = decode_images(df, codec="pil").collect()[0]["meta"]
-    assert (meta["format"], meta["width"], meta["height"]) == ("png", 12, 7)
+        codecs.append("pil")
+    except ImportError:
+        pass
+    return codecs
+
+
+def _gradient_bmp(w=12, h=7):
+    from bridgedownstream_spark.operators.miniimg import encode_bmp
+
+    px = [((x * 255) // max(1, w - 1), (y * 255) // max(1, h - 1), 40)
+          for y in range(h) for x in range(w)]
+    return encode_bmp(w, h, px)
+
+
+@pytest.mark.parametrize("codec", _real_codecs())
+def test_real_codec_decodes_real_bitmap(spark, codec):
+    """The SAME operator call decodes a genuine bitmap through a REAL
+    codec path (vendored PPM/BMP always; PIL where installed), proving
+    the stub plumbing turns production-real with zero code change."""
+    payload = _gradient_bmp(12, 7)
+    df = spark.createDataFrame([(1, payload)], "id int, content binary")
+    meta = decode_images(df, codec=codec).collect()[0]["meta"]
+    assert (meta["width"], meta["height"]) == (12, 7)
+    assert meta["format"] == "bmp"
+    assert meta["n_bytes"] == len(payload)
+
+
+def test_mini_codec_end_to_end(spark):
+    """decode → resize → re-decode → features → phash on real bitmaps,
+    hermetically (no PIL): the resized rendition is itself a decodable
+    image whose dimensions equal the target, features are real luma, and
+    identical images agree on phash while an inverted image differs."""
+    from bridgedownstream_spark.operators.miniimg import decode as mini_decode
+    from bridgedownstream_spark.operators.multimodal import (
+        perceptual_hash,
+        resize_images,
+    )
+
+    grad = _gradient_bmp(16, 16)
+    inv = _gradient_bmp(16, 16)[:54] + bytes(
+        255 - b for b in _gradient_bmp(16, 16)[54:]
+    )
+    df = spark.createDataFrame(
+        [(1, grad), (2, grad), (3, inv)], "id int, content binary"
+    )
+
+    out = resize_images(df, width=6, height=5, codec="mini").collect()
+    for r in out:
+        fmt, w, h, _px = mini_decode(bytes(r["content"]))
+        assert (fmt, w, h) == ("ppm", 6, 5)
+        assert r["meta"]["format"] == "ppm"
+        assert r["meta"]["n_bytes"] == len(r["content"])
+
+    feats = {
+        r["id"]: r["features"]
+        for r in extract_features(df, dim=9, codec="mini").collect()
+    }
+    assert len(feats[1]) == 9 and feats[1] == feats[2]
+    assert all(0.0 <= x <= 1.0 for x in feats[1])
+    assert feats[1] != feats[3]  # inverted image → different luma grid
+
+    hashes = {
+        r["id"]: r["phash"] for r in perceptual_hash(df, codec="mini").collect()
+    }
+    assert hashes[1] == hashes[2] != hashes[3]
+
+    # an unparseable payload reports undecodable — never fake metadata
+    junk = spark.createDataFrame([(9, b"not an image")], "id int, content binary")
+    meta = decode_images(junk, codec="mini").collect()[0]["meta"]
+    assert meta["format"] == "undecodable" and meta["width"] == 0
+
+
+def test_mini_codec_formats_roundtrip():
+    """Pure codec check (no Spark): PPM and BMP encode→decode round-trip
+    pixel-exact, including BMP row padding on non-multiple-of-4 widths."""
+    from bridgedownstream_spark.operators import miniimg
+
+    for w, h in ((1, 1), (3, 2), (5, 4)):
+        px = [((i * 37) % 256, (i * 101) % 256, (i * 17) % 256)
+              for i in range(w * h)]
+        for enc, fmt in ((miniimg.encode_ppm, "ppm"), (miniimg.encode_bmp, "bmp")):
+            got = miniimg.decode(enc(w, h, px))
+            assert got == (fmt, w, h, px), (fmt, w, h)
+    assert miniimg.decode(b"") is None
+    assert miniimg.decode(b"P6 garbage") is None
+    assert miniimg.decode(b"BM" + b"\x00" * 60) is None
 
 
 def test_feature_extraction_shape(media):

@@ -48,30 +48,55 @@ SHIFTS = {
 }
 
 
-def build() -> str:
-    if os.path.exists(os.path.join(DST, "_DONE")):
-        return DST
+def build(copies: int = 10, tables: list[str] | None = None) -> str:
+    """Build (or reuse) the ``copies``x replica; returns its directory.
+
+    ``tables`` limits replication to the named fact tables (dims are
+    always copied) — the 100x build replicates only what its target
+    queries read, so the build stays minutes, not an hour.
+    """
+    dst = f"/tmp/bds_scaleup_sf0.1_x{copies}"
+    done = os.path.join(dst, "_DONE")
+    wanted = SHIFTS if tables is None else {
+        t: SHIFTS[t] for t in tables if t in SHIFTS
+    }
+    if os.path.exists(done):
+        content = open(done).read().split()
+        # legacy marker (empty file) predates per-table tracking: it was
+        # only ever written after a full-SHIFTS build
+        built = set(content) if content else set(SHIFTS)
+        if set(wanted) <= built:
+            return dst
+    else:
+        built = set()
     from pyspark.sql import functions as F
 
     from bridgedownstream_spark.session import get_spark
 
     spark = get_spark("scaleup-build")
-    os.makedirs(DST, exist_ok=True)
+    os.makedirs(dst, exist_ok=True)
     for t in ("region", "nation"):
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
-            f"{DST}/{t}.parquet"
+            f"{dst}/{t}.parquet"
         )
-    for t, shifts in SHIFTS.items():
+    # vector rotation must stay within the embedding dimensionality
+    emb_dim = len(
+        spark.read.parquet(f"{SRC}/embeddings.parquet").first()["embedding"]
+    )
+    for t, shifts in wanted.items():
+        if t in built:
+            continue
         src = spark.read.parquet(f"{SRC}/{t}.parquet")
         parts = []
-        for i in range(COPIES):
+        for i in range(copies):
             d = src
             for col, stride in shifts.items():
                 if col in d.columns:
                     d = d.withColumn(col, F.col(col) + F.lit(i * stride))
             if t == "documents" and i > 0:
-                # salt every 5th word: cross-copy jaccard drops below any
-                # near-dup threshold while per-copy dup structure survives
+                # salt every 5th word with the copy index: cross-copy
+                # jaccard drops below any near-dup threshold while
+                # per-copy dup structure survives
                 d = d.withColumn(
                     "text",
                     F.expr(
@@ -82,36 +107,45 @@ def build() -> str:
                 )
             if t == "part" and i > 0:
                 # distinct name space per copy: unsalted clones would give
-                # the fuzzy-ER query 10 identical copies of every name
-                # inside one block (100x candidate pairs by construction —
-                # degenerate structure no real catalog growth produces,
-                # same rationale as the documents word-salt). Salted at
-                # BOTH ends: prefix-only salting leaves the name SUFFIX
-                # shared across copies, which degenerates the two-pass
-                # matcher's suffix block the same way (measured 3.3x).
+                # the fuzzy-ER query `copies` identical versions of every
+                # name inside one block (copies^2 candidate pairs by
+                # construction — degenerate structure no real catalog
+                # growth produces, same rationale as the documents
+                # word-salt). Salted at BOTH ends: prefix-only salting
+                # leaves the name SUFFIX shared across copies, which
+                # degenerates the two-pass matcher's suffix block the
+                # same way (measured 3.3x).
                 d = d.withColumn(
                     "p_name", F.expr(f"concat('c{i} ', p_name, ' c{i}')")
                 )
             if t == "embeddings" and i > 0:
-                # rotate the vector by i positions per copy: preserves the
-                # norm while decorrelating copies — unrotated clones would
-                # hand every ANN/PQ query 10 exact duplicates of its own
-                # vector, degenerate structure no real corpus growth has
-                d = d.withColumn(
-                    "embedding",
-                    F.expr(
-                        f"concat(slice(embedding, {i + 1}, "
-                        f"size(embedding) - {i}), slice(embedding, 1, {i}))"
-                    ),
-                )
+                # rotate the vector by i (mod dim) positions per copy:
+                # preserves the norm while decorrelating copies —
+                # unrotated clones would hand every ANN/PQ query exact
+                # duplicates of its own vector, degenerate structure no
+                # real corpus growth has
+                rot = i % emb_dim
+                if rot:
+                    d = d.withColumn(
+                        "embedding",
+                        F.expr(
+                            f"concat(slice(embedding, {rot + 1}, "
+                            f"size(embedding) - {rot}), "
+                            f"slice(embedding, 1, {rot}))"
+                        ),
+                    )
             parts.append(d)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
-    open(os.path.join(DST, "_DONE"), "w").close()
-    return DST
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        built.add(t)
+        with open(done, "w") as f:
+            f.write(" ".join(sorted(built)))
+    return dst
 
 
 if __name__ == "__main__":
-    print(build())
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    tables = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    print(build(copies, tables))
