@@ -1265,12 +1265,18 @@ def fuzzy_match_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_name").alias("m_name"),
         )
 
+    # No distinct between the passes: a pair both blocks emit appears
+    # twice, but duplicates of an identical (d_key, m_key, lev) row can
+    # never displace the rn=1 winner under the deterministic (lev, m_key)
+    # order — whichever copy wins, the OUTPUT row is the same values. The
+    # oracle's UNION dedups and provably agrees. Dropping it removes a
+    # full shuffle of candidate-pair name strings (the widest rows in the
+    # query); the only remaining exchange is the d_key window.
     cand = (
         blocked("substring(d_name, 1, 4)", "substring(p_name, 1, 4)")
         .unionByName(
             blocked("substring(d_name, -4, 4)", "substring(p_name, -4, 4)")
         )
-        .distinct()
         .withColumn("lev", F.levenshtein("d_name", "m_name"))
         .where(F.col("lev") <= 2)
     )

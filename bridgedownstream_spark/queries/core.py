@@ -906,3 +906,252 @@ def q10_returned_items(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(24,10))), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): revenue per nation where the
+    customer and supplier share the nation, scoped to one region + year.
+
+    Plan: region/nation collapse to a broadcast filter; the LOCAL
+    constraint (c_nationkey = s_nationkey) rides the supplier join as an
+    extra equi-condition, so no post-join filter pass; only the two fact
+    joins shuffle, both on their natural keys, and revenue sums on
+    DECIMAL. The 5-way star exercises Catalyst's join reordering with
+    every dimension broadcastable.
+    """
+    r = tbl(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = tbl(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    rev = F.round(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(24,10)"
+            )
+        ),
+        2,
+    ).cast("double")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@q(
+    "q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(24,10))), 2) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): bilateral trade between two nations by
+    ship year — the two-role dimension pattern (nation joined twice under
+    different aliases) plus a disjunctive cross-pair predicate.
+
+    Plan: both nation roles broadcast; the pair predicate is evaluated
+    after both role joins as a row-local filter over broadcast-joined
+    columns (never a cartesian); facts join on natural keys; year() is a
+    codegen projection. At 100 TB the two-year shipdate window reaches
+    the scan as a pushed range filter.
+    """
+    n = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = tbl(spark, sf_dir, "supplier")
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    rev = F.round(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(24,10)"
+            )
+        ),
+        2,
+    ).cast("double")
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(rev.alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@q(
+    "q14_promo_effect",
+    """
+    SELECT CAST(round(
+             100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                        AS DECIMAL(24,10))
+                              ELSE CAST(0 AS DECIMAL(24,10)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(24,10))) AS DOUBLE),
+             4) AS DOUBLE) AS promo_pct,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): percent of one month's revenue from
+    promo parts — conditional aggregation over a fact⋈dimension join.
+
+    Plan: the month window prunes lineitem at the scan; part broadcasts
+    (AQE — it is the bounded dimension); BOTH the numerator and the
+    denominator accumulate in one partial→final aggregate pass (a single
+    scan, not two), exact in DECIMAL with one final double division.
+    """
+    li = tbl(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,10)"
+    )
+    zero = F.lit(0).cast("decimal(24,10)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero))
+                .cast("double")
+                / F.sum(disc).cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("promo_pct"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "q18_large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(24,10))) AS qty
+      FROM lineitem GROUP BY 1
+      HAVING sum(CAST(l_quantity AS DECIMAL(24,10))) > 200
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           CAST(round(b.qty, 2) AS DOUBLE) AS sum_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold, joined back to their customers — the classic
+    aggregate-then-semi-join shape (the spec's IN-subquery expressed as
+    the aggregate it is).
+
+    Plan: the quantity rollup is ONE partial→final aggregate on
+    l_orderkey (only (orderkey, qty) crosses the wire); the HAVING
+    shrinks it to the big-order sliver, which then joins orders hashed
+    on the same orderkey and customers via a broadcast-eligible dim
+    join; top-100 is TakeOrdered with an orderkey tie-break. DECIMAL
+    quantities make the threshold cut merge-order-exact.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(24,10)")).alias("qty"))
+        .where(F.col("qty") > 200)
+    )
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("qty", 2).cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )

@@ -157,8 +157,10 @@ HEADLINERS = {
         "strings never cross the wire."
     ),
     "rebalance_domains": (
-        "Domain-mix rebalancing (r4): one (domain, count) partial-agg "
-        "shuffle derives the integer-bp rate table (always broadcast); "
+        "Domain-mix rebalancing (r4; ppb gate r5): one (domain, count) "
+        "partial-agg shuffle derives the integer parts-per-billion rate "
+        "table (domain-cardinality — always broadcast, and validated "
+        "driver-side so an eliminated domain warns instead of vanishing); "
         "membership is a hash-gate FILTER in the projection stage — "
         "bodies never shuffle."
     ),
@@ -198,6 +200,213 @@ HEADLINERS = {
         "hash join against the UNCHANGED cached 1-cell corpus "
         "assignment — candidate volume scales with probes, never corpus "
         "size; centroids broadcast."
+    ),
+    # ---- r5: every certifying-window query gets a documented plan ----
+    "intersect_keys": (
+        "Set intersection on projected keys: both sides prune to the key "
+        "columns at the scan, the INTERSECT lowers to an aggregate + "
+        "join on those keys only — no full-row shuffle."
+    ),
+    "membership_filter": (
+        "IN-list membership folds to a scan-level pushed filter (In/Or "
+        "predicates in PushedFilters) — the list never becomes a join."
+    ),
+    "prefix_filter": (
+        "startswith/contains compile to StartsWith + StringContains in "
+        "PushedFilters; the scan prunes to the referenced columns — "
+        "string predicates are data-skipping-eligible, not post-filters."
+    ),
+    "sql_view_query": (
+        "The SQL surface (temp views + spark.sql) plans IDENTICALLY to "
+        "the DataFrame build: same pushed filters, same broadcast "
+        "choices — the view layer adds zero plan nodes."
+    ),
+    "anti_join_missing": (
+        "Reconciliation anti-join: both sides project to the key before "
+        "a LeftAnti hash join — the shuffle (or broadcast, when the "
+        "expected side is small) carries keys only, never payloads."
+    ),
+    "anti_join_union": (
+        "Anti-join against a UNION of two sources: the union is narrow "
+        "(no dedup pass — the anti-join semantics make duplicates "
+        "harmless), then one LeftAnti join on the key columns."
+    ),
+    "dedup_latest": (
+        "Dedup-latest = ONE exchange on the entity key feeding a "
+        "row_number window; the filter on rn=1 is row-local. No "
+        "self-join formulation, no second shuffle."
+    ),
+    "sample_per_group": (
+        "Representative N-per-group: same single-exchange window shape "
+        "as dedup_latest — the limit is a rank predicate, so the sample "
+        "never materializes a global sort."
+    ),
+    "reconcile_counts": (
+        "Count/min/max reconciliation: one partial→final aggregate pair "
+        "around a single exchange on the group key; partial aggregation "
+        "collapses each partition before anything crosses the wire."
+    ),
+    "count_reconciliation_report": (
+        "Count-distinct reconciliation: Spark plans distinct-aggregate "
+        "expansion (two aggregate phases) over ONE logical pass; keys "
+        "are projected before the exchange."
+    ),
+    "group_collect": (
+        "Group-accumulate (collect_list/collect_set): one exchange on "
+        "the group key; per-group arrays are bounded by the "
+        "deterministic sort + slice applied after collection."
+    ),
+    "config_cache_dedup": (
+        "Schema-cache dedup: the config frame is tiny (config "
+        "cardinality); the dedup window + the join back both stay "
+        "broadcast-sized — a lookup-table maintenance op, not a data op."
+    ),
+    "array_slice_limit": (
+        "Per-group array limit runs as slice() over the collected "
+        "array — a projection-stage HOF, no second window or re-shuffle "
+        "after the group-accumulate exchange."
+    ),
+    "batched_submit": (
+        "Batching assigns ceil(rank/N) batch ids with ONE window "
+        "exchange; batch membership is arithmetic on the rank, not a "
+        "join against a batch table."
+    ),
+    "scalar_functions": (
+        "Scalar function surface (timestamp parse, date parts, split, "
+        "lower, casts): a single Project inside WholeStageCodegen over "
+        "the pruned scan — zero exchanges, zero Python."
+    ),
+    "case_when_routing": (
+        "Conditional rewrite is one codegen'd CASE WHEN projection; "
+        "routing logic adds no plan nodes beyond the Project."
+    ),
+    "json_extract": (
+        "JSON parse runs JVM-side (from_json/get_json_object) in the "
+        "projection stage — no Python UDF, schema declared so the "
+        "parser emits typed columns directly."
+    ),
+    "basename_extract": (
+        "Path/basename extraction is regexp_extract in a codegen "
+        "Project over the pruned scan — string surgery never leaves "
+        "the JVM."
+    ),
+    "csv_export_roundtrip": (
+        "CSV round-trip: the write clusters by the partition column "
+        "first (file count bounded by partitions, not tasks), and the "
+        "read-back scan re-applies schema + RFC-4180 quoting; the "
+        "verification aggregate is one partial→final pair."
+    ),
+    "workflow_properties": (
+        "Workflow-properties source: message manifests parse to typed "
+        "rows in one narrow pass; the plan is scan → project with the "
+        "JSON schema declared (no inference job)."
+    ),
+    "ingest_e2e_events": (
+        "Stage-1 ingest e2e: archive unzip + JSON-Schema validation are "
+        "Arrow-batched mapInPandas whose unit is an ARCHIVE; config "
+        "lookups broadcast; the single exchange clusters the NDJSON "
+        "sink by partition keys. The read-back aggregate certifies the "
+        "whole path."
+    ),
+    "quarantine_replay": (
+        "Quarantine replay: invalid rows round-trip through the "
+        "quarantine sink and re-validate; struct unpack is a "
+        "projection; the replay join broadcasts the (small) quarantine "
+        "side back onto the lake."
+    ),
+    "expected_error_suppression": (
+        "Expected-error suppression: the whitelist (bounded config) "
+        "broadcasts into a LeftAnti join against the error stream — "
+        "suppression is subtraction, never a filter UDF."
+    ),
+    "stream_sync_e2e": (
+        "Checkpointed availableNow drain ≡ bookmarks: the plan shown is "
+        "the read-back of the synced lake; incremental cost lives in "
+        "the micro-batches (each scoped to newly-listed files), so the "
+        "batch-side verification aggregate is all that remains."
+    ),
+    "stream_dedup_e2e": (
+        "applyInPandasWithState stateful dedup (r5 window): keys "
+        "hash-split across two micro-batches prove cross-batch state "
+        "suppression; the drained output read-back + count aggregate "
+        "is the certified surface, value-hash-equal to batch dedup."
+    ),
+    "stream_interval_join_e2e": (
+        "Stream-stream interval join, drained: two-sided watermarks "
+        "bound the buffered state; the drained pair set equals the "
+        "batch interval join bit-for-bit (full value-hash oracle)."
+    ),
+    "stream_sessionize_e2e": (
+        "session_window in APPEND mode: sentinel batches push the "
+        "watermark past every real session's end+gap so the emitted "
+        "set is complete; oracle breaks sessions at >= gap, matching "
+        "the half-open [start, last+gap) state interval."
+    ),
+    "pipeline_e2e_root": (
+        "Stage-2 json→parquet e2e: declared-schema JSON scan (no "
+        "inference pass), cast-to-declared + relationalize are narrow, "
+        "ONE clustering exchange before the partitioned write; the "
+        "read-back scan prunes on partition columns."
+    ),
+    "pipeline_partition_pruned": (
+        "Hive-layout partition pruning: the partition predicate prunes "
+        "DIRECTORIES before listing (PartitionFilters on the scan, "
+        "partition count < total) — pruned partitions cost zero I/O, "
+        "zero listing."
+    ),
+    "gap_fill": (
+        "Per-key day-grid densification: sequence() explodes each "
+        "key's OWN [min,max] span (narrow, no calendar cross-join), "
+        "then one left join back on (user, day) — grid size scales "
+        "with active spans, not global time."
+    ),
+    "concurrency_peaks": (
+        "Sweep-line peak concurrency: intervals become ±1 endpoint "
+        "rows (narrow explode), ONE window keyed (type, ts-order) "
+        "computes the running sum — no interval self-join, no O(n²) "
+        "candidate pairs."
+    ),
+    "retention_cohorts": (
+        "Retention triangle: first-event week is one user_id-keyed "
+        "aggregate joined back (same key → AQE reuses partitioning); "
+        "week ids are integer epoch-day arithmetic, so both engines "
+        "bucket identically."
+    ),
+    "event_transitions": (
+        "Markov transitions: one lag window on user_id + one aggregate "
+        "on the (prev, next) pair; the normalizing window runs over "
+        "≤|event types|² rows — the matrix side is trivially small."
+    ),
+    "conversion_latency": (
+        "Time-to-convert: two conditional-min aggregates keyed on "
+        "user_id (one exchange), then exact integer-second percentiles "
+        "over the per-user latencies — the wide data never sorts "
+        "globally."
+    ),
+    "winsorized_stats": (
+        "Winsorize: exact per-type [p05, p95] bounds are a 5-row "
+        "aggregate broadcast back onto the fact scan; the clip + "
+        "clipped-sum is one partial→final pass. Two scans, one tiny "
+        "broadcast, no sort."
+    ),
+    "bm25_topk": (
+        "Okapi BM25: per-doc tf columns are codegen HOF filters; "
+        "corpus stats fold to a broadcast 1-row aggregate; the global "
+        "top-10 is TakeOrderedAndProject — never a global row_number "
+        "window (pinned in tests/test_plans.py)."
+    ),
+    "near_dup_keep_best": (
+        "Full dedup stack composed: cached LSH candidate artifact → "
+        "O(diameter) Pregel min-label components (localCheckpoint "
+        "lineage truncation) → ONE quality window per cluster for the "
+        "keep-best election. Bodies never shuffle; cost is Pregel "
+        "rounds, not data volume."
+    ),
+    "ann_ivf_topk": (
+        "IVF ANN: centroid table broadcasts (Θ(cells)); corpus cell "
+        "assignment is cached per corpus; the search is a hash join "
+        "on cell id — the vector corpus itself never re-shuffles per "
+        "query."
     ),
 }
 
