@@ -200,19 +200,28 @@ def test_portable_quantile_bands_bounded(spark):
         assert abs(got[et]["p95_est"] - p95_stat) <= width / 2 + 1e-6, et
 
 
-def test_every_query_plan_is_scale_clean(spark):
+@pytest.fixture(scope="module")
+def registry_dfs(spark):
+    """Every registry query's DataFrame, built ONCE for the four
+    registry-wide guards below — analysis + fixture-build cost is paid a
+    single time instead of once per guard (the r4 suite spent ~2 min
+    rebuilding the same 130+ frames four times)."""
+    return {name: fn(spark, SF) for name, (fn, _) in REGISTRY.items()}
+
+
+def test_every_query_plan_is_scale_clean(registry_dfs):
     """Global guard over the WHOLE query registry: no physical plan may
     contain a cartesian product or a row-at-a-time Python UDF
     (BatchEvalPython). Vectorized Python (ArrowEvalPython / MapInPandas /
     FlatMapGroupsInPandas) is the sanctioned slow path; per-row Python is
     never acceptable in any shipped plan."""
-    for name in REGISTRY:
-        plan = plan_of(spark, name)
+    for name, df in registry_dfs.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
 
 
-def test_every_query_output_is_driver_canonicalizable(spark):
+def test_every_query_output_is_driver_canonicalizable(registry_dfs):
     """Global guard: the correctness harness materializes EVERY registry
     query's output (rows-only included) and canonicalizes it through a
     pandas sort that cannot hash container cells — an ArrayType/MapType/
@@ -223,15 +232,14 @@ def test_every_query_output_is_driver_canonicalizable(spark):
     from pyspark.sql import types as T
 
     bad = []
-    for name in REGISTRY:
-        df = REGISTRY[name][0](spark, SF)
+    for name, df in registry_dfs.items():
         for f in df.schema.fields:
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not bad, f"container-typed output columns: {bad}"
 
 
-def test_hash_checked_float_outputs_are_stabilized(spark):
+def test_hash_checked_float_outputs_are_stabilized(registry_dfs):
     """Every DoubleType output column of a hash-checked (oracle-paired)
     query must be produced by an explicit round()/bround() or a cast from
     an exact type — a raw float aggregate's last bit depends on partial-agg
@@ -245,7 +253,7 @@ def test_hash_checked_float_outputs_are_stabilized(spark):
     for name, (fn, oracle) in REGISTRY.items():
         if oracle is None:
             continue
-        df = fn(spark, SF)
+        df = registry_dfs[name]
         dbl = [f.name for f in df.schema.fields
                if isinstance(f.dataType, (T.DoubleType, T.FloatType))]
         if not dbl:
@@ -305,7 +313,7 @@ def test_hash_checked_float_outputs_are_stabilized(spark):
     assert not bad, f"unstabilized float output columns: {bad}"
 
 
-def test_oracle_dtypes_match_spark_schema(spark):
+def test_oracle_dtypes_match_spark_schema(spark, registry_dfs):
     """Oracle-side twin of the canonicalizable guard (VERDICT r3 #4): the
     driver compares AFTER pandas canonicalization, where DuckDB's numeric
     widening becomes visible — `sum(BIGINT)` returns HUGEINT, which
@@ -333,7 +341,9 @@ def test_oracle_dtypes_match_spark_schema(spark):
     for name, (fn, oracle) in REGISTRY.items():
         if oracle is None:
             continue
-        spark_types = {f.name: f.dataType for f in fn(spark, sf).schema.fields}
+        spark_types = {
+            f.name: f.dataType for f in registry_dfs[name].schema.fields
+        }
         opd = con.execute(oracle).df()
         for col in opd.columns:
             st = spark_types.get(col)
