@@ -1155,3 +1155,196 @@ def q18_large_volume_customers(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@q(
+    "q8_market_share",
+    """
+    WITH all_nations AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(24,10)) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                    THEN volume
+                                    ELSE CAST(0 AS DECIMAL(24,10)) END)
+                           AS DOUBLE)
+                    / CAST(sum(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share,
+           CAST(round(sum(volume), 2) AS DOUBLE) AS total_volume
+    FROM all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): one supplier nation's share of a
+    region's order volume for one part type, by year — the widest star in
+    the suite (7 joins, nation in BOTH the filter role and the measure
+    role).
+
+    Plan: part's type filter and the region→nation customer-side filter
+    collapse into broadcasts that shrink lineitem/orders before the
+    fact⋈fact joins; the supplier-side nation broadcast only LABELS rows
+    (no filter), and both the share numerator and total accumulate
+    DECIMAL-exact in one partial→final aggregate. At 100 TB each year's
+    share is one ratio of two exact sums, so the 7-way join's output
+    never materializes beyond the agg state.
+    """
+    p = tbl(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    o = tbl(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = tbl(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n1 = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        F.col("n_nationkey").alias("n1_key")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,10)"
+    )
+    zero = F.lit(0).cast("decimal(24,10)")
+    return (
+        F.broadcast(p)
+        .join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero))
+                .cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("mkt_share"),
+            F.round(F.sum(vol), 2).cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@q(
+    "q13_customer_distribution",
+    """
+    WITH counts AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM counts
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): how many customers
+    placed N orders, for every N INCLUDING ZERO — the left-join-then-
+    double-aggregate shape (an inner join would silently drop the
+    zero-order customers the query exists to count).
+
+    Plan: count(o_orderkey) ignores the nulls the left join manufactures;
+    the first aggregate keys on c_custkey (the join's own key — AQE
+    reuses the partitioning, no second exchange for the count), and the
+    second groups the tiny (count, custdist) histogram."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy(F.col("c_count").cast("bigint").alias("c_count"))
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@q(
+    "q22_global_sales_opportunity",
+    """
+    WITH wealthy AS (
+      SELECT c_custkey, c_acctbal,
+             substr(c_name, 1, 10) AS cntry
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0)
+    )
+    SELECT w.cntry,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(round(sum(CAST(w.c_acctbal AS DECIMAL(24,10))), 2)
+                AS DOUBLE) AS totacctbal
+    FROM wealthy w
+    ANTI JOIN (SELECT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '2000-01-01') o
+      ON o.o_custkey = w.c_custkey
+    GROUP BY w.cntry
+    ORDER BY w.cntry
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity): above-average-balance
+    customers with no RECENT orders — scalar subquery + anti-join +
+    rollup (the spec's country code adapted to the synthetic c_name
+    prefix; the spec's never-ordered test rebound to a recency cutoff
+    because every synthetic customer has ordered at least once — the
+    all-time anti-join is degenerate-empty on this corpus).
+
+    Plan: the average is a broadcast 1-row aggregate (scalar subquery →
+    one tiny extra job, applied as a plain filter — never a per-row
+    re-evaluation); the inactivity test is a LeftAnti hash join on
+    custkey projecting keys only, with the recency predicate pushed to
+    the orders scan; balances sum DECIMAL-exact."""
+    c = tbl(spark, sf_dir, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    o = (
+        tbl(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    wealthy = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.substring("c_name", 1, 10).alias("cntry"),
+        )
+    )
+    return (
+        wealthy.join(o, wealthy.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("cntry")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(24,10)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
