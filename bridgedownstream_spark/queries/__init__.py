@@ -36,7 +36,10 @@ from bridgedownstream_spark.queries import (
 #: ann_recall, dedup_graph_triangles, near_dup_incremental,
 #: portable_hll_cardinality, portable_quantile_bands,
 #: multimodal_decode/features/frame_sample/resize, stream_interval_join_e2e,
-#: stream_sessionize_e2e, pipeline_compaction_equiv, upsert variants.
+#: stream_sessionize_e2e, pipeline_compaction_equiv, upsert variants —
+#: plus the r5 additions: TPC-H q5/q7/q8/q13/q14/q18/q22,
+#: stream_enrich_e2e (stream-static broadcast enrichment),
+#: portable_cms_heavy_hitters (count-min sketch), time_weighted_avg.
 #: Rotate r1-r4-certified window entries out for these, keeping >=1 green
 #: row per §2 component and per extension family (same rule as below).
 #

@@ -1725,3 +1725,171 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sd", 4).alias("sd"),
         )
     )
+
+
+#: Count-min sketch geometry: d hash rows × w buckets. Counters are EXACT
+#: integer sums over portable-hash buckets, so the sketch — unlike the
+#: order-sensitive space-saving summary — is mergeable in any order and
+#: bit-identical across engines, the same discipline as portable_hll /
+#: portable_quantile_bands.
+_CMS_D = 3
+_CMS_W = 256
+
+
+def _cms_bucket_spark(i: int) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat('cms{i}|', "
+        f"CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % {_CMS_W}"
+    )
+
+
+_CMS_BUCKET_DUCK = (
+    "(('0x' || substr(md5('cms' || CAST({i} AS VARCHAR) || '|' || "
+    "CAST({uid} AS VARCHAR)), 1, 15))::BIGINT) % " + str(_CMS_W)
+)
+
+
+@q(
+    "portable_cms_heavy_hitters",
+    f"""
+    WITH rows_ AS (SELECT unnest([0, 1, 2]) AS i),
+    exp AS (
+      SELECT r.i,
+             {_CMS_BUCKET_DUCK.format(i="r.i", uid="e.user_id")} AS bucket
+      FROM events e, rows_ r
+    ),
+    counters AS (
+      SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM exp GROUP BY 1, 2
+    ),
+    truecnt AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM events GROUP BY 1
+      ORDER BY true_cnt DESC, user_id ASC LIMIT 10
+    ),
+    probes AS (
+      SELECT t.user_id, t.true_cnt, r.i,
+             {_CMS_BUCKET_DUCK.format(i="r.i", uid="t.user_id")} AS bucket
+      FROM truecnt t, rows_ r
+    )
+    SELECT p.user_id, p.true_cnt,
+           CAST(min(c.c) AS BIGINT) AS cm_est,
+           CAST(min(c.c) - p.true_cnt AS BIGINT) AS overcount
+    FROM probes p JOIN counters c ON p.i = c.i AND p.bucket = c.bucket
+    GROUP BY 1, 2
+    """,
+)
+def portable_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch with a FULL value-hash oracle: d×w exact integer
+    counters over portable md5 buckets, probed with the true top-10 users
+    — ``cm_est = min_i counter[i][h_i(user)]`` is ≥ the true count by
+    construction (``overcount`` ≥ 0 always; bounded by pytest at the
+    standard eN/w). The deterministic-integer design makes the ESTIMATES
+    hash-certifiable, which no sampled or order-sensitive heavy-hitter
+    summary (space-saving, Misra-Gries) can offer.
+
+    At 100 TB: the counter build is one partial-agg'd shuffle of
+    (row, bucket) pairs — at most d×w = 768 rows survive per partition's
+    map-side combine, so the sketch costs ~nothing regardless of item
+    cardinality, and merging shards/days is elementwise integer addition.
+    The probe side joins a broadcast 768-row table. The exact top-10
+    baseline exists only to certify the estimates; production reads the
+    sketch alone."""
+    ev = tbl(spark, sf_dir, "events")
+    buckets = [F.expr(_cms_bucket_spark(i)) for i in range(_CMS_D)]
+    counters = (
+        ev.select(F.posexplode(F.array(*buckets)).alias("i", "bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+    probes = top.select(
+        "user_id",
+        "true_cnt",
+        F.posexplode(F.array(*buckets)).alias("i", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("user_id", "true_cnt")
+        .agg(
+            F.min("c").cast("bigint").alias("cm_est"),
+            (F.min("c") - F.col("true_cnt")).cast("bigint").alias("overcount"),
+        )
+    )
+
+
+@q(
+    "time_weighted_avg",
+    """
+    WITH d AS (
+      SELECT event_type, value,
+             epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dur_us
+      FROM events
+    ),
+    w AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(19,6))
+                  * CAST(dur_us AS DECIMAL(15,0)) AS DECIMAL(38,6)) AS wv,
+             dur_us
+      FROM d WHERE dur_us IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(dur_us) AS BIGINT) AS total_us,
+           CAST(round(CAST(sum(wv) AS DOUBLE)
+                      / CAST(sum(dur_us) AS DOUBLE), 4) AS DOUBLE) AS twa
+    FROM w GROUP BY 1
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the Timescale ``time_weight('LOCF')``
+    shape): each observation's value is weighted by how long it was the
+    LATEST observation of its series — the correct mean for irregularly
+    sampled gauges, where the arithmetic mean over-weights bursts.
+
+    Determinism discipline: interval durations are exact bigint
+    microseconds (lead() over a (ts, event_id)-ordered window — the id
+    tie-break pins equal-timestamp order in both engines), and the
+    weighted sum runs in DECIMAL(38,6) (value DECIMAL(19,6) — 19, not
+    18: DuckDB's 18-digit decimals are int64-backed and its multiply
+    overflows before widening; 19 forces the hugeint path — ×
+    duration DECIMAL(15,0) — cast narrow BEFORE multiplying, so the
+    product precision stays inside 38), making the ratio's inputs exact
+    at any partial-agg merge order; one final double division + round(4).
+
+    Plan: ONE hash exchange on event_type serves both the lead() window
+    and the aggregate (the sessionize single-exchange shape); only
+    (event_type, value, ts) rows cross the wire."""
+    ev = tbl(spark, sf_dir, "events")
+    win = W.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(win)) - F.unix_micros("ts")
+        ).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    wv = (
+        F.col("value").cast("decimal(19,6)")
+        * F.col("dur_us").cast("decimal(15,0)")
+    ).cast("decimal(38,6)")
+    return (
+        d.select("event_type", wv.alias("wv"), "dur_us")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum("dur_us").cast("bigint").alias("total_us"),
+            F.round(
+                F.sum("wv").cast("double") / F.sum("dur_us").cast("double"), 4
+            )
+            .cast("double")
+            .alias("twa"),
+        )
+    )

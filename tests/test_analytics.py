@@ -304,3 +304,37 @@ def test_metric_correlations_perfect_line(spark, tmp_path_factory):
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
     r = adv.metric_correlations(spark, path).collect()[0]
     assert r.n == 10 and r.qty_price_corr == 1.0
+
+
+def test_time_weighted_avg_known_answer(spark, tmp_path_factory):
+    """LOCF weighting: value 10 held 10s then 20 held 30s -> twa 17.5;
+    the series-final observation has no successor and contributes no
+    interval."""
+    path = str(tmp_path_factory.mktemp("twa") / "lake")
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, t(0), 1, "gauge", 10.0, "{}"),
+        (2, t(10), 1, "gauge", 20.0, "{}"),
+        (3, t(40), 2, "gauge", 99.0, "{}"),  # last: excluded
+    ]
+    _write_events(spark, path, rows)
+    out = {r.event_type: r for r in
+           advanced.time_weighted_avg(spark, path).collect()}
+    g = out["gauge"]
+    assert g.n_intervals == 2
+    assert g.total_us == 40_000_000
+    assert g.twa == pytest.approx((10 * 10 + 20 * 30) / 40)
+
+
+def test_cms_estimates_upper_bound_true_counts(spark):
+    """Count-min guarantees est >= true per item; with d=3 rows the
+    expected overcount collapses far below the single-row N/w mean —
+    assert the one-sided bound exactly and the error loosely."""
+    sf = "/root/testdata/sf0.001"
+    rows = advanced.portable_cms_heavy_hitters(spark, sf).collect()
+    assert len(rows) == 10
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    for r in rows:
+        assert r.cm_est >= r.true_cnt          # never undercounts
+        assert r.overcount == r.cm_est - r.true_cnt
+        assert r.overcount <= n_events // 10   # loose 10x-the-mean bound
