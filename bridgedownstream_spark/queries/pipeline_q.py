@@ -660,14 +660,17 @@ def _build_stream_sessions(spark: SparkSession, sf_dir: str) -> str:
     "stream_sessionize_e2e",
     """
     WITH d AS (
-      -- break at gap >= 30min, matching session_window's half-open state
-      -- interval [start, last_event + gap): an event landing EXACTLY at
-      -- last_event + gap starts a NEW session in Spark, so the oracle
-      -- must break on >=, not > (tie-break parity even for exact-boundary
-      -- timestamps, which are measure-zero on this microsecond corpus)
+      -- break at gap STRICTLY > 30min, matching session_window's measured
+      -- boundary semantics on this Spark version: an event landing
+      -- EXACTLY at last_event + gap EXTENDS the session (pinned by
+      -- tests/test_windowed_streaming.py::
+      -- test_session_boundary_event_extends_the_session — an advisory
+      -- review claimed the opposite half-open behavior; the empirical
+      -- test decides). Exact-boundary hits are measure-zero on this
+      -- microsecond corpus either way.
       SELECT user_id, ts,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS brk
       FROM events

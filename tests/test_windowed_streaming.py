@@ -93,3 +93,34 @@ def test_session_window_counts(spark, tmp_path):
     )
     # u1's sessions both closed; u2's stays open (watermark hasn't passed)
     assert rows == [("u1", "10:00", 2), ("u1", "12:00", 1)]
+
+
+def test_session_boundary_event_extends_the_session(spark):
+    """An event landing EXACTLY at last_event + gap EXTENDS the session:
+    measured on this Spark version, session_window's gap test is
+    inclusive (an advisory review claimed half-open [start, last+gap) —
+    empirically FALSE here: the three events below collapse to ONE
+    session). Pins the boundary the stream_sessionize_e2e oracle mirrors
+    with its strictly-> break condition (a >= would split these)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, datetime(2024, 1, 1, 0, 30, 0)),   # exactly t0 + gap
+        (1, datetime(2024, 1, 1, 0, 59, 59)),  # inside session 2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("session_window.start", "n")
+        .orderBy("start")
+        .collect()
+    )
+    assert [(r["start"], r["n"]) for r in out] == [
+        (t0, 3),  # boundary event merges; the 59:59 event rides the
+                  # extended window ([t0+30min, +30min) reaches 01:00)
+    ]
