@@ -1893,3 +1893,124 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("twa"),
         )
     )
+
+
+@q(
+    "cdc_apply",
+    """
+    WITH log AS (
+      -- synthetic CDC log derived from events: op by id class, seq = event_id
+      SELECT user_id AS key, event_id AS seq,
+             CASE WHEN event_id % 13 = 0 THEN 'D'
+                  WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op,
+             event_type, CAST(round(CAST(value AS DECIMAL(24,10)), 2)
+                              AS DOUBLE) AS value
+      FROM events
+    ),
+    latest AS (
+      SELECT key, seq, op, event_type, value,
+             row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      FROM log
+    )
+    SELECT key, CAST(seq AS BIGINT) AS last_seq, event_type, value
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture APPLY (the Debezium-consumer / Delta
+    change-feed materialization): collapse an ordered I/U/D op log to the
+    live snapshot — highest-sequence op wins per key, and a terminal
+    DELETE tombstones the key out of the table entirely.
+
+    One row_number window keyed on the CDC key does everything: ordering
+    (by the log sequence, not arrival), last-writer-wins, and tombstone
+    filtering — the same dedup-latest shape the lake upsert uses, which
+    is exactly the point: applying a day's change feed at 100 TB is ONE
+    exchange of the delta keyed by entity, never a per-op loop. The op
+    log here derives deterministically from the events table so the
+    oracle can rebuild it."""
+    ev = tbl(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 13 == 0, "D")
+        .when(F.col("event_id") % 3 == 0, "U")
+        .otherwise("I")
+        .alias("op"),
+        "event_type",
+        F.round(F.col("value").cast("decimal(24,10)"), 2)
+        .cast("double")
+        .alias("value"),
+    )
+    rn = F.row_number().over(W.partitionBy("key").orderBy(F.desc("seq")))
+    return (
+        log.withColumn("rn", rn)
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "key",
+            F.col("seq").cast("bigint").alias("last_seq"),
+            "event_type",
+            "value",
+        )
+    )
+
+
+@q(
+    "attribution_last_touch",
+    """
+    WITH touches AS (
+      SELECT user_id, ts, event_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    conv AS (
+      SELECT user_id, ts AS conv_ts, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    attributed AS (
+      SELECT c.event_id, t.event_type AS channel,
+             row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY t.ts DESC, t.event_type DESC) AS rn
+      FROM conv c JOIN touches t
+        ON t.user_id = c.user_id
+       AND t.ts <= c.conv_ts
+       AND t.ts >= c.conv_ts - INTERVAL 7 DAY
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS conversions
+    FROM attributed WHERE rn = 1
+    GROUP BY channel
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent qualifying touch (view/click) inside a 7-day lookback —
+    the marketing-analytics staple next to the funnel.
+
+    Spark shape: the touch⋈conversion pairing is an equi-join on user_id
+    with the lookback as a residual range predicate (NEVER a time-range
+    cross join — the user key bounds each block), then one window per
+    conversion elects the last touch; ties at the same microsecond break
+    on channel name for engine parity. At 100 TB both sides cluster on
+    user_id, so AQE reuses one exchange and per-user blocks stay small
+    (a user's 7-day touch count)."""
+    ev = tbl(spark, sf_dir, "events")
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts").alias("t_ts"), F.col("event_type").alias("channel")
+    )
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("conv_ts"), "event_id"
+    )
+    pairs = conv.join(touches, "user_id").where(
+        (F.col("t_ts") <= F.col("conv_ts"))
+        & (F.col("t_ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAY"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("event_id").orderBy(F.desc("t_ts"), F.desc("channel"))
+    )
+    return (
+        pairs.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .groupBy("channel")
+        .agg(F.count("*").cast("bigint").alias("conversions"))
+    )

@@ -338,3 +338,49 @@ def test_cms_estimates_upper_bound_true_counts(spark):
         assert r.cm_est >= r.true_cnt          # never undercounts
         assert r.overcount == r.cm_est - r.true_cnt
         assert r.overcount <= n_events // 10   # loose 10x-the-mean bound
+
+
+def test_cdc_apply_orders_by_sequence_not_arrival(spark, tmp_path_factory):
+    """Last-writer-wins by SEQUENCE: a key whose highest-seq op is D
+    vanishes even if the delete arrived first in the file; a later I
+    after a D resurrects the key."""
+    path = str(tmp_path_factory.mktemp("cdc") / "lake")
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    # event_id is the sequence; op derives from id: %13==0 -> D,
+    # %3==0 -> U, else I (the operator's deterministic synthetic log)
+    rows = [
+        (13, t(0), 1, "view", 1.0, "{}"),   # seq 13: D (tombstone)
+        (14, t(1), 1, "view", 2.0, "{}"),   # seq 14: I  -> resurrected
+        (26, t(2), 2, "click", 3.0, "{}"),  # seq 26: D
+        (7,  t(3), 2, "click", 4.0, "{}"),  # seq 7:  I (older than the D)
+        (9,  t(4), 3, "view", 5.0, "{}"),   # seq 9:  U -> live
+    ]
+    _write_events(spark, path, rows)
+    out = {r.key: r for r in advanced.cdc_apply(spark, path).collect()}
+    assert out[1].last_seq == 14 and out[1].value == 2.0  # I after D wins
+    assert 2 not in out                                   # D is terminal
+    assert out[3].last_seq == 9
+
+
+def test_attribution_last_touch_window_and_ties(spark, tmp_path_factory):
+    """The credited touch is the LATEST inside the 7-day lookback; touches
+    after the purchase or older than 7 days never count."""
+    path = str(tmp_path_factory.mktemp("attr") / "lake")
+    d = lambda day, h=0: datetime(2024, 1, day, h)  # noqa: E731
+    rows = [
+        # u1: click day2, view day5 -> purchase day6 credits the VIEW
+        (1, d(2), 1, "click", 1.0, "{}"),
+        (2, d(5), 1, "view", 1.0, "{}"),
+        (3, d(6), 1, "purchase", 1.0, "{}"),
+        # u2: only touch is 8 days before purchase -> no attribution row
+        (4, d(1), 2, "view", 1.0, "{}"),
+        (5, d(9, 1), 2, "purchase", 1.0, "{}"),
+        # u3: touch AFTER the purchase never counts; earlier click wins
+        (6, d(3), 3, "click", 1.0, "{}"),
+        (7, d(4), 3, "purchase", 1.0, "{}"),
+        (8, d(5), 3, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, path, rows)
+    out = {r.channel: r.conversions for r in
+           advanced.attribution_last_touch(spark, path).collect()}
+    assert out == {"view": 1, "click": 1}  # u1 -> view, u3 -> click, u2 none
