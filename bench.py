@@ -137,6 +137,7 @@ def main() -> int:
         _pq_mod._build_windowed_rollup,
         _pq_mod._build_stream_dedup,
         _pq_mod._build_stream_enrich,
+        _pq_mod._build_join_view,
         _pq_mod._build_stream_ijoin,
         _pq_mod._build_stream_sessions,
         _pq_mod._build_manifest,

@@ -1072,6 +1072,86 @@ def pipeline_incremental_idempotent(spark, sf_dir):
 
 
 #: sf_dir -> z-ordered events parquet path (built once per process)
+#: (sf_dir) -> parquet path of the materialized BASE join view
+_JVIEW: dict[str, str] = {}
+
+
+def _build_join_view(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the BASE portion of an orders⋈lineitem join view
+    (every line whose orderkey % 10 != 0 — the rest plays the late-
+    arriving delta). Built once per corpus, like every table-format
+    materialized view: the incremental query must never re-join the
+    base."""
+    if sf_dir in _JVIEW:
+        return _JVIEW[sf_dir]
+    import shutil
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"bds_jview_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    li = tbl(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 != 0)
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_custkey",
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(24,10)")
+            .alias("net"),
+        )
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    _JVIEW[sf_dir] = out
+    return out
+
+
+@q(
+    "incremental_join_view",
+    """
+    SELECT o.o_custkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(24,10))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def incremental_join_view(spark, sf_dir):
+    """Incremental JOIN-view maintenance: a materialized orders⋈lineitem
+    view is brought current by joining ONLY the late-arriving delta
+    (orderkey % 10 == 0 lines) and unioning it with the stored base —
+    the oracle recomputes the full join from scratch, so a pass proves
+    refresh-by-delta ≡ full recompute (the rollup_incremental_equiv
+    guarantee extended from aggregates to JOINS).
+
+    At 100 TB this is the difference between a nightly view refresh that
+    joins a day's arrivals against the (broadcastable slice of the) dim
+    and one that re-joins the whole fact table: the incremental plan's
+    join input is |delta|, the base contributes a scan-only union leg,
+    and the final aggregate is the only full-width exchange."""
+    base = _build_join_view(spark, sf_dir)
+    li = tbl(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    delta = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_custkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(24,10)")
+        .alias("net"),
+    )
+    view = spark.read.parquet(base).unionByName(delta)
+    return view.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.round(F.sum("net"), 2).cast("double").alias("revenue"),
+    )
+
+
 _ZORDERED: dict[str, str] = {}
 
 
