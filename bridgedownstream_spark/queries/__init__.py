@@ -40,7 +40,8 @@ from bridgedownstream_spark.queries import (
 #: plus the r5 additions: TPC-H q5/q7/q8/q13/q14/q18/q22,
 #: stream_enrich_e2e (stream-static broadcast enrichment),
 #: portable_cms_heavy_hitters (count-min sketch), time_weighted_avg,
-#: cdc_apply, attribution_last_touch, incremental_join_view.
+#: cdc_apply, attribution_last_touch, incremental_join_view,
+#: bloom_semi_join (literal-bitmap runtime filter), mad_outliers.
 #: Rotate r1-r4-certified window entries out for these, keeping >=1 green
 #: row per §2 component and per extension family (same rule as below).
 #

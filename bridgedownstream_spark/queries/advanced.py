@@ -2014,3 +2014,183 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel")
         .agg(F.count("*").cast("bigint").alias("conversions"))
     )
+
+
+#: Bloom geometry: m bits, k portable hash functions. The filter is a
+#: DISTINCT SET of set-bit positions (exact integers), so — like the CMS
+#: counters — the structure itself is engine-portable and mergeable.
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+def _bloom_pos_spark(i: int, key: str) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat('b{i}|', CAST({key} AS STRING))), "
+        f"1, 15), 16, 10) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+_BLOOM_POS_DUCK = (
+    "(('0x' || substr(md5('b' || CAST({i} AS VARCHAR) || '|' || "
+    "CAST({key} AS VARCHAR)), 1, 15))::BIGINT) % " + str(_BLOOM_M)
+)
+
+
+@q(
+    "bloom_semi_join",
+    """
+    SELECT l.l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(24,10))), 2)
+                AS DOUBLE) AS gross
+    FROM lineitem l
+    SEMI JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 4500) s
+      ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    """,
+)
+def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join (the runtime-filter / sideways-
+    information-passing pattern): the selective dimension's keys build a
+    portable Bloom filter (m=4096, k=3, md5 positions); the fact side is
+    pre-filtered to rows whose k positions are ALL set BEFORE the real
+    semi-join runs. False positives are removed by the exact join, so
+    the result — and the oracle — is the plain semi-join: the pass
+    certifies the Bloom path changes NOTHING but the amount of data that
+    reaches the shuffle.
+
+    At 100 TB this is the decisive join optimization Spark's own runtime
+    filters automate for equi-joins: the filter materializes as m/64 = 64
+    LITERAL longs folded into the plan (built from one bounded driver
+    collect — at most m=4096 distinct positions, the rebalance-rates
+    justification), the probe is pure projection-stage bit arithmetic
+    inside codegen (no join, no explode), and only surviving fact rows
+    pay the exchange. Pruning power is pinned by pytest (candidates ≪
+    fact rows at this selectivity)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    dim = tbl(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 4500)
+    # bounded collect: ≤ min(k·|dim|, m) = ≤4096 ints, independent of scale
+    pos_rows = (
+        dim.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(_bloom_pos_spark(i, "s_suppkey"))
+                        for i in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (_BLOOM_M // 64)
+    for r in pos_rows:
+        words[r["pos"] // 64] |= 1 << (r["pos"] % 64)
+    # Spark longs are signed: fold the unsigned bitmap words into int64
+    tests = []
+    for i in range(_BLOOM_K):
+        tests.append(
+            F.expr(
+                f"(shiftrightunsigned(element_at("
+                f"array({', '.join(str(w - (1 << 64) if w >= (1 << 63) else w) + 'L' for w in words)}), "
+                f"CAST(({_bloom_pos_spark(i, 'l_suppkey')}) div 64 AS INT) + 1), "
+                f"CAST(({_bloom_pos_spark(i, 'l_suppkey')}) % 64 AS INT)) & 1) = 1"
+            )
+        )
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    candidates = li.where(cond).select("l_suppkey", "l_extendedprice")
+    return (
+        candidates.join(
+            F.broadcast(dim.select("s_suppkey")),
+            candidates.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(24,10)")), 2)
+            .cast("double")
+            .alias("gross"),
+        )
+    )
+
+
+@q(
+    "mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, med, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1, 2
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(m.med, 4) AS med,
+           round(m.mad, 4) AS mad,
+           CAST(count(CASE WHEN m.mad > 0
+                            AND abs(d.value - m.med) > 3.5 * 1.4826 * m.mad
+                           THEN 1 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1, 3, 4
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection (the robust sibling of
+    zscore_anomalies): a point is an outlier when its distance from the
+    group MEDIAN exceeds 3.5 modified z-scores (1.4826·MAD ≈ σ for
+    normal data). Unlike mean/stddev, the breakdown point is 50% — the
+    outliers themselves cannot drag the fence, which is why data-quality
+    monitors prefer it on heavy-tailed metrics.
+
+    Two exact-percentile passes (median, then median of absolute
+    deviations), each a broadcast-joined 5-row aggregate back onto the
+    fact scan — the winsorized_stats two-pass shape. Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont`` (both interpolate at
+    p·(n-1), certified by group_median), and the fence comparison uses
+    the same float expression in both engines, so even the outlier
+    COUNTS hash-match."""
+    e = tbl(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    fence = 3.5 * 1.4826 * F.col("mad")
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (F.abs(F.col("value") - F.col("med")) > fence),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select("event_type", "n", "med", "mad", "n_outliers")
+    )

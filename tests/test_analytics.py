@@ -384,3 +384,53 @@ def test_attribution_last_touch_window_and_ties(spark, tmp_path_factory):
     out = {r.channel: r.conversions for r in
            advanced.attribution_last_touch(spark, path).collect()}
     assert out == {"view": 1, "click": 1}  # u1 -> view, u3 -> click, u2 none
+
+
+def test_bloom_prefilter_prunes_without_changing_results(spark):
+    """The Bloom pre-filter must (a) change NOTHING about the semi-join
+    result (false positives die in the exact join) and (b) actually
+    prune: with ~5% of suppliers selected, the candidate set is far
+    smaller than the fact table."""
+    from pyspark.sql import functions as F
+
+    from bridgedownstream_spark.queries.advanced import (
+        _BLOOM_K,
+        _bloom_pos_spark,
+    )
+    from bridgedownstream_spark.queries.util import tbl
+
+    sf = "/root/testdata/sf0.001"
+    li = tbl(spark, sf, "lineitem")
+    dim = tbl(spark, sf, "supplier").where(F.col("s_acctbal") > 4500)
+    plain = (
+        li.join(F.broadcast(dim.select("s_suppkey")),
+                li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_suppkey").count()
+    )
+    got = advanced.bloom_semi_join(spark, sf)
+    assert sorted((r.l_suppkey, r.n_lines) for r in got.collect()) == sorted(
+        (r.l_suppkey, r["count"]) for r in plain.collect()
+    )
+    # pruning power: rebuild the candidate predicate and count survivors
+    pos_rows = dim.select(F.explode(F.array(*[
+        F.expr(_bloom_pos_spark(i, "s_suppkey")) for i in range(_BLOOM_K)
+    ])).alias("pos")).distinct().collect()
+    words = [0] * 64
+    for r in pos_rows:
+        words[r["pos"] // 64] |= 1 << (r["pos"] % 64)
+    arr = ", ".join(str(w - (1 << 64) if w >= (1 << 63) else w) + "L"
+                    for w in words)
+    cond = None
+    for i in range(_BLOOM_K):
+        t = F.expr(
+            f"(shiftrightunsigned(element_at(array({arr}), "
+            f"CAST(({_bloom_pos_spark(i, 'l_suppkey')}) div 64 AS INT) + 1), "
+            f"CAST(({_bloom_pos_spark(i, 'l_suppkey')}) % 64 AS INT)) & 1) = 1"
+        )
+        cond = t if cond is None else cond & t
+    n_fact = li.count()
+    n_cand = li.where(cond).count()
+    n_true = li.join(F.broadcast(dim.select("s_suppkey")),
+                     li.l_suppkey == F.col("s_suppkey"), "left_semi").count()
+    assert n_true <= n_cand <= n_fact
+    assert n_cand < n_fact / 2  # the filter genuinely prunes the scan
