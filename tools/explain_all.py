@@ -408,6 +408,73 @@ HEADLINERS = {
         "on cell id — the vector corpus itself never re-shuffles per "
         "query."
     ),
+    # ---- r5 additions beyond the certifying window ----
+    "q5_local_supplier_volume": (
+        "TPC-H Q5: region/nation collapse to broadcasts, the LOCAL "
+        "supplier constraint rides the join as an extra equi-condition, "
+        "and only the two fact joins shuffle."
+    ),
+    "q8_market_share": (
+        "TPC-H Q8 (widest star, 7 joins): filter-role dims broadcast and "
+        "shrink the facts first; the measure-role nation broadcast only "
+        "labels rows; share = ratio of two DECIMAL sums in ONE aggregate."
+    ),
+    "q13_customer_distribution": (
+        "TPC-H Q13: LEFT join keeps zero-order customers; the per-"
+        "customer count reuses the join's own key partitioning (no "
+        "second exchange before the histogram aggregate)."
+    ),
+    "q18_large_volume_customers": (
+        "TPC-H Q18: the quantity rollup shuffles (orderkey, qty) only, "
+        "HAVING shrinks to the big-order sliver before any join; top-100 "
+        "is TakeOrdered."
+    ),
+    "bloom_semi_join": (
+        "Runtime-filter pattern (r5): the dimension's Bloom filter folds "
+        "into the plan as 64 LITERAL longs; the fact probe is "
+        "projection-stage bit arithmetic inside codegen (no join, no "
+        "explode), false positives die in the exact semi-join — the "
+        "oracle is the PLAIN semi-join, proving the prefilter changes "
+        "only scan survivorship."
+    ),
+    "cdc_apply": (
+        "CDC apply (r5): one row_number window keyed on the entity does "
+        "sequence ordering, last-writer-wins, and tombstone filtering — "
+        "a day's change feed costs ONE exchange of the delta."
+    ),
+    "incremental_join_view": (
+        "Incremental JOIN-view refresh (r5): the stored base view "
+        "contributes a scan-only union leg; only the delta joins; the "
+        "oracle recomputes the full join, proving refresh-by-delta ≡ "
+        "full recompute."
+    ),
+    "time_weighted_avg": (
+        "LOCF time-weighted mean (r5): ONE exchange serves both the "
+        "lead() duration window and the aggregate; weights are exact "
+        "bigint microseconds, weighted sums DECIMAL(38,6)."
+    ),
+    "portable_cms_heavy_hitters": (
+        "Count-min sketch (r5): counters are exact integer sums over "
+        "portable hash buckets — map-side combine collapses each "
+        "partition to ≤768 rows; probes join a broadcast 768-row table; "
+        "even the ESTIMATES hash-match the oracle."
+    ),
+    "stream_enrich_e2e": (
+        "Stream-static enrichment (r5): each micro-batch left-joins the "
+        "broadcast dimension statelessly; append mode emits every row "
+        "exactly once; drained output ≡ batch left join bit-for-bit."
+    ),
+    "attribution_last_touch": (
+        "Last-touch attribution (r5): user-keyed equi-join with the "
+        "7-day lookback as a residual predicate (never a time cross "
+        "join) + one window per conversion; ties break on channel for "
+        "engine parity."
+    ),
+    "mad_outliers": (
+        "MAD outlier fences (r5): two exact-percentile passes, each a "
+        "broadcast 5-row aggregate rejoined to the fact scan; 50% "
+        "breakdown point vs the mean/stddev z-score."
+    ),
 }
 
 
