@@ -2194,3 +2194,281 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "med", "mad", "n_outliers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable PageRank — iterative graph centrality with deterministic-integer
+# arithmetic (same portability discipline as portable_hll / portable_cms):
+# ranks are parts-per-10^12 BIGINTs, every step is integer mul/div/sum, so a
+# fixed iteration count produces the SAME bits on Spark and the DuckDB
+# oracle regardless of partial-agg merge order.
+# ---------------------------------------------------------------------------
+
+_PR_TOTAL = 1_000_000_000_000
+_PR_ITERS = 5
+
+
+def _pr_iter_cte(k: int) -> str:
+    return f"""
+    r{k} AS (
+      SELECT n.node,
+             b.base + (85 * COALESCE(c.contrib, CAST(0 AS BIGINT))) // 100 AS pr
+      FROM nodes n CROSS JOIN base b
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(sum(r.pr // e.outdeg) AS BIGINT) AS contrib
+        FROM edges_deg e JOIN r{k - 1} r ON r.node = e.src
+        GROUP BY e.dst
+      ) c ON c.node = n.node
+    )"""
+
+
+_PAGERANK_SQL = (
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY 1),
+    edges_deg AS (SELECT e.src, e.dst, d.outdeg
+                  FROM edges e JOIN deg d ON d.src = e.src),
+    base AS (
+      SELECT CAST({_PR_TOTAL} AS BIGINT) // (SELECT count(*) FROM nodes)
+               AS init,
+             (15 * (CAST({_PR_TOTAL} AS BIGINT)
+                    // (SELECT count(*) FROM nodes))) // 100 AS base
+    ),
+    r0 AS (SELECT node, (SELECT init FROM base) AS pr FROM nodes),"""
+    + ",".join(_pr_iter_cte(k) for k in range(1, _PR_ITERS + 1))
+    + f"""
+    SELECT node AS p_partkey, CAST(pr AS BIGINT) AS pr_scaled
+    FROM r{_PR_ITERS}
+    ORDER BY pr_scaled DESC, p_partkey
+    LIMIT 20
+    """
+)
+
+
+@q("pagerank_copurchase", _PAGERANK_SQL)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable PageRank over the part co-purchase graph (parts are linked
+    when they appear in the same order): 5 damped power-iteration rounds,
+    top-20 most-central parts — the canonical iterative-graph workload
+    (mirrors the reference's graph-shaped reconciliation walks the way
+    near_dup_components does, but with a per-node score instead of a
+    label).
+
+    Arithmetic is deterministic-integer end to end: ranks are
+    parts-per-10^12 BIGINTs, each round is
+    ``base + (85 * sum(pr div outdeg)) div 100`` — integer sums are
+    merge-order-exact, so Spark and the 5x-unrolled DuckDB oracle agree
+    bit for bit (the float formulation would wobble in the last bit per
+    accumulation order).
+
+    Plan/scale: the edge list (distinct same-order part pairs) builds from
+    ONE self-join on l_orderkey; edges+degrees are localCheckpointed once
+    and reused by all 5 rounds, so each round is exactly one hash join
+    (rank ⋈ edges on src, both sides partitioned by the same key after
+    round 1) plus one partial->final integer aggregate on dst — the
+    standard Pregel cost, O(iters) shuffles of (key, long) pairs, never
+    the fact table. Rank state is node-cardinality (parts), orders of
+    magnitude below lineitem at 100 TB.
+    """
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
+    nodes = (
+        li.select(F.col("l_partkey").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    n = nodes.count()
+    init = _PR_TOTAL // n
+    base = (15 * init) // 100
+
+    rank = nodes.withColumn("pr", F.lit(init).cast("long"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges_deg.join(rank, rank.node == edges_deg.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("contrib"))
+        )
+        rank = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100")
+            ).alias("pr"),
+        )
+
+    return (
+        rank.orderBy(F.desc("pr"), F.asc("node"))
+        .limit(20)
+        .select(
+            F.col("node").alias("p_partkey"),
+            F.col("pr").cast("long").alias("pr_scaled"),
+        )
+    )
+
+
+_KMV_K = 64  # sketch size: k minimum hash values per set
+
+
+@q(
+    "portable_kmv_jaccard",
+    f"""
+    WITH t AS (
+      SELECT source,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT source,
+             unnest(list_transform(
+               generate_series(1, greatest(len(words) - 2, 0)),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+      FROM t
+    ),
+    h AS (
+      SELECT DISTINCT source, {HASH60.format(x="s")} AS hv
+      FROM sh
+    ),
+    sk AS (
+      SELECT source, hv FROM (
+        SELECT source, hv,
+               row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        FROM h
+      ) WHERE rn <= {_KMV_K}
+    ),
+    pr AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM (SELECT DISTINCT source FROM documents) a
+      JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+    ),
+    uni AS (
+      SELECT p.source_a, p.source_b, s.hv,
+             max(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+      FROM pr p
+      JOIN sk s ON s.source = p.source_a OR s.source = p.source_b
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT source_a, source_b, in_a, in_b,
+             row_number() OVER (PARTITION BY source_a, source_b
+                                ORDER BY hv) AS rn
+      FROM uni
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS k_u,
+           CAST(sum(in_a * in_b) AS BIGINT) AS n_overlap,
+           (CAST(sum(in_a * in_b) AS BIGINT) * 1000000)
+             // CAST(count(*) AS BIGINT) AS jaccard_ppm
+    FROM ranked WHERE rn <= {_KMV_K}
+    GROUP BY 1, 2
+    HAVING (CAST(sum(in_a * in_b) AS BIGINT) * 1000000)
+             // CAST(count(*) AS BIGINT) > 0
+    ORDER BY jaccard_ppm DESC, source_a, source_b
+    """,
+)
+def portable_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values sketch Jaccard between document sources — the
+    mergeable-sketch answer to "which corpus slices overlap?" (dedup
+    planning across crawl snapshots / data vendors) without ever joining
+    the corpora: each source is reduced to the k=64 smallest distinct
+    md5-60 hashes of its word-3-gram shingle set (the MinHash universe,
+    so "similarity" means shared phrasing, not just shared whole docs),
+    and any pair's similarity is estimated from the sketches alone.
+
+    Estimator: the k smallest values of A∪B's combined sketch form a KMV
+    sketch of the union; the fraction of them present in BOTH input
+    sketches is an unbiased Jaccard estimate. Reported as parts-per-million
+    via integer multiply-then-divide — every step (row_number over BIGINT
+    hashes, integer sums, // ) is deterministic, so the estimate is
+    bit-identical across engines and merge orders, the portable-sketch
+    discipline (see portable_hll_cardinality).
+
+    Plan/scale: one distinct + one per-source top-k window (map-side
+    partial rank via the hash sort), then all pair math runs on sketches —
+    sources × k rows, microscopic next to the corpus. At 100 TB the
+    bodies are hashed in the scan projection and never shuffled; only
+    (source, hv) pairs move, and the pairwise stage is
+    O(sources² × k) on sketch rows — the whole point of KMV.
+    """
+    from bridgedownstream_spark.queries.similarity import (
+        _SHINGLES_SPARK,
+        _WORDS_SPARK,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    h = (
+        docs.selectExpr("source", f"{_WORDS_SPARK} AS words")
+        .selectExpr("source", f"explode({_SHINGLES_SPARK}) AS s")
+        .select("source", portable_hash60(F.col("s")).alias("hv"))
+        .distinct()
+    )
+    w = W.partitionBy("source").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .select(F.col("source").alias("sk_source"), "hv")
+    )
+    srcs_a = docs.select(F.col("source").alias("source_a")).distinct()
+    srcs_b = docs.select(F.col("source").alias("source_b")).distinct()
+    pr = srcs_a.join(srcs_b, F.col("source_a") < F.col("source_b"))
+    uni = (
+        F.broadcast(pr)
+        .join(
+            sk,
+            (F.col("sk_source") == F.col("source_a"))
+            | (F.col("sk_source") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "hv")
+        .agg(
+            F.max(
+                F.when(F.col("sk_source") == F.col("source_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("sk_source") == F.col("source_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    wp = W.partitionBy("source_a", "source_b").orderBy("hv")
+    ranked = uni.withColumn("rn", F.row_number().over(wp)).where(
+        F.col("rn") <= _KMV_K
+    )
+    out = ranked.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("bigint").alias("k_u"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_overlap"),
+    )
+    return (
+        out.withColumn(
+            "jaccard_ppm", F.expr("(n_overlap * 1000000) div k_u")
+        )
+        .where(F.col("jaccard_ppm") > 0)
+        .orderBy(F.desc("jaccard_ppm"), "source_a", "source_b")
+    )

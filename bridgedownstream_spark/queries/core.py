@@ -1348,3 +1348,200 @@ def q22_global_sales_opportunity(spark, sf_dir):
         )
         .orderBy("cntry")
     )
+
+
+@q(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(24,10))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(round(r.total_rev, 2) AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): the supplier(s) with the maximum quarterly
+    revenue — the spec's revenue VIEW + scalar-max correlated predicate.
+
+    Plan: the quarter filter prunes lineitem at the scan; revenue is ONE
+    partial->final aggregate keyed on l_suppkey (supplier-cardinality
+    output); the max is a broadcast 1-row aggregate applied as a plain
+    filter (NOT a global window, which would funnel every supplier row
+    through a single partition); the supplier dim joins broadcast. DECIMAL
+    revenue makes the max tie-set merge-order-exact, so "the" winner is
+    bit-stable.
+    """
+    li = tbl(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(24,10)"
+            )
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
+    "q17_small_quantity_revenue",
+    """
+    WITH cand AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#3' AND p.p_size < 15
+    ),
+    lim AS (
+      SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_lim
+      FROM cand GROUP BY 1
+    )
+    SELECT CAST(round(CAST(sum(CAST(c.l_extendedprice AS DECIMAL(24,10)))
+                           AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM cand c
+    JOIN lim ON lim.pk = c.l_partkey
+    WHERE c.l_quantity < lim.qty_lim
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost to orders
+    below 20% of a part's average quantity — the spec's correlated AVG
+    subquery expressed as the per-part aggregate it is (spec's
+    Brand/container filter adapted to the synthetic brand+size columns).
+
+    Plan: the brand+size part filter broadcasts and shrinks lineitem
+    FIRST, so the per-part average runs over the filtered sliver, not the
+    full fact (semantically identical: the filter only restricts
+    partkeys, never drops lines of a surviving part). The threshold join
+    is partkey->partkey on two frames ALREADY partitioned by the same
+    groupBy key, and the final sum is DECIMAL-exact. l_quantity values
+    are integer-valued doubles, so sum/count (and 0.2x) are bit-exact in
+    IEEE double regardless of accumulation order — the threshold compare
+    cannot wobble across engines.
+    """
+    p = tbl(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 15)
+    )
+    cand = (
+        tbl(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    lim = cand.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_lim")
+    )
+    return (
+        cand.join(lim, cand.l_partkey == lim.pk)
+        .where(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(24,10)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            )
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(24,10))), 2) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 1  AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue): an OR-of-ANDs predicate spanning
+    both join sides (spec's brand/container/shipmode triples adapted to
+    the synthetic brand+size+quantity columns).
+
+    Plan: Catalyst factors side-local implications out of the
+    disjunction — the part side gets
+    (brand IN (...) AND p_size <= 30)-shaped pushdown reaching the part
+    scan, the lineitem side gets the quantity envelope [1, 40] — so both
+    scans prune BEFORE the broadcast join, and only the residual mixed
+    disjunction evaluates post-join. One DECIMAL-exact partial->final
+    aggregate; nothing wider than (partkey, qty, price, discount)
+    crosses the wire.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & (qty >= 1)
+            & (qty <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & (qty >= 10)
+            & (qty <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 30)
+            & (qty >= 20)
+            & (qty <= 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(24,10)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
