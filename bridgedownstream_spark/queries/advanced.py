@@ -2270,18 +2270,25 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation order).
 
     Plan/scale: the edge list (distinct same-order part pairs) builds from
-    ONE self-join on l_orderkey; edges+degrees are localCheckpointed once
-    and reused by all 5 rounds, so each round is exactly one hash join
-    (rank ⋈ edges on src, both sides partitioned by the same key after
-    round 1) plus one partial->final integer aggregate on dst — the
-    standard Pregel cost, O(iters) shuffles of (key, long) pairs, never
-    the fact table. Rank state is node-cardinality (parts), orders of
-    magnitude below lineitem at 100 TB.
+    ONE self-join on l_orderkey, then edges+degrees are localCheckpointed
+    once and reused by all 5 rounds. Rank state is node-cardinality (the
+    part DIMENSION, orders of magnitude below lineitem at 100 TB), so each
+    round BROADCASTS the rank frame into a map-side hash join over the
+    cached edge partitions — the edge table is never re-shuffled — and the
+    only exchange per round is the partial->final integer aggregate on
+    dst, which map-combines down to node-cardinality before the wire.
+    Isolated nodes (sole part in every one of its orders) leave the loop
+    entirely: with no in-edges their rank is exactly `base` after round 1,
+    so they re-enter as constants at the end instead of riding 5 no-op
+    left joins. For node sets too large to broadcast, the same loop
+    degrades gracefully to a shuffle hash join on src — the oracle SQL is
+    arithmetic-identical either way.
     """
     li = (
         tbl(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     a, b = li.alias("a"), li.alias("b")
     edges = (
@@ -2294,9 +2301,16 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
-    nodes = (
-        li.select(F.col("l_partkey").alias("node"))
+    # The cached edge state is dimension-sized (parts x avg co-purchase
+    # degree), so a handful of partitions suffices — 32-way kilobyte tasks
+    # would pay scheduling overhead 5x over; at cluster scale size this by
+    # |E| / maxPartitionBytes instead.
+    edges_deg = (
+        edges.join(deg, "src").coalesce(8).localCheckpoint(eager=False)
+    )
+    nodes = li.select(F.col("l_partkey").alias("node")).distinct()
+    connected = (
+        edges_deg.select(F.col("src").alias("node"))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -2305,27 +2319,31 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = _PR_TOTAL // n
     base = (15 * init) // 100
 
-    rank = nodes.withColumn("pr", F.lit(init).cast("long"))
+    # In the symmetric co-purchase graph every connected node has in-edges,
+    # so contributions cover the full connected set each round: the
+    # edges ⋈ rank inner join loses nobody.
+    rank = connected.withColumn("pr", F.lit(init).cast("long"))
     for _ in range(_PR_ITERS):
-        contrib = (
-            edges_deg.join(rank, rank.node == edges_deg.src)
+        rank = (
+            edges_deg.join(F.broadcast(rank), rank.node == edges_deg.src)
+            .select(F.col("dst"), F.expr("pr div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("contrib"))
             .select(
                 F.col("dst").alias("node"),
-                F.expr("pr div outdeg").alias("c"),
+                (
+                    F.lit(base).cast("long")
+                    + F.expr("(85 * contrib) div 100")
+                ).alias("pr"),
             )
-            .groupBy("node")
-            .agg(F.sum("c").cast("long").alias("contrib"))
-        )
-        rank = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(base).cast("long")
-                + F.expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100")
-            ).alias("pr"),
         )
 
+    isolated = nodes.join(connected, "node", "left_anti").withColumn(
+        "pr", F.lit(base).cast("long")
+    )
     return (
-        rank.orderBy(F.desc("pr"), F.asc("node"))
+        rank.unionByName(isolated)
+        .orderBy(F.desc("pr"), F.asc("node"))
         .limit(20)
         .select(
             F.col("node").alias("p_partkey"),
