@@ -451,3 +451,51 @@ def test_asof_join_has_no_join_node(spark):
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in plan, node
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark):
+    # the OR-of-ANDs spanning both join sides must factor into side-local
+    # pushed filters: the part scan gets the brand/size disjunction, the
+    # lineitem scan gets the quantity envelope — neither scan reads full
+    # Catalyst's V2 filter rendering (EqualTo/LessThanOrEqual) only occurs
+    # inside PushedFilters, so their presence proves scan-level pushdown
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    assert "Or(" in plan and "l_quantity" in plan.split("Or(", 1)[1]
+    assert "EqualTo(p_brand" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_max_filter_is_broadcast_not_global_window(spark):
+    # the scalar max must arrive as a broadcast 1-row aggregate, never a
+    # partition-less window (which would funnel all suppliers through one
+    # task)
+    plan = plan_of(spark, "q15_top_supplier")
+    assert "Window" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_broadcasts_rank_every_round(spark):
+    # node-cardinality rank state broadcasts into the cached edge
+    # partitions: one BroadcastHashJoin per iteration, and the edge table
+    # is never re-shuffled inside the loop (no sort-merge joins beyond the
+    # single isolated-node anti join)
+    from bridgedownstream_spark.queries.advanced import _PR_ITERS
+
+    plan = plan_of(spark, "pagerank_copurchase")
+    assert plan.count("BroadcastHashJoin") >= _PR_ITERS
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_pair_math_runs_on_sketches_only(spark):
+    # the pairwise stage may nested-loop ONLY over sketch-sized frames
+    # (sources x k rows); document bodies must never reach a join — the
+    # only non-equi joins are the source-pair build and the pair x sketch
+    # fan-out, both broadcast
+    plan = plan_of(spark, "portable_kmv_jaccard")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "text" not in re.search(
+        r"Exchange hashpartitioning\(([^)]*)\)", plan
+    ).group(1)
