@@ -475,6 +475,39 @@ HEADLINERS = {
         "broadcast 5-row aggregate rejoined to the fact scan; 50% "
         "breakdown point vs the mean/stddev z-score."
     ),
+    "q15_top_supplier": (
+        "TPC-H Q15 (r5): quarterly revenue view = one partial→final agg on "
+        "l_suppkey; the scalar max arrives as a broadcast 1-row aggregate "
+        "applied as a plain filter — NO Window node (a global window would "
+        "single-partition every supplier); supplier dim broadcasts."
+    ),
+    "q17_small_quantity_revenue": (
+        "TPC-H Q17 (r5): the correlated AVG subquery runs as a per-part "
+        "aggregate over the part-filtered lineitem sliver (brand+size "
+        "broadcast-filtered FIRST); threshold join on the groupBy's own "
+        "partitioning; DECIMAL-exact final sum."
+    ),
+    "q19_disjunctive_revenue": (
+        "TPC-H Q19 (r5): the OR-of-ANDs spanning both join sides factors "
+        "into side-local PushedFilters — the part scan receives the "
+        "brand/size disjunction, the lineitem scan the quantity envelope — "
+        "so both scans prune BEFORE the broadcast join; only the residual "
+        "mixed disjunction evaluates post-join."
+    ),
+    "pagerank_copurchase": (
+        "Portable PageRank (r5): edges+degrees localCheckpointed once; each "
+        "of the 5 rounds BROADCASTS the node-cardinality rank frame into "
+        "the cached edge partitions (≥5 BroadcastHashJoin, edges never "
+        "re-shuffle) and the only per-round exchange is the map-combined "
+        "integer contribution aggregate; parts-per-10^12 BIGINT arithmetic "
+        "makes the result bit-identical to the 5×-unrolled SQL oracle."
+    ),
+    "portable_kmv_jaccard": (
+        "KMV sketch Jaccard (r5): sources reduce to k=64 minimum shingle "
+        "hashes BEFORE any pair math; the pairwise stage nested-loops only "
+        "over sketch-sized frames (sources²×k rows) — document bodies "
+        "never reach a join, and no exchange carries text."
+    ),
 }
 
 
