@@ -434,3 +434,77 @@ def test_bloom_prefilter_prunes_without_changing_results(spark):
                      li.l_suppkey == F.col("s_suppkey"), "left_semi").count()
     assert n_true <= n_cand <= n_fact
     assert n_cand < n_fact / 2  # the filter genuinely prunes the scan
+
+
+def test_pagerank_matches_hand_iterated_integers(spark, tmp_path_factory):
+    """Known-answer on a 4-node graph (path 1-2-3 plus isolated 4): the
+    query's 5 damped rounds of parts-per-10^12 integer arithmetic must
+    equal the same recurrence hand-run in Python ints — pinning the div
+    semantics (truncation), the damping order, and the isolated-node
+    short-circuit (rank exactly `base`)."""
+    path = str(tmp_path_factory.mktemp("pr") / "lake")
+    rows = [(1, 1), (1, 2), (2, 2), (2, 3), (3, 4)]  # (orderkey, partkey)
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+
+    edges = {(1, 2), (2, 1), (2, 3), (3, 2)}
+    outdeg = {1: 1, 2: 2, 3: 1}
+    total, n = 10**12, 4
+    init = total // n
+    base = (15 * init) // 100
+    pr = {v: init for v in (1, 2, 3)}
+    for _ in range(5):
+        contrib = {v: 0 for v in (1, 2, 3)}
+        for s, d in edges:
+            contrib[d] += pr[s] // outdeg[s]
+        pr = {v: base + (85 * contrib[v]) // 100 for v in (1, 2, 3)}
+    expected = dict(pr)
+    expected[4] = base  # isolated: no in-edges after round 1
+
+    got = {
+        r.p_partkey: r.pr_scaled
+        for r in advanced.pagerank_copurchase(spark, path).collect()
+    }
+    assert got == expected
+    # symmetric path graph: the middle node must rank strictly highest
+    assert max(got, key=got.get) == 2
+
+
+def test_kmv_jaccard_is_exact_below_sketch_capacity(spark, tmp_path_factory):
+    """With every source's shingle set under k=64, the KMV estimate
+    degrades to the EXACT Jaccard (sketch = full set, k_u = |A∪B|):
+    pin it against set arithmetic on hand-built texts, including the
+    ppm floor-division and the >0 pair filter."""
+    path = str(tmp_path_factory.mktemp("kmv") / "lake")
+    texts = {
+        "sA": "the quick brown fox jumps over the lazy dog",
+        "sB": "the quick brown fox sleeps all day long here",
+        "sC": "completely different words with zero shared trigrams at all",
+    }
+    rows = [
+        (i, t, "en", s, len(t))
+        for i, (s, t) in enumerate(sorted(texts.items()))
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    expected = {}
+    names = sorted(texts)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            ppm = (len(sa & sb) * 1_000_000) // len(sa | sb)
+            if ppm > 0:
+                expected[(a, b)] = (len(sa | sb), len(sa & sb), ppm)
+
+    got = {
+        (r.source_a, r.source_b): (r.k_u, r.n_overlap, r.jaccard_ppm)
+        for r in advanced.portable_kmv_jaccard(spark, path).collect()
+    }
+    assert got == expected  # sA-sB share "the quick brown"+"quick brown fox"; sC pairs filtered
