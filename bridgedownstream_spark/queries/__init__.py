@@ -41,7 +41,9 @@ from bridgedownstream_spark.queries import (
 #: stream_enrich_e2e (stream-static broadcast enrichment),
 #: portable_cms_heavy_hitters (count-min sketch), time_weighted_avg,
 #: cdc_apply, attribution_last_touch, incremental_join_view,
-#: bloom_semi_join (literal-bitmap runtime filter), mad_outliers.
+#: bloom_semi_join (literal-bitmap runtime filter), mad_outliers,
+#: q15/q17/q19 (TPC-H), pagerank_copurchase (iterative graph — would give
+#: the driver its first iterative-algorithm row), portable_kmv_jaccard.
 #: Rotate r1-r4-certified window entries out for these, keeping >=1 green
 #: row per §2 component and per extension family (same rule as below).
 #

@@ -2490,3 +2490,126 @@ def portable_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard_ppm") > 0)
         .orderBy(F.desc("jaccard_ppm"), "source_a", "source_b")
     )
+
+
+_MERKLE_B = 1024  # digest buckets per level
+
+
+@q(
+    "merkle_snapshot_diff",
+    f"""
+    WITH old AS (
+      SELECT event_id, CAST(event_id % {_MERKLE_B} AS INT) AS bucket,
+             md5(concat_ws('|', CAST(user_id AS VARCHAR), event_type,
+                           {_VAL_DIG})) AS dig
+      FROM events WHERE event_id % 11 <> 0
+    ),
+    new AS (
+      SELECT event_id, CAST(event_id % {_MERKLE_B} AS INT) AS bucket,
+             md5(concat_ws('|', CAST(user_id AS VARCHAR), event_type,
+                           CAST(CAST(round(
+                               CASE WHEN event_id % 5 = 0 THEN value + 1
+                                    ELSE value END, 2) AS DECIMAL(18,2))
+                                AS VARCHAR))) AS dig
+      FROM events WHERE event_id % 7 <> 0
+    )
+    SELECT CAST(coalesce(o.event_id, n.event_id) AS BIGINT) AS event_id,
+           CAST(coalesce(o.bucket, n.bucket) AS INT) AS bucket,
+           CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    WHERE o.event_id IS NULL OR n.event_id IS NULL OR o.dig <> n.dig
+    """,
+)
+def merkle_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (Merkle-style) snapshot diff — the 100 TB scale path
+    for snapshot_diff's row-level audit. Instead of full-outer-joining
+    every key, each snapshot first collapses to {_MERKLE_B} bucket
+    digests (sum of per-row hash60(digest) in exact DECIMAL(38,0) —
+    order-independent and merge-exact, the portable-sketch discipline),
+    the two digest tables join at bucket granularity, and ONLY rows in
+    buckets whose digests disagree descend to the row-level outer join.
+
+    The oracle is the semantic spec (plain full-outer diff, unchanged
+    rows dropped): hash-matching it proves the two-phase pruned plan
+    returns exactly the rows the naive plan would — the Merkle invariant
+    that a bucket containing any added/removed/changed key cannot have
+    equal digests (equal sums would need a hash60-sum collision).
+
+    Scale shape: phase 1 is two scans reduced map-side to {_MERKLE_B}
+    (bucket, decimal, count) rows — effectively free at any scale; the
+    differing-bucket list broadcasts back as a semi-filter, so the
+    expensive row-level join touches only churned buckets. With churn
+    rate c, the wide join shrinks to ~c of the table — the same reason
+    log-shipping beats full-table compare.
+    """
+    e = tbl(spark, sf_dir, "events")
+    bucket = (F.col("event_id") % _MERKLE_B).cast("int").alias("bucket")
+    dig_old = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            "event_type",
+            F.expr(_VAL_DIG_SPARK),
+        )
+    )
+    old = e.where(F.col("event_id") % 11 != 0).select(
+        "event_id", bucket, dig_old.alias("dig")
+    )
+    mutated = F.when(F.col("event_id") % 5 == 0, F.col("value") + 1).otherwise(
+        F.col("value")
+    )
+    dig_new = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            "event_type",
+            F.round(mutated, 2).cast("decimal(18,2)").cast("string"),
+        )
+    )
+    new = e.where(F.col("event_id") % 7 != 0).select(
+        "event_id", bucket, dig_new.alias("dig")
+    )
+
+    def bucket_digests(df):
+        return df.groupBy("bucket").agg(
+            F.sum(portable_hash60(F.col("dig")).cast("decimal(38,0)")).alias(
+                "bdig"
+            ),
+            F.count("*").alias("bn"),
+        )
+
+    ob, nb = bucket_digests(old).alias("ob"), bucket_digests(new).alias("nb")
+    differing = (
+        ob.join(nb, F.col("ob.bucket") == F.col("nb.bucket"), "full_outer")
+        .where(
+            F.col("ob.bucket").isNull()
+            | F.col("nb.bucket").isNull()
+            | (F.col("ob.bdig") != F.col("nb.bdig"))
+            | (F.col("ob.bn") != F.col("nb.bn"))
+        )
+        .select(
+            F.coalesce(F.col("ob.bucket"), F.col("nb.bucket")).alias("bucket")
+        )
+    )
+
+    o = old.join(F.broadcast(differing), "bucket", "left_semi").alias("o")
+    n = new.join(F.broadcast(differing), "bucket", "left_semi").alias("n")
+    j = o.join(n, F.col("o.event_id") == F.col("n.event_id"), "full_outer")
+    return j.where(
+        F.col("o.event_id").isNull()
+        | F.col("n.event_id").isNull()
+        | (F.col("o.dig") != F.col("n.dig"))
+    ).select(
+        F.coalesce(F.col("o.event_id"), F.col("n.event_id"))
+        .cast("bigint")
+        .alias("event_id"),
+        F.coalesce(F.col("o.bucket"), F.col("n.bucket"))
+        .cast("int")
+        .alias("bucket"),
+        F.when(F.col("o.event_id").isNull(), "added")
+        .when(F.col("n.event_id").isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+    )

@@ -508,3 +508,32 @@ def test_kmv_jaccard_is_exact_below_sketch_capacity(spark, tmp_path_factory):
         for r in advanced.portable_kmv_jaccard(spark, path).collect()
     }
     assert got == expected  # sA-sB share "the quick brown"+"quick brown fox"; sC pairs filtered
+
+
+def test_merkle_diff_finds_exactly_the_planted_churn(spark, tmp_path_factory):
+    """Concentrated churn: build events where the only differences the
+    simulated snapshots see fall on known keys, and assert the two-phase
+    bucket-pruned diff reports exactly those keys with the right status —
+    added (%11 keys absent from old), removed (%7 keys absent from new),
+    changed (%5 value drift) — and nothing else."""
+    path = str(tmp_path_factory.mktemp("merkle") / "lake")
+    rows = [
+        (i, datetime(2024, 1, 1), i % 10, "view", float(i), "{}")
+        for i in range(1, 100)
+    ]
+    _write_events(spark, path, rows)
+
+    got = {
+        r.event_id: r.status
+        for r in advanced.merkle_snapshot_diff(spark, path).collect()
+    }
+    expected = {}
+    for i in range(1, 100):
+        in_old, in_new = i % 11 != 0, i % 7 != 0
+        if in_old and not in_new:
+            expected[i] = "removed"
+        elif in_new and not in_old:
+            expected[i] = "added"
+        elif in_old and in_new and i % 5 == 0:
+            expected[i] = "changed"
+    assert got == expected

@@ -499,3 +499,13 @@ def test_kmv_pair_math_runs_on_sketches_only(spark):
     assert "text" not in re.search(
         r"Exchange hashpartitioning\(([^)]*)\)", plan
     ).group(1)
+
+
+def test_merkle_diff_prunes_row_join_through_semi_filters(spark):
+    # both snapshots must pass through a broadcast LeftSemi on the
+    # differing-bucket list BEFORE the row-level full outer join, and the
+    # bucket-digest phase must partial-aggregate map-side
+    plan = plan_of(spark, "merkle_snapshot_diff")
+    assert plan.count("LeftSemi") >= 2
+    assert "BroadcastExchange" in plan
+    assert "partial_sum" in plan or "partial" in plan.lower()
