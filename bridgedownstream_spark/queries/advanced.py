@@ -2023,17 +2023,13 @@ _BLOOM_M = 4096
 _BLOOM_K = 3
 
 
-def _bloom_pos_spark(i: int, key: str) -> str:
-    return (
-        f"CAST(conv(substring(md5(concat('b{i}|', CAST({key} AS STRING))), "
-        f"1, 15), 16, 10) AS BIGINT) % {_BLOOM_M}"
-    )
-
-
-_BLOOM_POS_DUCK = (
-    "(('0x' || substr(md5('b' || CAST({i} AS VARCHAR) || '|' || "
-    "CAST({key} AS VARCHAR)), 1, 15))::BIGINT) % " + str(_BLOOM_M)
-)
+def _bloom_pos(i: int, key: str):
+    """Bloom position i of a key: pmod(xxhash64(i, key), m). Positions are
+    Spark-internal (the oracle certifies the JOIN RESULT, never the filter
+    internals), so the hash is the native JVM xxhash64 — measured ~6x
+    cheaper per row than the portable md5-60 used by oracle-visible
+    hashes, and the salt column gives k independent probe functions."""
+    return F.pmod(F.xxhash64(F.lit(i), F.col(key)), F.lit(_BLOOM_M))
 
 
 @q(
@@ -2051,57 +2047,51 @@ _BLOOM_POS_DUCK = (
 )
 def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered semi-join (the runtime-filter / sideways-
-    information-passing pattern): the selective dimension's keys build a
-    portable Bloom filter (m=4096, k=3, md5 positions); the fact side is
+    information-passing pattern): the selective dimension's keys set bits
+    in an m=4096 Bloom filter (k=3 xxhash64 positions); the fact side is
     pre-filtered to rows whose k positions are ALL set BEFORE the real
     semi-join runs. False positives are removed by the exact join, so
     the result — and the oracle — is the plain semi-join: the pass
     certifies the Bloom path changes NOTHING but the amount of data that
     reaches the shuffle.
 
-    At 100 TB this is the decisive join optimization Spark's own runtime
-    filters automate for equi-joins: the filter materializes as m/64 = 64
-    LITERAL longs folded into the plan (built from one bounded driver
-    collect — at most m=4096 distinct positions, the rebalance-rates
-    justification), the probe is pure projection-stage bit arithmetic
-    inside codegen (no join, no explode), and only surviving fact rows
-    pay the exchange. Pruning power is pinned by pytest (candidates ≪
-    fact rows at this selectivity)."""
+    At 100 TB this is the decisive join optimization Spark's own
+    InjectRuntimeFilter automates for equi-joins, expressed in the same
+    shape Spark uses: the set-bit table (≤ m=4096 rows, independent of
+    dimension cardinality) BROADCASTS, and each of the k probes is a
+    BroadcastHashJoin LeftSemi on a projected position column — fully
+    codegen, zero driver collects, and only surviving fact rows pay the
+    exchange. (A first cut folded the bitmap into 64 literal longs probed
+    with element_at+bit-shifts; Catalyst re-expanded the shared md5 hash
+    into every probe — 26 copies in the plan — and per-row literal-array
+    construction never constant-folded, making it 8x slower than these
+    hash joins. The join formulation keeps every expression single-
+    evaluation by construction.) Pruning power is pinned by pytest
+    (candidates ≪ fact rows at this selectivity)."""
     li = tbl(spark, sf_dir, "lineitem")
     dim = tbl(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 4500)
-    # bounded collect: ≤ min(k·|dim|, m) = ≤4096 ints, independent of scale
-    pos_rows = (
+    # the filter itself: the union of all k position sets (one shared bit
+    # array — a position is "set" no matter which salt set it)
+    posdf = (
         dim.select(
             F.explode(
-                F.array(
-                    *[
-                        F.expr(_bloom_pos_spark(i, "s_suppkey"))
-                        for i in range(_BLOOM_K)
-                    ]
-                )
+                F.array(*[_bloom_pos(i, "s_suppkey") for i in range(_BLOOM_K)])
             ).alias("pos")
         )
         .distinct()
-        .collect()
     )
-    words = [0] * (_BLOOM_M // 64)
-    for r in pos_rows:
-        words[r["pos"] // 64] |= 1 << (r["pos"] % 64)
-    # Spark longs are signed: fold the unsigned bitmap words into int64
-    tests = []
+    probed = li.select(
+        "l_suppkey",
+        "l_extendedprice",
+        *[_bloom_pos(i, "l_suppkey").alias(f"__p{i}") for i in range(_BLOOM_K)],
+    )
     for i in range(_BLOOM_K):
-        tests.append(
-            F.expr(
-                f"(shiftrightunsigned(element_at("
-                f"array({', '.join(str(w - (1 << 64) if w >= (1 << 63) else w) + 'L' for w in words)}), "
-                f"CAST(({_bloom_pos_spark(i, 'l_suppkey')}) div 64 AS INT) + 1), "
-                f"CAST(({_bloom_pos_spark(i, 'l_suppkey')}) % 64 AS INT)) & 1) = 1"
-            )
+        probed = probed.join(
+            F.broadcast(posdf),
+            probed[f"__p{i}"] == posdf.pos,
+            "left_semi",
         )
-    cond = tests[0]
-    for t in tests[1:]:
-        cond = cond & t
-    candidates = li.where(cond).select("l_suppkey", "l_extendedprice")
+    candidates = probed.select("l_suppkey", "l_extendedprice")
     return (
         candidates.join(
             F.broadcast(dim.select("s_suppkey")),

@@ -393,10 +393,7 @@ def test_bloom_prefilter_prunes_without_changing_results(spark):
     smaller than the fact table."""
     from pyspark.sql import functions as F
 
-    from bridgedownstream_spark.queries.advanced import (
-        _BLOOM_K,
-        _bloom_pos_spark,
-    )
+    from bridgedownstream_spark.queries.advanced import _BLOOM_K, _bloom_pos
     from bridgedownstream_spark.queries.util import tbl
 
     sf = "/root/testdata/sf0.001"
@@ -411,25 +408,20 @@ def test_bloom_prefilter_prunes_without_changing_results(spark):
     assert sorted((r.l_suppkey, r.n_lines) for r in got.collect()) == sorted(
         (r.l_suppkey, r["count"]) for r in plain.collect()
     )
-    # pruning power: rebuild the candidate predicate and count survivors
-    pos_rows = dim.select(F.explode(F.array(*[
-        F.expr(_bloom_pos_spark(i, "s_suppkey")) for i in range(_BLOOM_K)
-    ])).alias("pos")).distinct().collect()
-    words = [0] * 64
-    for r in pos_rows:
-        words[r["pos"] // 64] |= 1 << (r["pos"] % 64)
-    arr = ", ".join(str(w - (1 << 64) if w >= (1 << 63) else w) + "L"
-                    for w in words)
-    cond = None
+    # pruning power: rebuild the candidate pre-filter and count survivors
+    posdf = dim.select(F.explode(F.array(*[
+        _bloom_pos(i, "s_suppkey") for i in range(_BLOOM_K)
+    ])).alias("pos")).distinct()
+    cand = li.select(
+        "l_suppkey",
+        *[_bloom_pos(i, "l_suppkey").alias(f"__p{i}") for i in range(_BLOOM_K)],
+    )
     for i in range(_BLOOM_K):
-        t = F.expr(
-            f"(shiftrightunsigned(element_at(array({arr}), "
-            f"CAST(({_bloom_pos_spark(i, 'l_suppkey')}) div 64 AS INT) + 1), "
-            f"CAST(({_bloom_pos_spark(i, 'l_suppkey')}) % 64 AS INT)) & 1) = 1"
+        cand = cand.join(
+            F.broadcast(posdf), cand[f"__p{i}"] == posdf.pos, "left_semi"
         )
-        cond = t if cond is None else cond & t
     n_fact = li.count()
-    n_cand = li.where(cond).count()
+    n_cand = cand.count()
     n_true = li.join(F.broadcast(dim.select("s_suppkey")),
                      li.l_suppkey == F.col("s_suppkey"), "left_semi").count()
     assert n_true <= n_cand <= n_fact

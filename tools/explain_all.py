@@ -430,11 +430,12 @@ HEADLINERS = {
         "is TakeOrdered."
     ),
     "bloom_semi_join": (
-        "Runtime-filter pattern (r5): the dimension's Bloom filter folds "
-        "into the plan as 64 LITERAL longs; the fact probe is "
-        "projection-stage bit arithmetic inside codegen (no join, no "
-        "explode), false positives die in the exact semi-join — the "
-        "oracle is the PLAIN semi-join, proving the prefilter changes "
+        "Runtime-filter pattern (r5): the dimension's set-bit table "
+        "(≤4096 rows regardless of dim cardinality) BROADCASTS; each of "
+        "the k=3 xxhash64 probes is a BroadcastHashJoin LeftSemi on a "
+        "projected position column — the InjectRuntimeFilter shape, zero "
+        "driver collects; false positives die in the exact semi-join — "
+        "the oracle is the PLAIN semi-join, proving the prefilter changes "
         "only scan survivorship."
     ),
     "cdc_apply": (
@@ -501,6 +502,13 @@ HEADLINERS = {
         "re-shuffle) and the only per-round exchange is the map-combined "
         "integer contribution aggregate; parts-per-10^12 BIGINT arithmetic "
         "makes the result bit-identical to the 5×-unrolled SQL oracle."
+    ),
+    "merkle_snapshot_diff": (
+        "Merkle snapshot diff (r5): each snapshot collapses map-side to "
+        "1024 (bucket, decimal-sum-of-hash) digests; only buckets whose "
+        "digests disagree descend — both snapshots pass a broadcast "
+        "LeftSemi on the differing-bucket list BEFORE the row-level full "
+        "outer join, so the wide join touches only churned buckets."
     ),
     "portable_kmv_jaccard": (
         "KMV sketch Jaccard (r5): sources reduce to k=64 minimum shingle "
