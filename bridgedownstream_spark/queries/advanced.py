@@ -2603,3 +2603,143 @@ def merkle_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("changed")
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence mining — top-k 3-step event paths
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "event_paths_topk",
+    """
+    WITH p AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS cnt
+    FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY cnt DESC, e1, e2, e3
+    LIMIT 20
+    """,
+)
+def event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most frequent 3-step event sequences (clickstream path
+    mining): per user, order events by time, slide a length-3 window via
+    ``lead``, count identical (e1,e2,e3) trigrams globally.
+
+    Plan/scale: ONE shuffle on user_id for the lead window, then the
+    trigram aggregate map-combines to |event_type|^3 partials (a few
+    hundred rows regardless of input size) before the wire, and the final
+    ORDER BY + LIMIT is a TakeOrdered — no global sort materializes.
+    Ties are broken by the full (cnt DESC, e1, e2, e3) key so the top-20
+    cut is deterministic across engines.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    p = tbl(spark, sf_dir, "events").select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        p.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph traversal — multi-source BFS with exact recursive-CTE oracle
+# ---------------------------------------------------------------------------
+
+#: BFS depth cap — the co-purchase graph's diameter is ~2-3, so 3 rounds
+#: reach the whole connected component while keeping the oracle's
+#: recursion bounded at |V| x 4 rows.
+_BFS_HOPS = 3
+
+_BFS_SQL = f"""
+    WITH RECURSIVE
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b USING (l_orderkey)
+          WHERE a.l_partkey <> b.l_partkey),
+    walk AS (
+        SELECT p_partkey AS node, CAST(0 AS BIGINT) AS hop
+        FROM part WHERE p_partkey % 500 = 7
+        UNION
+        SELECT e.dst, walk.hop + 1
+        FROM walk JOIN e ON e.src = walk.node
+        WHERE walk.hop < {_BFS_HOPS}
+    )
+    SELECT node, MIN(hop) AS hop FROM walk GROUP BY node
+"""
+
+
+@q("bfs_hops", _BFS_SQL)
+def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the part co-purchase graph: minimum hop
+    distance (<= 3) from the seed set ``p_partkey % 500 = 7`` to every
+    reachable part — the frontier-expansion sibling of
+    ``pagerank_copurchase``'s fixed-point iteration, certified against a
+    DuckDB recursive CTE whose UNION (distinct) semantics replay the
+    visited-set dedup exactly.
+
+    Plan/scale: the edge list builds from ONE lineitem self-join and is
+    localCheckpointed once (lineage truncation keeps round k's plan flat
+    instead of 2^k deep). Each round BROADCASTS the frontier — bounded by
+    the part DIMENSION, orders of magnitude below lineitem — into a
+    map-side hash semi-join over the cached edge partitions, so edges
+    never re-shuffle; the only exchanges are the frontier distinct and
+    the visited anti-join, both node-cardinality. A frontier too large to
+    broadcast degrades to a shuffle hash join on src with identical
+    results. Fixed-depth rounds avoid a per-round count() action; an
+    empty frontier makes the remaining rounds no-op joins.
+    """
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .coalesce(8)
+        .localCheckpoint(eager=False)
+    )
+    seeds = (
+        tbl(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 500 == 7)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    visited = seeds.withColumn("hop", F.lit(0).cast("long"))
+    frontier = seeds
+    # 3 fixed rounds keep the lineage shallow enough to skip per-round
+    # localCheckpoints (which would also hide the per-round joins from
+    # plan inspection); a deeper traversal would reinstate them every
+    # ~5 rounds to stop 2^k plan growth.
+    for k in range(1, _BFS_HOPS + 1):
+        new = (
+            edges.join(
+                F.broadcast(frontier), edges.src == frontier.node, "left_semi"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(k).cast("long"))
+        )
+        visited = visited.unionByName(new)
+        frontier = new.select("node")
+    return visited

@@ -529,3 +529,48 @@ def test_merkle_diff_finds_exactly_the_planted_churn(spark, tmp_path_factory):
         elif in_old and in_new and i % 5 == 0:
             expected[i] = "changed"
     assert got == expected
+
+
+def test_bfs_hops_matches_hand_graph(spark, tmp_path_factory):
+    """Known-answer on a chain 507-10-11-12-13 plus an isolated seed
+    1007: seeds (p_partkey % 500 == 7) get hop 0 even with no edges, the
+    chain is labeled by true distance, and node 13 at distance 4 stays
+    OUTSIDE the result — pinning the depth cap, the visited-set anti-join
+    (no relabeling), and the min-hop semantics."""
+    path = str(tmp_path_factory.mktemp("bfs") / "lake")
+    li = [(1, 507), (1, 10), (2, 10), (2, 11), (3, 11), (3, 12), (4, 12), (4, 13)]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(k,) for k in (507, 10, 11, 12, 13, 1007)], "p_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/part.parquet")
+
+    got = {r.node: r.hop for r in advanced.bfs_hops(spark, path).collect()}
+    assert got == {507: 0, 1007: 0, 10: 1, 11: 2, 12: 3}
+
+
+def test_event_paths_window_and_tiebreak(spark, tmp_path_factory):
+    """Paths never cross users, trailing events shorter than 3 drop, and
+    equal-count trigrams order lexicographically inside the top-20 cut."""
+    import datetime as dt
+
+    path = str(tmp_path_factory.mktemp("paths") / "lake")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: a b c d  -> (a,b,c), (b,c,d); user 2: a b  -> nothing
+    for i, et in enumerate(["a", "b", "c", "d"]):
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, et, 0.0, "{}"))
+    for i, et in enumerate(["a", "b"]):
+        rows.append((10 + i, t0 + dt.timedelta(minutes=i), 2, et, 0.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+    got = [
+        (r.e1, r.e2, r.e3, r.cnt)
+        for r in advanced.event_paths_topk(spark, path).collect()
+    ]
+    assert got == [("a", "b", "c", 1), ("b", "c", "d", 1)]

@@ -509,3 +509,22 @@ def test_merkle_diff_prunes_row_join_through_semi_filters(spark):
     assert plan.count("LeftSemi") >= 2
     assert "BroadcastExchange" in plan
     assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_bfs_broadcasts_frontier_every_round(spark):
+    # the dimension-sized frontier broadcasts into the cached edge
+    # partitions each round (semi-join), and the edge table is never
+    # re-shuffled inside the loop
+    from bridgedownstream_spark.queries.advanced import _BFS_HOPS
+
+    plan = plan_of(spark, "bfs_hops")
+    assert plan.count("BroadcastHashJoin") >= _BFS_HOPS
+    assert "CartesianProduct" not in plan
+
+
+def test_event_paths_is_one_shuffle_plus_takeordered(spark):
+    # lead-window shuffle on user_id, map-combined trigram aggregate,
+    # TakeOrdered top-20 — no global sort materializes
+    plan = plan_of(spark, "event_paths_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2

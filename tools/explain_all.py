@@ -516,6 +516,20 @@ HEADLINERS = {
         "over sketch-sized frames (sources²×k rows) — document bodies "
         "never reach a join, and no exchange carries text."
     ),
+    "event_paths_topk": (
+        "3-step path mining (r5): one shuffle on user_id for the lead "
+        "window, trigram aggregate map-combines to |event_type|³ partials "
+        "before the wire, and the top-20 cut is a TakeOrderedAndProject — "
+        "no global sort materializes."
+    ),
+    "bfs_hops": (
+        "Multi-source BFS (r5): the edge list builds from one lineitem "
+        "self-join and is checkpointed once; each round broadcasts the "
+        "dimension-sized frontier into a map-side semi-join over the "
+        "cached edges (edges never re-shuffle), and the visited anti-join "
+        "is node-cardinality. Certified against a DuckDB recursive-CTE "
+        "oracle."
+    ),
 }
 
 
