@@ -1563,3 +1563,112 @@ def dedup_graph_triangles(spark, sf_dir):
         (F.col("n_edges2") / 2).cast("int").alias("n_edges"),
         F.col("n_triangles").cast("int").alias("n_triangles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join — prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+#: exact-Jaccard threshold 0.8 as a ratio (integer cross-multiplication
+#: keeps the filter bit-exact across engines)
+_JPJ_NUM, _JPJ_DEN = 4, 5
+
+_JPJ_SQL = f"""
+    WITH t AS (SELECT doc_id, {_WORDS_DUCK} AS words FROM documents),
+    shr AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM t),
+    e AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shr),
+    sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT doc_a, doc_b, inter,
+           sa.n + sb.n - inter AS uni,
+           (10000 * inter) // (sa.n + sb.n - inter) AS jac_bp
+    FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+    WHERE {_JPJ_DEN} * inter >= {_JPJ_NUM} * (sa.n + sb.n - inter)
+"""
+
+
+@q("jaccard_prefix_join", _JPJ_SQL)
+def jaccard_prefix_join(spark, sf_dir):
+    """EXACT Jaccard >= 0.8 similarity self-join over word-3-gram shingle
+    SETS via prefix filtering (PPJoin's candidate rule) — the exact
+    counterpart of the approximate MinHash (`near_dup_lsh_pairs`) and KMV
+    (`portable_kmv_jaccard`) paths, certified against a brute-force
+    all-shared-shingle DuckDB oracle.
+
+    Candidate rule: order each doc's shingles by global rarity
+    (document-frequency asc, shingle asc — a total order), keep only the
+    first ``n - ceil(tau*n) + 1`` (the PREFIX); any pair with
+    J >= tau must share a prefix shingle, so the equi-join on prefix
+    shingles loses no true pair while skipping every pair whose only
+    overlap is frequent shingles.
+
+    Plan/scale: df + per-doc rank are two shuffles on shingle/doc_id;
+    the candidate join touches only prefix rows (rarity-first ordering
+    makes per-shingle fan-out df_prefix^2 with SMALL df by construction
+    — frequent shingles never enter a prefix unless a doc is nearly all
+    stopword-shingles). Verification re-shingles ONLY candidate docs
+    (broadcast semi-join on the candidate id set) and intersects the two
+    arrays per pair — never corpus x corpus. The brute-force oracle is
+    the quadratic plan this query exists to avoid; it stays DuckDB-side
+    at oracle scale only.
+    """
+    from pyspark.sql import Window as W
+
+    sh = _shingled(spark, sf_dir)
+    e = sh.select("doc_id", F.explode("sh").alias("s")).distinct()
+    sz = e.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    dfreq = e.groupBy("s").agg(F.count("*").cast("long").alias("df"))
+    prefix = (
+        e.join(dfreq, "s")
+        .join(sz, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "s")
+            ),
+        )
+        .where(
+            F.col("rn")
+            <= F.col("n")
+            - F.expr(f"({_JPJ_NUM} * n + {_JPJ_NUM}) div {_JPJ_DEN}")
+            + 1
+        )
+        .select("doc_id", "s")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.s") == F.col("pb.s"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shd = _shingled_for(spark, sf_dir, cand_ids).select(
+        "doc_id", F.array_distinct("sh").alias("sh")
+    )
+    sa, sb = shd.alias("sa"), shd.alias("sb")
+    inter = F.size(F.array_intersect("sa.sh", "sb.sh")).cast("long")
+    uni = F.size(F.array_union("sa.sh", "sb.sh")).cast("long")
+    return (
+        F.broadcast(cand)
+        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", inter.alias("inter"), uni.alias("uni"))
+        .where(
+            F.lit(_JPJ_DEN) * F.col("inter")
+            >= F.lit(_JPJ_NUM) * F.col("uni")
+        )
+        .withColumn("jac_bp", F.expr("(10000 * inter) div uni"))
+    )

