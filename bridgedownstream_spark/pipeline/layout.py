@@ -39,6 +39,8 @@ __all__ = [
     "file_minmax",
     "write_stats_manifest",
     "skipping_scan",
+    "write_bloom_manifest",
+    "bloom_pruned_scan",
 ]
 
 
@@ -233,3 +235,135 @@ def skipping_scan(
     for c, (lo, hi) in predicates.items():
         df = df.where(F.col(c).between(F.lit(lo), F.lit(hi)))
     return df
+
+
+def _verify_manifest(spark, path: str, m: DataFrame, manifest_path: str):
+    """Raise if the manifest's file set diverges from the dataset listing
+    (shared stale-manifest guard for min/max and bloom manifests)."""
+    actual = {_file_key(f) for f in spark.read.parquet(path).inputFiles()}
+    listed = {
+        _file_key(r["file"]) for r in m.select("file").distinct().collect()
+    }
+    if actual != listed:
+        missing = sorted(actual - listed)[:5]
+        gone = sorted(listed - actual)[:5]
+        raise ValueError(
+            f"stale manifest {manifest_path!r}: dataset has "
+            f"{len(actual)} files, manifest lists {len(listed)}. "
+            f"Unlisted files the scan would silently drop: {missing}; "
+            f"listed files no longer present: {gone}. Rebuild the "
+            "manifest after every layout rewrite."
+        )
+
+
+def _bloom_positions(col: Column, bits: int, k: int) -> Column:
+    """Array of ``k`` bloom bit positions for a value: xxhash64 with k
+    distinct seed columns, pmod onto the [0, bits) bit space."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col, F.lit(s)), F.lit(bits))
+            for s in range(k)
+        ]
+    )
+
+
+def write_bloom_manifest(
+    spark,
+    path: str,
+    col: str,
+    manifest_path: str,
+    bits: int = 32768,
+    k: int = 3,
+) -> int:
+    """Per-FILE Bloom filter manifest for point lookups on a
+    high-cardinality column (the Delta/Iceberg bloom-index idea on plain
+    parquet): each data file's distinct ``col`` values set ``k`` bits in a
+    ``bits``-wide filter, stored as (file, word_idx, word) 64-bit rows.
+
+    Min/max boxes (:func:`write_stats_manifest`) only prune when the
+    layout CLUSTERS the predicate column; a bloom manifest prunes point
+    lookups on any column regardless of layout — the complement that
+    covers "find these ids in a lake sorted by time".
+
+    Sizing: with n distinct keys per file, FP rate ≈ (1-e^(-k·n/bits))^k;
+    the 32768/3 default gives <1% at n≈2000. The manifest is
+    files × bits/64 rows — still orders of magnitude below the data.
+    Returns the data file count. NULLs are not indexed (a NULL never
+    equals a probe value).
+    """
+    e = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"), F.col(col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .distinct()
+    )
+    words = (
+        e.select(
+            "file",
+            F.explode(_bloom_positions(F.col("v"), bits, k)).alias("pos"),
+        )
+        .select(
+            "file",
+            F.expr("pos div 64").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("file", "word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    words.write.mode("overwrite").parquet(manifest_path)
+    return spark.read.parquet(manifest_path).select("file").distinct().count()
+
+
+def bloom_pruned_scan(
+    spark,
+    path: str,
+    manifest_path: str,
+    col: str,
+    values: list,
+    bits: int = 32768,
+    k: int = 3,
+    verify: bool = True,
+) -> DataFrame:
+    """Bloom-manifest-pruned point lookup: read ONLY the files whose bloom
+    filter claims at least one probe value, then re-apply the exact
+    ``col IN values`` filter (the bloom decides file membership with
+    false POSITIVES only — never row membership, and never false
+    negatives, so the result is exact).
+
+    Planning touches the manifest and a k×|values| probe list only; the
+    candidate file list is bounded by the file count. ``bits``/``k`` must
+    match the manifest build. ``verify`` as in :func:`skipping_scan`.
+    """
+    if not values:
+        raise ValueError(
+            "bloom_pruned_scan: empty probe list — nothing to look up"
+        )
+    m = spark.read.parquet(manifest_path)
+    if verify:
+        _verify_manifest(spark, path, m, manifest_path)
+    dtype = dict(spark.read.parquet(path).dtypes)[col]
+    probes = (
+        spark.createDataFrame([(v,) for v in values], f"v {dtype}")
+        .select(
+            "v",
+            F.explode(_bloom_positions(F.col("v"), bits, k)).alias("pos"),
+        )
+        .select(
+            "v",
+            F.expr("pos div 64").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+        )
+    )
+    hits = (
+        m.join(F.broadcast(probes), "word_idx")
+        .where(F.col("word").bitwiseAND(F.col("bit")) == F.col("bit"))
+        .groupBy("file", "v")
+        .agg(F.count("*").alias("n_set"))
+        .where(F.col("n_set") == k)
+        .select("file")
+        .distinct()
+    )
+    files = [r["file"] for r in hits.collect()]
+    if not files:
+        return spark.read.parquet(path).where(F.lit(False))
+    return spark.read.parquet(*files).where(F.col(col).isin(values))

@@ -1332,3 +1332,61 @@ def rollup_incremental_equiv(spark, sf_dir):
             F.round(F.sum("total"), 2).cast("double").alias("total_qty"),
         )
     )
+
+
+_BLOOM_LAKE: dict[str, tuple[str, str]] = {}
+
+#: point-lookup probe set for the bloom-pruned scan
+_BLOOM_PROBES = [7, 42, 99]
+
+
+def _build_bloom_lake(spark, sf_dir: str) -> tuple[str, str]:
+    """Orders rewritten time-sorted (64 files) + a per-file bloom manifest
+    on o_custkey — the layout where min/max stats CANNOT prune a custkey
+    point lookup (custkey is uncorrelated with the sort key) but a bloom
+    manifest can."""
+    if sf_dir not in _BLOOM_LAKE:
+        from bridgedownstream_spark.pipeline.layout import (
+            write_bloom_manifest,
+            write_sorted,
+        )
+
+        tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+        path = os.path.join(tempfile.gettempdir(), f"bds_bloomlake_{tag}")
+        mpath = os.path.join(tempfile.gettempdir(), f"bds_bloommani_{tag}")
+        write_sorted(
+            tbl(spark, sf_dir, "orders"), path, "o_orderdate", num_files=64
+        )
+        write_bloom_manifest(spark, path, "o_custkey", mpath)
+        _BLOOM_LAKE[sf_dir] = (path, mpath)
+    return _BLOOM_LAKE[sf_dir]
+
+
+@q(
+    "bloom_pruned_lookup",
+    f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_custkey IN ({", ".join(str(v) for v in _BLOOM_PROBES)})
+    """,
+)
+def bloom_pruned_lookup(spark, sf_dir):
+    # File-level bloom data skipping (pipeline/layout.py::
+    # bloom_pruned_scan): the time-sorted lake's per-file bloom filters
+    # on o_custkey decide which files a 3-key point lookup reads; the
+    # exact IN filter re-applies on the survivors, so false positives
+    # cost I/O, never correctness. The oracle recomputes from the source
+    # table; that files are actually SKIPPED is pinned by
+    # tests/test_layout.py.
+    from bridgedownstream_spark.pipeline.layout import bloom_pruned_scan
+
+    path, mpath = _build_bloom_lake(spark, sf_dir)
+    return bloom_pruned_scan(
+        spark, path, mpath, "o_custkey", _BLOOM_PROBES
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )

@@ -163,3 +163,56 @@ def test_skipping_scan_guards(spark, tmp_path):
     full = spark.read.parquet(path).where(F.col("user_id").between(0, 100))
     out = skipping_scan(spark, path, mpath, {"user_id": (0, 100)})
     assert out.count() == full.count()
+
+
+def test_bloom_pruned_scan_skips_files_and_stays_exact(spark, tmp_path):
+    """Bloom-manifest point lookup: result identical to the full-scan IN
+    filter (false positives cost I/O only), the probe really skips files
+    in a layout where min/max on the probe column could prune nothing,
+    an absent value returns empty, and a stale manifest fails loudly."""
+    import pytest
+
+    from bridgedownstream_spark.pipeline.layout import (
+        bloom_pruned_scan,
+        write_bloom_manifest,
+        write_sorted,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    path = os.path.join(tmp_path, "lake")
+    mpath = os.path.join(tmp_path, "bloom")
+    # time-sorted layout: o_custkey is uncorrelated with the sort key, so
+    # every file's custkey [min,max] spans ~the whole domain
+    write_sorted(orders, path, "o_orderdate", num_files=32)
+    n_files = write_bloom_manifest(spark, path, "o_custkey", mpath)
+    assert n_files >= 16
+
+    probes = [7, 99]
+    out = bloom_pruned_scan(spark, path, mpath, "o_custkey", probes)
+    full = spark.read.parquet(path).where(F.col("o_custkey").isin(probes))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, full.collect()))
+
+    # the two probed custkeys appear in far fewer than all 32 files; the
+    # bloom candidate set must reflect that (allowing a few FPs)
+    touched = (
+        spark.read.parquet(path)
+        .where(F.col("o_custkey").isin(probes))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert touched < n_files // 2  # layout really scatters the keys
+    n_read = len(set(out.inputFiles())) if out.inputFiles() else 0
+    assert n_read < n_files  # pruning happened
+
+    # absent value: empty result, schema preserved
+    empty = bloom_pruned_scan(spark, path, mpath, "o_custkey", [10**12])
+    assert empty.count() == 0
+    assert empty.columns == orders.columns
+
+    with pytest.raises(ValueError, match="empty probe"):
+        bloom_pruned_scan(spark, path, mpath, "o_custkey", [])
+
+    orders.limit(5).write.mode("append").parquet(path)
+    with pytest.raises(ValueError, match="stale manifest"):
+        bloom_pruned_scan(spark, path, mpath, "o_custkey", probes)

@@ -522,6 +522,13 @@ HEADLINERS = {
         "before the wire, and the top-20 cut is a TakeOrderedAndProject — "
         "no global sort materializes."
     ),
+    "bloom_pruned_lookup": (
+        "File-level bloom data skipping (r5): per-file bloom filters on "
+        "o_custkey (stored as 64-bit words in a manifest table) prune a "
+        "point lookup in a TIME-sorted lake — the case min/max boxes "
+        "cannot touch; the exact IN filter re-applies on surviving "
+        "files, so bloom false positives cost I/O, never correctness."
+    ),
     "jaccard_prefix_join": (
         "Exact set-similarity join (r5): per-doc shingle prefixes "
         "(rarity-first order, length n-ceil(0.8n)+1) feed the candidate "
