@@ -2743,3 +2743,121 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionByName(new)
         frontier = new.select("node")
     return visited
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation — densified series with integer-exact fill
+# ---------------------------------------------------------------------------
+
+_LERP_SQL = """
+    WITH obs AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx,
+             CAST(sum(CAST(CAST(value AS DECIMAL(19,6)) * 1000000
+                           AS BIGINT)) AS BIGINT) AS v_mu
+      FROM events WHERE user_id < 30 GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, min(day_idx) AS d0, max(day_idx) AS d1
+      FROM obs GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1)) AS day_idx FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.day_idx, o.v_mu
+      FROM grid g LEFT JOIN obs o USING (user_id, day_idx)
+    ),
+    f AS (
+      SELECT user_id, day_idx, v_mu,
+        last_value(v_mu IGNORE NULLS) OVER wp AS vp,
+        last_value(CASE WHEN v_mu IS NOT NULL THEN day_idx END
+                   IGNORE NULLS) OVER wp AS dp,
+        first_value(v_mu IGNORE NULLS) OVER wn AS vn,
+        first_value(CASE WHEN v_mu IS NOT NULL THEN day_idx END
+                    IGNORE NULLS) OVER wn AS dn
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY day_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY day_idx
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day_idx,
+      CASE WHEN v_mu IS NOT NULL THEN v_mu
+           ELSE (vp * (dn - day_idx) + vn * (day_idx - dp)) // (dn - dp)
+      END AS val_mu,
+      CASE WHEN v_mu IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+    FROM f
+"""
+
+
+@q("linear_interpolate", _LERP_SQL)
+def linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified per-user daily series with LINEAR interpolation for the
+    missing days (the Timescale ``interpolate()`` gap-fill companion to
+    `gap_fill`'s zero-fill): interior gaps take the line between the
+    surrounding observed days; endpoints are observed by construction
+    (the grid spans each user's own [min, max] day).
+
+    Determinism discipline: daily totals become exact integer
+    micro-units per EVENT (DECIMAL(19,6) double→decimal cast, then
+    ×10^6 → BIGINT) so the per-day sum is merge-order-exact, and the
+    interpolant ``(vp·(dn−d) + vn·(d−dp)) div (dn−dp)`` is pure bigint —
+    values are non-negative so Spark's truncating div and DuckDB's floor
+    `//` agree.
+
+    Plan/scale: per-key sequence explode (never a global calendar cross
+    join), then BOTH direction-scans (last/first ignorenulls) and the
+    fill expression share the single (user_id) exchange — the grid is
+    keys × span-days, independent of event volume."""
+    ev = tbl(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    obs = (
+        ev.select(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day_idx"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(19,6)) * 1000000 AS BIGINT)"
+            ).alias("mu"),
+        )
+        .groupBy("user_id", "day_idx")
+        .agg(F.sum("mu").cast("long").alias("v_mu"))
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("day_idx").alias("d0"), F.max("day_idx").alias("d1"))
+        .select(
+            "user_id", F.explode(F.expr("sequence(d0, d1)")).alias("day_idx")
+        )
+    )
+    j = grid.join(obs, ["user_id", "day_idx"], "left")
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("day_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("day_idx")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v_mu").isNotNull(), F.col("day_idx"))
+    f = j.select(
+        "user_id",
+        "day_idx",
+        "v_mu",
+        F.last("v_mu", ignorenulls=True).over(wp).alias("vp"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("dp"),
+        F.first("v_mu", ignorenulls=True).over(wn).alias("vn"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("dn"),
+    )
+    return f.select(
+        "user_id",
+        "day_idx",
+        F.when(F.col("v_mu").isNotNull(), F.col("v_mu"))
+        .otherwise(
+            F.expr("(vp * (dn - day_idx) + vn * (day_idx - dp)) div (dn - dp)")
+        )
+        .alias("val_mu"),
+        F.when(F.col("v_mu").isNotNull(), F.lit("obs"))
+        .otherwise(F.lit("interp"))
+        .alias("src"),
+    )

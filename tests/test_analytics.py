@@ -574,3 +574,35 @@ def test_event_paths_window_and_tiebreak(spark, tmp_path_factory):
         for r in advanced.event_paths_topk(spark, path).collect()
     ]
     assert got == [("a", "b", "c", 1), ("b", "c", "d", 1)]
+
+
+def test_linear_interpolate_known_line(spark, tmp_path_factory):
+    """User with observations on days 0 and 3 (values 10.0 and 40.0):
+    days 1-2 interpolate to exactly 20.0/30.0 micro-units on the line;
+    observed days pass through untouched; a dense user adds no rows."""
+    import datetime as dt
+
+    path = str(tmp_path_factory.mktemp("lerp") / "lake")
+    day = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, day_off, value):
+        return (eid, day + dt.timedelta(days=day_off), uid, "x", value, "{}")
+
+    rows = [ev(1, 1, 0, 10.0), ev(2, 1, 3, 40.0), ev(3, 2, 0, 5.5), ev(4, 2, 1, 6.5)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+    got = {
+        (r.user_id, r.day_idx - 19723): (r.val_mu, r.src)
+        for r in advanced.linear_interpolate(spark, path).collect()
+    }
+    assert got[(1, 0)] == (10_000_000, "obs")
+    assert got[(1, 1)] == (20_000_000, "interp")
+    assert got[(1, 2)] == (30_000_000, "interp")
+    assert got[(1, 3)] == (40_000_000, "obs")
+    assert got[(2, 0)] == (5_500_000, "obs")
+    assert got[(2, 1)] == (6_500_000, "obs")
+    assert len(got) == 6

@@ -522,6 +522,12 @@ HEADLINERS = {
         "before the wire, and the top-20 cut is a TakeOrderedAndProject — "
         "no global sort materializes."
     ),
+    "linear_interpolate": (
+        "Gap-fill interpolation (r5): per-key sequence explode (no "
+        "global calendar cross join); both direction-scans and the fill "
+        "expression share ONE user_id exchange; the interpolant is pure "
+        "bigint micro-units so Spark and DuckDB agree bit-for-bit."
+    ),
     "bloom_pruned_lookup": (
         "File-level bloom data skipping (r5): per-file bloom filters on "
         "o_custkey (stored as 64-bit words in a manifest table) prune a "
