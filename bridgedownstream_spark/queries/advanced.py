@@ -2861,3 +2861,120 @@ def linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("interp"))
         .alias("src"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical sketch rollup — registers merge up the dimension tree
+# ---------------------------------------------------------------------------
+
+_HLL_ROLLUP_SQL = f"""
+    WITH h AS (
+      SELECT n.n_name AS nation, n.n_regionkey AS regionkey,
+             {HASH60.format(x="CAST(o_custkey AS VARCHAR)")} AS hv
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    reg AS (
+      SELECT nation, regionkey, hv % {_HLL_M} AS r,
+             CASE WHEN hv // {_HLL_M} = 0 THEN 55
+                  ELSE 55 - length(bin(hv // {_HLL_M})) END AS rho
+      FROM h
+    ),
+    lv AS (
+      SELECT 'nation' AS level, nation AS key, r, max(rho) AS mj
+      FROM reg GROUP BY 2, 3
+      UNION ALL
+      SELECT 'region', rg.r_name, r, max(rho)
+      FROM reg JOIN region rg ON rg.r_regionkey = regionkey GROUP BY 2, 3
+      UNION ALL
+      SELECT 'global', 'all', r, max(rho) FROM reg GROUP BY 3
+    ),
+    s AS (
+      SELECT level, key,
+             CAST(sum(1::BIGINT << (56 - mj))
+                  + ({_HLL_M} - count(*)) * (1::BIGINT << 56) AS BIGINT)
+                 AS int_sum,
+             CAST({_HLL_M} - count(*) AS BIGINT) AS empty_registers
+      FROM lv GROUP BY 1, 2
+    )
+    SELECT level, key, int_sum, empty_registers, {_HLL_EST} AS est_customers
+    FROM s
+"""
+
+
+@q("hll_rollup_hierarchy", _HLL_ROLLUP_SQL)
+def hll_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-customer HLL sketches rolled UP a dimension hierarchy
+    (nation → region → global) by MERGING registers — Spark computes the
+    fact-level registers ONCE and re-aggregates the 25×64-row register
+    table with max(rho) at each coarser level, while the oracle
+    recomputes every level independently from the raw rows. A hash-exact
+    match certifies the algebraic-merge property (max is associative and
+    commutative over the same hash stream) that makes sketch partial
+    aggregation safe at 100 TB: registers, not rows, cross every rollup
+    boundary.
+
+    Plan/scale: the fact scan is touched ONCE (orders ⋈ broadcast
+    customer-nation dims); after the first groupBy the working set is
+    groups × 64 register rows, so the region and global levels cost a
+    shuffle of at most 25 × 64 rows — the cube/rollup shape where every
+    coarser cell derives from finer partials instead of re-scanning."""
+    o = tbl(spark, sf_dir, "orders").select("o_custkey")
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = tbl(spark, sf_dir, "nation")
+    rg = tbl(spark, sf_dir, "region")
+    h_sql = (
+        "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    rows = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .selectExpr(
+            "n_name AS nation",
+            "n_regionkey AS regionkey",
+            f"{h_sql} % {_HLL_M} AS r",
+            f"CASE WHEN {h_sql} div {_HLL_M} = 0 THEN 55 "
+            f"ELSE 55 - length(bin({h_sql} div {_HLL_M})) END AS rho",
+        )
+    )
+    # finest level computed from the facts exactly once...
+    nat = rows.groupBy("nation", "regionkey", "r").agg(
+        F.max("rho").alias("mj")
+    )
+    # ...then every coarser level MERGES registers (max of maxes)
+    reg_lvl = (
+        nat.join(F.broadcast(rg), nat.regionkey == rg.r_regionkey)
+        .groupBy(F.col("r_name").alias("key"), "r")
+        .agg(F.max("mj").alias("mj"))
+        .withColumn("level", F.lit("region"))
+    )
+    glob = (
+        nat.groupBy("r")
+        .agg(F.max("mj").alias("mj"))
+        .select(F.lit("all").alias("key"), "r", "mj")
+        .withColumn("level", F.lit("global"))
+    )
+    lv = (
+        nat.select(
+            F.lit("nation").alias("level"), F.col("nation").alias("key"),
+            "r", "mj"
+        )
+        .unionByName(reg_lvl.select("level", "key", "r", "mj"))
+        .unionByName(glob.select("level", "key", "r", "mj"))
+    )
+    s = lv.groupBy("level", "key").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 56 - mj)"))
+            + (F.lit(_HLL_M) - F.count("*"))
+            * F.expr("shiftleft(CAST(1 AS BIGINT), 56)")
+        )
+        .cast("bigint")
+        .alias("int_sum"),
+        (F.lit(_HLL_M) - F.count("*")).cast("bigint").alias("empty_registers"),
+    )
+    return s.select(
+        "level", "key", "int_sum", "empty_registers",
+        F.expr(_HLL_EST).alias("est_customers"),
+    )

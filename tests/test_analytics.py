@@ -606,3 +606,53 @@ def test_linear_interpolate_known_line(spark, tmp_path_factory):
     assert got[(2, 0)] == (5_500_000, "obs")
     assert got[(2, 1)] == (6_500_000, "obs")
     assert len(got) == 6
+
+
+def test_hll_rollup_merge_equals_recompute_and_is_accurate(spark):
+    """The region/global sketches produced by MERGING nation registers
+    must match sketches recomputed from raw rows (algebraic mergeability
+    inside one engine, complementing the cross-engine oracle), and every
+    level's estimate lands within 3 sigma (1.04/sqrt(64) ~ 13%) of the
+    exact distinct count."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    out = advanced.hll_rollup_hierarchy(spark, sf).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r.level, {})[r.key] = r
+
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    rg = spark.read.parquet(f"{sf}/region.parquet")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(rg, n.n_regionkey == rg.r_regionkey)
+    )
+    exact_global = joined.select("o_custkey").distinct().count()
+    est_global = by_level["global"]["all"].est_customers
+    assert abs(est_global - exact_global) <= 0.39 * exact_global
+
+    # recompute ONE region's registers straight from rows; int_sum of the
+    # merged path must be identical (not merely close)
+    some_region = sorted(by_level["region"])[0]
+    h = ("CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15), 16, 10)"
+         " AS BIGINT)")
+    reg = (
+        joined.where(F.col("r_name") == some_region)
+        .selectExpr(
+            f"{h} % 64 AS r",
+            f"CASE WHEN {h} div 64 = 0 THEN 55"
+            f" ELSE 55 - length(bin({h} div 64)) END AS rho",
+        )
+        .groupBy("r")
+        .agg(F.max("rho").alias("mj"))
+    )
+    int_sum = reg.selectExpr(
+        "CAST(sum(shiftleft(CAST(1 AS BIGINT), 56 - mj))"
+        " + (64 - count(*)) * shiftleft(CAST(1 AS BIGINT), 56) AS BIGINT)"
+        " AS s"
+    ).collect()[0].s
+    assert int_sum == by_level["region"][some_region].int_sum

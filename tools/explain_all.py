@@ -522,6 +522,13 @@ HEADLINERS = {
         "before the wire, and the top-20 cut is a TakeOrderedAndProject — "
         "no global sort materializes."
     ),
+    "hll_rollup_hierarchy": (
+        "Hierarchical sketch rollup (r5): fact scan touched once "
+        "(broadcast dims), then region/global levels re-aggregate the "
+        "25×64-row register table with max(rho) — registers, not rows, "
+        "cross every rollup boundary; the oracle recomputes each level "
+        "independently, so a hash match certifies mergeability."
+    ),
     "linear_interpolate": (
         "Gap-fill interpolation (r5): per-key sequence explode (no "
         "global calendar cross join); both direction-scans and the fill "
