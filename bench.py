@@ -141,6 +141,7 @@ def main() -> int:
         _pq_mod._build_stream_ijoin,
         _pq_mod._build_stream_sessions,
         _pq_mod._build_manifest,
+        _pq_mod._build_bloom_lake,
     ):
         # per-builder: one failing fixture must neither skip the remaining
         # builds nor hide its error — the affected queries would silently

@@ -2978,3 +2978,61 @@ def hll_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "level", "key", "int_sum", "empty_registers",
         F.expr(_HLL_EST).alias("est_customers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct counts — exact sliding-window active users
+# ---------------------------------------------------------------------------
+
+_RAU_SQL = """
+    WITH a AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM a)
+    SELECT g.d AS day_idx, CAST(count(DISTINCT a.user_id) AS BIGINT)
+           AS active_7d
+    FROM days g JOIN a ON a.d BETWEEN g.d - 6 AND g.d
+    GROUP BY 1
+"""
+
+
+@q("rolling_active_users", _RAU_SQL)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 7-day rolling active users per observed day — the rolling
+    COUNT(DISTINCT) window Spark (and SQL generally) cannot express as a
+    window function. Rewritten as a linear explode: each (user, active
+    day a) covers windows ending on ``[a, min(a+6, next_active-1)]`` —
+    the days where a is that user's most recent activity — so every
+    (user, window-day) pair is emitted exactly once and a plain count
+    replaces the distinct.
+
+    Plan/scale: ONE shuffle on user_id serves the dedup and the lead();
+    the explode emits ≤7 rows per (user, day) — volume bounded by
+    7×|user-days|, NOT days×users — and the final count map-combines to
+    |days| partials. The oracle is the quadratic day×activity range join
+    this rewrite avoids (at 100 TB a 7-day range join re-reads each
+    activity row 7× and shuffles days×avg-activity rows; the explode
+    ships each exactly once)."""
+    a = (
+        tbl(spark, sf_dir, "events")
+        .select(
+            "user_id", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("d")
+        )
+        .distinct()
+    )
+    days = a.select("d").distinct()
+    nx = a.select(
+        "user_id",
+        "d",
+        F.lead("d").over(W.partitionBy("user_id").orderBy("d")).alias("dn"),
+    )
+    ex = nx.select(
+        F.explode(
+            F.expr("sequence(d, least(d + 6, coalesce(dn - 1, d + 6)))")
+        ).alias("day_idx")
+    )
+    return (
+        ex.join(F.broadcast(days), ex.day_idx == days.d, "left_semi")
+        .groupBy("day_idx")
+        .agg(F.count("*").cast("long").alias("active_7d"))
+    )

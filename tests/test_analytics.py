@@ -656,3 +656,32 @@ def test_hll_rollup_merge_equals_recompute_and_is_accurate(spark):
         " AS s"
     ).collect()[0].s
     assert int_sum == by_level["region"][some_region].int_sum
+
+
+def test_rolling_active_users_window_edges(spark, tmp_path_factory):
+    """Hand-checkable: user 1 active on days 0 and 10 (outside any shared
+    7-day window), user 2 active on days 0 and 3 (re-activity must not
+    double-count inside one window). Output days = observed days only."""
+    import datetime as dt
+
+    path = str(tmp_path_factory.mktemp("rau") / "lake")
+    day = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, off):
+        return (eid, day + dt.timedelta(days=off), uid, "x", 1.0, "{}")
+
+    rows = [ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 0), ev(4, 2, 3)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+    base = 19723  # 2024-01-01 as a day index
+    got = {
+        r.day_idx - base: r.active_7d
+        for r in advanced.rolling_active_users(spark, path).collect()
+    }
+    # observed days: 0, 3, 10. Window [d-6, d]:
+    #  d=0 -> users {1, 2}; d=3 -> {1 (day0), 2}; d=10 -> {1 (day10)}
+    assert got == {0: 2, 3: 2, 10: 1}

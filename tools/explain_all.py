@@ -545,10 +545,20 @@ HEADLINERS = {
     "jaccard_prefix_join": (
         "Exact set-similarity join (r5): per-doc shingle prefixes "
         "(rarity-first order, length n-ceil(0.8n)+1) feed the candidate "
-        "equi-join, so fan-out is df_prefix² with small df by "
-        "construction; verification re-shingles ONLY candidate docs. The "
-        "quadratic all-shared-shingle plan exists solely as the DuckDB "
-        "oracle."
+        "equi-join with PPJoin length + positional cuts (118,826 → "
+        "12,784 candidates at sf0.1, both lossless); shingle arrays "
+        "materialize once (projection collapse would re-evaluate the "
+        "split→transform chain per consumer — measured 14 s of the "
+        "pre-fix 20 s); verification re-shingles ONLY candidate docs. "
+        "The quadratic all-shared-shingle plan exists solely as the "
+        "DuckDB oracle."
+    ),
+    "rolling_active_users": (
+        "Exact sliding COUNT(DISTINCT) (r5): each (user, active-day) "
+        "covers windows [a, min(a+6, next-1)] — one explode row per "
+        "covered window-day, so volume is ≤7×|user-days| and a plain "
+        "count replaces the distinct; the day×activity range join "
+        "exists only as the oracle."
     ),
     "bfs_hops": (
         "Multi-source BFS (r5): the edge list builds from one lineitem "
