@@ -2701,12 +2701,11 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     results. Fixed-depth rounds avoid a per-round count() action; an
     empty frontier makes the remaining rounds no-op joins.
     """
-    li = (
-        tbl(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # No pre-distinct on (l_orderkey, l_partkey): the edge distinct below
+    # dedups anyway, and skipping it trades a full pair-keyed shuffle of
+    # lineitem for a tiny self-join fan-out (same-part repeats within an
+    # order are rare), leaving ONE orderkey exchange feeding the join.
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(b, "l_orderkey")
@@ -3036,3 +3035,253 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day_idx")
         .agg(F.count("*").cast("long").alias("active_7d"))
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA — exponential-decay weighted average, integer-exact over a 20-row frame
+# ---------------------------------------------------------------------------
+
+#: trailing frame length for the exponential-decay average; with decay 1/2
+#: the dropped tail's total weight is 2^-20 of the head term, below the
+#: micro-unit resolution of the output
+_EWMA_K = 20
+
+_EWMA_NUM = " + ".join(
+    f"COALESCE(lag(v_mu, {k}) OVER w, 0) * {1 << (_EWMA_K - 1 - k)}"
+    for k in range(_EWMA_K)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN lag(v_mu, {k}) OVER w IS NOT NULL"
+    f" THEN {1 << (_EWMA_K - 1 - k)} ELSE 0 END)"
+    for k in range(_EWMA_K)
+)
+
+_EWMA_SQL = f"""
+    WITH t AS (
+      SELECT user_id, event_id,
+             CAST(CAST(CAST(value AS DECIMAL(19,6)) * 1000000 AS BIGINT)
+                  AS BIGINT) AS v_mu
+      FROM events WHERE user_id < 20
+    ),
+    e AS (
+      SELECT user_id, event_id,
+             ({_EWMA_NUM}) // ({_EWMA_DEN}) AS ewma_mu
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    )
+    SELECT user_id, event_id, CAST(ewma_mu AS BIGINT) AS ewma_mu
+    FROM e ORDER BY user_id, event_id
+"""
+
+
+@q("ewma_smoothing", _EWMA_SQL)
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay weighted moving average (decay 1/2 per step) over
+    each user's trailing 20 events — the smoothing operator behind alerting
+    and trend lines, made integer-exact: values become micro-units, weights
+    are the exact powers 2^19..2^0, and the average is ONE bigint
+    ``num div den`` (values are non-negative, so Spark's truncating div and
+    DuckDB's floor ``//`` agree). Short heads renormalize by construction:
+    the denominator only counts PRESENT terms, so row k<20 averages its own
+    k+1 observations — no warm-up bias, no float drift. The truncated tail
+    (weight < 2^-19 of the head) is the documented contract, not an
+    approximation the oracle forgives: both engines compute the identical
+    truncated sum.
+
+    Plan/scale: all 20 lag() calls name the SAME window spec, so Catalyst
+    plans a single (user_id) exchange + one Window node; per-row state is
+    the 20-row frame, never the user's history."""
+    over = "OVER (PARTITION BY user_id ORDER BY event_id)"
+    num = " + ".join(
+        f"COALESCE(lag(v_mu, {k}) {over}, 0) * {1 << (_EWMA_K - 1 - k)}"
+        for k in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(v_mu, {k}) {over} IS NOT NULL"
+        f" THEN {1 << (_EWMA_K - 1 - k)} ELSE 0 END)"
+        for k in range(_EWMA_K)
+    )
+    return (
+        tbl(spark, sf_dir, "events")
+        .where(F.col("user_id") < 20)
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "CAST(CAST(value AS DECIMAL(19,6)) * 1000000 AS BIGINT) AS v_mu",
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(f"CAST(({num}) div ({den}) AS BIGINT)").alias("ewma_mu"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram — per-group NTILE quartiles
+# ---------------------------------------------------------------------------
+
+_NTILE_SQL = """
+    WITH t AS (
+      SELECT o_orderpriority,
+             CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+             o_totalprice
+      FROM orders
+    )
+    SELECT o_orderpriority, quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@q("ntile_quartiles", _NTILE_SQL)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram via NTILE(4): per order priority, rank-split
+    the price distribution into four equal-count buckets and report each
+    bucket's [lo, hi] bounds — the rank-based complement of
+    `value_histogram`'s equi-WIDTH buckets. The (value, key) tie-break
+    makes the tile assignment a total order, so both engines cut the same
+    rows into the same tiles (NTILE's remainder-to-earlier-tiles rule is
+    shared SQL semantics).
+
+    Plan/scale: one exchange on the 5-value group key, per-group sort
+    inside the Window, then the bucket agg map-combines to 20 partials.
+    Group-parallel, but each group sorts on ONE reducer — for a single
+    giant group (or a streaming setting) use `portable_quantile_bands`,
+    whose 256-band sketch splits the same distribution with a bounded
+    shuffle instead of a per-group sort."""
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    t = tbl(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        "o_totalprice",
+    )
+    return (
+        t.groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            # min/max of doubles is exact under any merge order; the
+            # no-op double cast is the guard-visible "exact render" marker
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window HLL — 7-day rolling distinct users from merged registers
+# ---------------------------------------------------------------------------
+
+_RHLL_SQL = f"""
+    WITH a AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS day_idx,
+             {HASH60.format(x="CAST(user_id AS VARCHAR)")} AS hv
+      FROM events
+    ),
+    reg AS (
+      SELECT day_idx, hv % {_HLL_M} AS r,
+             max(CASE WHEN hv // {_HLL_M} = 0 THEN 55
+                      ELSE 55 - length(bin(hv // {_HLL_M})) END) AS mj
+      FROM a GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day_idx FROM a),
+    grid AS (
+      SELECT day_idx, unnest(range(0, {_HLL_M})) AS r FROM days
+    ),
+    dense AS (
+      SELECT g.day_idx, g.r, reg.mj
+      FROM grid g LEFT JOIN reg ON reg.day_idx = g.day_idx AND reg.r = g.r
+    ),
+    merged AS (
+      SELECT day_idx, r,
+             max(mj) OVER (PARTITION BY r ORDER BY day_idx
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mj
+      FROM dense
+    ),
+    s AS (
+      SELECT day_idx,
+             CAST(sum(CASE WHEN mj IS NULL THEN 1::BIGINT << 56
+                           ELSE 1::BIGINT << (56 - mj) END) AS BIGINT)
+                 AS int_sum,
+             CAST(sum(CASE WHEN mj IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS empty_registers
+      FROM merged GROUP BY 1
+    )
+    SELECT day_idx, int_sum, empty_registers, {_HLL_EST} AS est_users_7d
+    FROM s ORDER BY day_idx
+"""
+
+
+@q("rolling_hll_users", _RHLL_SQL)
+def rolling_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct users estimated from SLIDING-WINDOW HLL
+    register merges — the sketch twin of `rolling_active_users`' exact
+    explode rewrite, certifying the property streaming rollups rely on:
+    a window's sketch is the register-wise max of its days' sketches, so
+    per-day registers are computed ONCE and every window position reuses
+    them. Registers densify onto a days x 64 grid first, so the ROWS
+    7-frame is exactly the calendar frame even when a register is silent
+    for a day; the estimate is the same exact-integer harmonic form as
+    `portable_hll_cardinality` (shared _HLL_EST), bit-identical across
+    engines and merge orders.
+
+    Plan/scale: the raw scan reduces to days x 64 register rows at the
+    FIRST groupBy (map-side max-combine) — everything after is sketch
+    algebra on ~2k rows regardless of event volume: the exact rewrite
+    ships 7x|user-days| rows, the sketch ships |days| x 64, the 100 TB
+    trade the two queries exist to demonstrate."""
+    ev = tbl(spark, sf_dir, "events")
+    h_sql = (
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    a = ev.selectExpr(
+        f"unix_micros(ts) div {_DAY_US} AS day_idx",
+        f"{h_sql} AS hv",
+    )
+    reg = (
+        a.selectExpr(
+            "day_idx",
+            f"hv % {_HLL_M} AS r",
+            f"CASE WHEN hv div {_HLL_M} = 0 THEN 55 "
+            f"ELSE 55 - length(bin(hv div {_HLL_M})) END AS rho",
+        )
+        .groupBy("day_idx", "r")
+        .agg(F.max("rho").alias("mj"))
+    )
+    grid = (
+        a.select("day_idx")
+        .distinct()
+        .select("day_idx", F.explode(F.expr(f"sequence(0, {_HLL_M - 1})")).alias("r"))
+    )
+    dense = grid.join(reg, ["day_idx", "r"], "left")
+    wm = (
+        W.partitionBy("r")
+        .orderBy("day_idx")
+        .rowsBetween(-6, W.currentRow)
+    )
+    merged = dense.select("day_idx", "r", F.max("mj").over(wm).alias("mj"))
+    s = merged.groupBy("day_idx").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN mj IS NULL THEN shiftleft(CAST(1 AS BIGINT), 56) "
+                "ELSE shiftleft(CAST(1 AS BIGINT), 56 - mj) END"
+            )
+        )
+        .cast("bigint")
+        .alias("int_sum"),
+        F.sum(F.when(F.col("mj").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("empty_registers"),
+    )
+    return s.select(
+        "day_idx",
+        "int_sum",
+        "empty_registers",
+        F.expr(_HLL_EST).alias("est_users_7d"),
+    ).orderBy("day_idx")

@@ -1545,3 +1545,75 @@ def q19_disjunctive_revenue(spark, sf_dir):
             F.count("*").cast("bigint").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot — relational cross-tab via groupBy().pivot()
+# ---------------------------------------------------------------------------
+
+_PIVOT_SQL = """
+    SELECT n_name AS nation,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p,
+           CAST(round(sum(CASE WHEN o_orderstatus = 'F'
+                          THEN CAST(o_totalprice AS DECIMAL(19,2))
+                          ELSE 0 END), 2) AS DOUBLE) AS rev_f,
+           CAST(round(sum(CASE WHEN o_orderstatus = 'O'
+                          THEN CAST(o_totalprice AS DECIMAL(19,2))
+                          ELSE 0 END), 2) AS DOUBLE) AS rev_o,
+           CAST(round(sum(CASE WHEN o_orderstatus = 'P'
+                          THEN CAST(o_totalprice AS DECIMAL(19,2))
+                          ELSE 0 END), 2) AS DOUBLE) AS rev_p
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+"""
+
+
+@q("pivot_order_status", _PIVOT_SQL)
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab (PIVOT): nation rows x order-status columns, carrying
+    both a count and a decimal-exact revenue sum per cell — the
+    wide-report operator the DataFrame API expresses natively as
+    ``groupBy().pivot()``. The pivot values are DECLARED (['F','O','P'])
+    rather than discovered, which at scale removes the extra
+    distinct-scan Spark otherwise runs to enumerate the pivot domain —
+    the unbounded-cardinality footgun of implicit pivots. Absent cells
+    surface as 0 (coalesce), matching the oracle's FILTER/CASE
+    conditional-aggregation twin exactly; revenue sums run on
+    DECIMAL(19,2) so the hash compare is merge-order-proof.
+
+    Plan/scale: customer and nation broadcast; the pivot itself is ONE
+    hash aggregate whose row width is groups x (3 statuses x 2 measures)
+    — a pivot never shuffles more than the underlying groupBy, it only
+    widens the aggregation buffer."""
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(19,2)").alias("price"),
+    )
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    wide = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").alias("rev"),
+        )
+    )
+    z = F.lit(0).cast("long")
+    zd = F.lit(0.0)
+    return wide.select(
+        "nation",
+        F.coalesce(F.col("F_n"), z).alias("n_f"),
+        F.coalesce(F.col("O_n"), z).alias("n_o"),
+        F.coalesce(F.col("P_n"), z).alias("n_p"),
+        F.coalesce(F.round(F.col("F_rev"), 2).cast("double"), zd).alias("rev_f"),
+        F.coalesce(F.round(F.col("O_rev"), 2).cast("double"), zd).alias("rev_o"),
+        F.coalesce(F.round(F.col("P_rev"), 2).cast("double"), zd).alias("rev_p"),
+    ).orderBy("nation")

@@ -685,3 +685,92 @@ def test_rolling_active_users_window_edges(spark, tmp_path_factory):
     # observed days: 0, 3, 10. Window [d-6, d]:
     #  d=0 -> users {1, 2}; d=3 -> {1 (day0), 2}; d=10 -> {1 (day10)}
     assert got == {0: 2, 3: 2, 10: 1}
+
+
+def test_ewma_weights_and_short_head_renormalize(spark, tmp_path_factory):
+    """Values 1.0, 2.0, 4.0: row1 = 1.0 (self-average), row2 =
+    (2*2^19 + 1*2^18)/(2^19 + 2^18) = 5/3 -> 1666666 truncated,
+    row3 = (4*4 + 2*2 + 1)/(4 + 2 + 1) = 3.0 exactly — the short head
+    renormalizes over present terms only."""
+    import datetime as dt
+
+    path = str(tmp_path_factory.mktemp("ewma") / "lake")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, t0 + dt.timedelta(hours=k), 1, "x", v, "{}")
+        for k, v in [(1, 1.0), (2, 2.0), (3, 4.0)]
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    got = {
+        r.event_id: r.ewma_mu
+        for r in advanced.ewma_smoothing(spark, path).collect()
+    }
+    assert got == {1: 1_000_000, 2: 1_666_666, 3: 3_000_000}
+
+
+def test_ntile_quartiles_equal_depth_and_remainder(spark, tmp_path_factory):
+    """8 rows split 2-2-2-2 with exact [lo, hi] bounds; 5 rows split
+    2-1-1-1 (NTILE's remainder-to-earlier-tiles rule)."""
+    path = str(tmp_path_factory.mktemp("ntile") / "lake")
+    rows = [(k, "A", float(k)) for k in range(1, 9)]
+    rows += [(100 + k, "B", float(k)) for k in range(1, 6)]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    got = {
+        (r.o_orderpriority, r.quartile): (r.n, r.lo, r.hi)
+        for r in advanced.ntile_quartiles(spark, path).collect()
+    }
+    assert got[("A", 1)] == (2, 1.0, 2.0)
+    assert got[("A", 4)] == (2, 7.0, 8.0)
+    assert got[("B", 1)] == (2, 1.0, 2.0)
+    assert got[("B", 2)] == (1, 3.0, 3.0)
+    assert got[("B", 4)] == (1, 5.0, 5.0)
+
+
+def test_pivot_zero_fills_absent_cells(spark, tmp_path_factory):
+    """A nation with no 'P' orders reports n_p=0 / rev_p=0.0 — declared
+    pivot values surface absent cells as zeros, not missing columns."""
+    from bridgedownstream_spark.queries import core as core_q
+
+    path = str(tmp_path_factory.mktemp("pivot") / "lake")
+    spark.createDataFrame(
+        [(1, 10, "F", 100.0), (2, 10, "O", 50.0), (3, 20, "P", 70.0)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    spark.createDataFrame(
+        [(10, 0), (20, 1)], "c_custkey long, c_nationkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/customer.parquet")
+    spark.createDataFrame(
+        [(0, "ALPHA"), (1, "BETA")], "n_nationkey long, n_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/nation.parquet")
+    got = {
+        r.nation: (r.n_f, r.n_o, r.n_p, r.rev_f, r.rev_o, r.rev_p)
+        for r in core_q.pivot_order_status(spark, path).collect()
+    }
+    assert got["ALPHA"] == (1, 1, 0, 100.0, 50.0, 0.0)
+    assert got["BETA"] == (0, 0, 1, 0.0, 0.0, 70.0)
+
+
+def test_rolling_hll_tracks_exact_rolling_distinct(spark):
+    """At sf0.01 the 7-day sliding register merge lands within the HLL
+    error envelope of the EXACT rolling count on every day (m=64 ->
+    ~13% standard error; assert a generous 35% ceiling), certifying the
+    densified-grid window merge against ground truth."""
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r.day_idx: r.active_7d
+        for r in advanced.rolling_active_users(spark, sf).collect()
+    }
+    est = {
+        r.day_idx: r.est_users_7d
+        for r in advanced.rolling_hll_users(spark, sf).collect()
+    }
+    assert set(est) == set(exact)
+    for d, e in exact.items():
+        assert abs(est[d] - e) / e < 0.35, (d, est[d], e)

@@ -568,6 +568,30 @@ HEADLINERS = {
         "is node-cardinality. Certified against a DuckDB recursive-CTE "
         "oracle."
     ),
+    "ewma_smoothing": (
+        "Exponential-decay average (r5): all 20 lag() terms name one "
+        "window spec, so the plan is a single (user_id) Exchange + ONE "
+        "Window node; the average is an exact bigint num div den — no "
+        "float accumulation, no per-row UDF."
+    ),
+    "ntile_quartiles": (
+        "Equi-depth histogram (r5): one exchange on the 5-value group "
+        "key, per-group sort inside the Window, bucket agg map-combines "
+        "to 20 partials. For a single giant group the bounded-shuffle "
+        "path is portable_quantile_bands."
+    ),
+    "rolling_hll_users": (
+        "Sliding-window HLL merge (r5): the raw scan reduces to "
+        "days×64 register rows at the FIRST groupBy (map-side "
+        "max-combine); the 7-day window merge and the estimate run on "
+        "~2k rows regardless of event volume — the sketch twin of "
+        "rolling_active_users' exact explode."
+    ),
+    "pivot_order_status": (
+        "Cross-tab (r5): customer/nation broadcast; pivot with DECLARED "
+        "values is ONE hash aggregate (no domain-discovery distinct "
+        "scan), row width = groups × statuses × measures."
+    ),
 }
 
 
