@@ -43,7 +43,13 @@ from bridgedownstream_spark.queries import (
 #: cdc_apply, attribution_last_touch, incremental_join_view,
 #: bloom_semi_join (literal-bitmap runtime filter), mad_outliers,
 #: q15/q17/q19 (TPC-H), pagerank_copurchase (iterative graph — would give
-#: the driver its first iterative-algorithm row), portable_kmv_jaccard.
+#: the driver its first iterative-algorithm row), portable_kmv_jaccard,
+#: merkle_snapshot_diff, event_paths_topk, bfs_hops (second iterative
+#: candidate), jaccard_prefix_join + containment_prefix_join (exact
+#: set-similarity pair), bloom_pruned_lookup, linear_interpolate,
+#: hll_rollup_hierarchy + quantile_band_rollup (sketch-merge pair),
+#: rolling_active_users + rolling_hll_users (exact/sketch sliding pair),
+#: ewma_smoothing, ntile_quartiles, weighted_median, pivot_order_status.
 #: Rotate r1-r4-certified window entries out for these, keeping >=1 green
 #: row per §2 component and per extension family (same rule as below).
 #

@@ -1705,3 +1705,135 @@ def jaccard_prefix_join(spark, sf_dir):
         )
         .withColumn("jac_bp", F.expr("(10000 * inter) div uni"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact containment join — directed prefix filtering
+# ---------------------------------------------------------------------------
+
+#: exact containment threshold 0.9 = |A∩B| / |A| as a ratio (integer
+#: cross-multiplication keeps every filter bit-exact across engines)
+_CPJ_NUM, _CPJ_DEN = 9, 10
+
+_CPJ_SQL = f"""
+    WITH t AS (SELECT doc_id, {_WORDS_DUCK} AS words FROM documents),
+    shr AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM t),
+    e AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shr),
+    sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+    SELECT doc_a, doc_b, inter, sa.n AS n_a,
+           (10000 * inter) // sa.n AS cont_bp
+    FROM p JOIN sz sa ON sa.doc_id = doc_a
+    WHERE {_CPJ_DEN} * inter >= {_CPJ_NUM} * sa.n
+"""
+
+
+@q("containment_prefix_join", _CPJ_SQL)
+def containment_prefix_join(spark, sf_dir):
+    """EXACT directed containment join (|A∩B| / |A| >= 0.9) over word-
+    3-gram shingle sets — the ASYMMETRIC sibling of `jaccard_prefix_join`
+    for the "doc A is a near-subset of doc B" relation (boilerplate
+    inclusion, quote-of / expanded-revision detection), where Jaccard
+    goes blind as |B| grows. Certified against the brute-force
+    all-shared-shingle DuckDB oracle.
+
+    Candidate rule (directed prefix filter): with overlap target
+    t = ceil(0.9·na), A must match inside its na−t+1 RAREST shingles
+    (global rarity order, df asc then shingle — a total order), while the
+    B side indexes ALL its shingles (containment imposes no upper length
+    bound on B — the structural difference from the symmetric join). Two
+    lossless cuts prune the candidate space: SIZE (inter <= nb, so
+    10·nb >= 9·na) and POSITIONAL (overlap <= 1 + min(na−rna, nb−rnb)
+    must reach t, with both ranks in the SAME global order).
+
+    Plan/scale: A-side join input shrinks to prefix rows (rarity-first,
+    so per-shingle fan-out is df_prefix · df with small df_prefix); the
+    B side stays the full posting list — the documented asymmetric cost
+    of containment. Verification re-shingles ONLY candidate docs and
+    intersects arrays per pair; never corpus × corpus."""
+    from pyspark.sql import Window as W
+
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        _shingled(spark, sf_dir)
+        .repartition(par, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    e = sh.select("doc_id", F.explode("sh").alias("s")).distinct()
+    sz = e.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    dfreq = e.groupBy("s").agg(F.count("*").cast("long").alias("df"))
+    ranked = (
+        e.join(dfreq, "s")
+        .join(sz, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("df", "s")),
+        )
+        .select("doc_id", "s", "rn", "n")
+        .localCheckpoint(eager=False)
+    )
+    # t = ceil(0.9*n) in integers; A-prefix keeps rn <= n - t + 1
+    t_of = "(({num} * {n} + {den} - 1) div {den})"
+    ta = t_of.format(num=_CPJ_NUM, den=_CPJ_DEN, n="pa.n")
+    prefix_a = ranked.where(
+        F.col("rn")
+        <= F.col("n")
+        - F.expr(t_of.format(num=_CPJ_NUM, den=_CPJ_DEN, n="n"))
+        + 1
+    )
+    pa, pb = prefix_a.alias("pa"), ranked.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.s") == F.col("pb.s"))
+            & (F.col("pa.doc_id") != F.col("pb.doc_id"))
+            # SIZE cut: inter <= nb must reach t <= na*9/10
+            & (
+                F.lit(_CPJ_DEN) * F.col("pb.n")
+                >= F.lit(_CPJ_NUM) * F.col("pa.n")
+            )
+            # POSITIONAL cut: 1 + min(suffix_a, suffix_b) >= t
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("pa.n") - F.col("pa.rn"),
+                    F.col("pb.n") - F.col("pb.rn"),
+                )
+                >= F.expr(ta)
+            ),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shd = _shingled_for(spark, sf_dir, cand_ids).select(
+        "doc_id", F.array_distinct("sh").alias("sh")
+    )
+    sa, sb = shd.alias("sa"), shd.alias("sb")
+    inter = F.size(F.array_intersect("sa.sh", "sb.sh")).cast("long")
+    return (
+        F.broadcast(cand)
+        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            F.size("sa.sh").cast("long").alias("n_a"),
+        )
+        .where(
+            F.lit(_CPJ_DEN) * F.col("inter")
+            >= F.lit(_CPJ_NUM) * F.col("n_a")
+        )
+        .withColumn("cont_bp", F.expr("(10000 * inter) div n_a"))
+    )

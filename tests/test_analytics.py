@@ -774,3 +774,68 @@ def test_rolling_hll_tracks_exact_rolling_distinct(spark):
     assert set(est) == set(exact)
     for d, e in exact.items():
         assert abs(est[d] - e) / e < 0.35, (d, est[d], e)
+
+
+def test_weighted_median_follows_weight_not_rows(spark, tmp_path_factory):
+    """Prices 10 (w=1), 20 (w=1), 30 (w=8): the row median is 20 but 8 of
+    10 quantity units sit at 30 — the weighted median must report 30."""
+    path = str(tmp_path_factory.mktemp("wmed") / "lake")
+    rows = [
+        (1, 1, "A", 10.0, 1.0),
+        (2, 1, "A", 20.0, 1.0),
+        (3, 1, "A", 30.0, 8.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string,"
+        " l_extendedprice double, l_quantity double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+    [r] = advanced.weighted_median(spark, path).collect()
+    assert (r.l_returnflag, r.total_weight, r.w_median) == ("A", 10, 30.0)
+
+
+def test_containment_join_is_directed(spark, tmp_path_factory):
+    """B = A's text plus a long unique tail: A's shingles are a subset of
+    B's, so (A contained-in B) fires at 10000 bp while the reverse
+    direction (and the Jaccard-symmetric view) must NOT appear."""
+    from bridgedownstream_spark.queries import similarity as sim
+
+    path = str(tmp_path_factory.mktemp("cont") / "lake")
+    base = " ".join(f"tok{i}" for i in range(30))
+    tail = " ".join(f"extra{i}" for i in range(90))
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base + " " + tail, "en", "s", 10),
+        (3, "completely different words " + " ".join(
+            f"zz{i}" for i in range(40)), "en", "s", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): r.cont_bp
+        for r in sim.containment_prefix_join(spark, path).collect()
+    }
+    assert got == {(1, 2): 10000}
+
+
+def test_quantile_band_rollup_levels_are_consistent(spark):
+    """The global row's count equals the sum of nation counts, and each
+    level's p50 estimate lands within one band width of DuckDB's exact
+    median — the additive merge neither loses nor double-counts."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    rows = advanced.quantile_band_rollup(spark, sf).collect()
+    by_level = {r.level_key: r for r in rows}
+    nations = [r for r in rows if r.level_key.startswith("nation:")]
+    assert by_level["global"].n_orders == sum(r.n_orders for r in nations)
+    con = duckdb.connect()
+    lo, hi, exact_p50 = con.execute(
+        f"SELECT min(o_totalprice), max(o_totalprice),"
+        f" quantile_cont(o_totalprice, 0.5)"
+        f" FROM '{sf}/orders.parquet'"
+    ).fetchone()
+    width = (hi - lo) / 256
+    assert abs(by_level["global"].p50_est - exact_p50) <= width

@@ -592,6 +592,24 @@ HEADLINERS = {
         "values is ONE hash aggregate (no domain-discovery distinct "
         "scan), row width = groups × statuses × measures."
     ),
+    "containment_prefix_join": (
+        "Directed containment join (r5): A-side input shrinks to its "
+        "rarity-ordered prefix; B indexes all shingles (containment has "
+        "no upper length bound on B); SIZE + POSITIONAL cuts prune "
+        "before the candidate distinct; verify re-shingles only "
+        "candidate docs via broadcast semi-join — never corpus×corpus."
+    ),
+    "weighted_median": (
+        "Weighted median (r5): running and full-partition weight sums "
+        "share ONE (l_returnflag) exchange; the suffix filter + 3-row "
+        "aggregate replace any second window or self-join."
+    ),
+    "quantile_band_rollup": (
+        "Additive sketch rollup (r5): fact scan touched once (broadcast "
+        "dims + 1-row min/max broadcast); after the first groupBy every "
+        "coarser level shuffles ≤ nations×256 band rows — merge by "
+        "count addition, never re-scan."
+    ),
 }
 
 
