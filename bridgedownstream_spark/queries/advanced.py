@@ -3514,3 +3514,189 @@ def quantile_band_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching — MATCH_RECOGNIZE-style journey counting
+# ---------------------------------------------------------------------------
+
+#: event_type -> single-letter alphabet for the journey string
+_PAT_INI = (
+    "CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' "
+    "WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END"
+)
+
+_PATM_SQL = f"""
+    WITH j AS (
+      SELECT user_id,
+             string_agg({_PAT_INI}, '' ORDER BY ts, event_id) AS journey
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(journey) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(journey, 'vcp')) AS BIGINT) AS n_vcp,
+           CAST(len(regexp_extract_all(journey, 'ep')) AS BIGINT)
+               AS n_err_recovery
+    FROM j WHERE user_id < 40 ORDER BY user_id
+"""
+
+
+@q("event_pattern_match", _PATM_SQL)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern counting: each user's
+    time-ordered events collapse to a one-letter-per-event journey
+    string, and patterns become substring counts — here the strict
+    view→click→purchase trigram and the error→purchase recovery bigram,
+    counted non-overlapping left-to-right (both engines' regexp scan
+    semantics for LITERAL patterns; literals dodge every cross-engine
+    regex-dialect trap). The journey string is deterministic: the
+    per-user collect is sorted by the total (ts, event_id) order before
+    joining, never relying on aggregation order.
+
+    Plan/scale: ONE shuffle on user_id; per-user state is the journey
+    string (events-per-user bounded, the sessionize contract). The
+    whole-journey string is the honest cost — pattern automata that
+    stream per-event (lag windows) cover fixed-length patterns like
+    `event_paths_topk`; this operator exists for patterns whose length
+    is data-dependent."""
+    ev = tbl(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    j = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id").alias("k"),
+            F.expr(_PAT_INI).alias("ini"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "ini"))),
+                    lambda x: x["ini"],
+                ),
+                "",
+            ).alias("journey")
+        )
+    )
+    return j.select(
+        "user_id",
+        F.length("journey").cast("long").alias("n_events"),
+        F.expr("regexp_count(journey, 'vcp')").cast("long").alias("n_vcp"),
+        F.expr("regexp_count(journey, 'ep')")
+        .cast("long")
+        .alias("n_err_recovery"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Rank-window suite — percent_rank / cume_dist / nth_value
+# ---------------------------------------------------------------------------
+
+_RANKS_SQL = """
+    WITH t AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             nth_value(o_totalprice, 3) OVER (
+                 PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS third_lowest
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT o_orderkey, o_orderpriority,
+           round(pr, 6) AS pct_rank,
+           round(cd, 6) AS cume_dist,
+           third_lowest
+    FROM t WHERE o_orderkey % 997 = 0 ORDER BY o_orderkey
+"""
+
+
+@q("window_rank_suite", _RANKS_SQL)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The relative-rank window family in one pass: percent_rank
+    ((rank−1)/(n−1)) and cume_dist (peers-inclusive fraction) over the
+    (price, orderkey) total order, plus nth_value(3) with an explicit
+    full-partition ROWS frame (the default read-to-current frame would
+    leave the first two rows NULL). The unique orderkey tie-break means
+    no peer groups, so both engines' peer handling is moot by
+    construction; the rank fractions are single exact divisions of
+    integers (deterministic doubles), rounded only as a render.
+
+    Plan/scale: all three functions share one window spec family on the
+    same key, so the plan is ONE (o_orderpriority) exchange + Window
+    node(s); the % 997 output filter cannot push below the windows
+    (they need the full partition) — the honest cost of relative ranks,
+    same contract as `ntile_quartiles`."""
+    wo = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    t = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(wo).alias("pr"),
+        F.cume_dist().over(wo).alias("cd"),
+        F.nth_value("o_totalprice", 3).over(wf).alias("third_lowest"),
+    )
+    return (
+        t.where(F.col("o_orderkey") % 997 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("pr", 6).alias("pct_rank"),
+            F.round("cd", 6).alias("cume_dist"),
+            F.col("third_lowest").cast("double").alias("third_lowest"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS with grouping flags
+# ---------------------------------------------------------------------------
+
+_GSETS_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(24,10))), 2) AS DOUBLE)
+               AS revenue,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus))
+    ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
+"""
+
+
+@q("groupingsets_revenue", _GSETS_SQL)
+def groupingsets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the selective sibling of `cube_revenue`'s
+    full cube: exactly the three requested aggregation levels in ONE
+    scan (detail, by-priority, by-status — no grand total, which a cube
+    would force and a report often doesn't want), with per-column
+    grouping() flags disambiguating real NULL keys from rolled-up ones
+    (the flags, not the NULLs, are the level id — portable across
+    engines, unlike bit-packed grouping_id orderings). DECIMAL sums keep
+    every level merge-order-exact.
+
+    Plan/scale: Spark plans one Expand node (3 replicas routed by
+    grouping set) + one aggregate exchange — rows shuffle once per
+    REQUESTED level, not once per 2^k cube cell."""
+    o = tbl(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gsets_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(24,10))), 2)
+                    AS DOUBLE) AS revenue,
+               count(*) AS n
+        FROM __gsets_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus))
+        ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
+        """
+    )

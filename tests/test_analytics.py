@@ -839,3 +839,64 @@ def test_quantile_band_rollup_levels_are_consistent(spark):
     ).fetchone()
     width = (hi - lo) / 256
     assert abs(by_level["global"].p50_est - exact_p50) <= width
+
+
+def test_event_pattern_match_counts_nonoverlapping(spark, tmp_path_factory):
+    """Journey v,c,p,v,c,p,e,p: two 'vcp' trigrams and one 'ep' recovery;
+    ordering comes from (ts, event_id), not insertion order."""
+    import datetime as dt
+
+    path = str(tmp_path_factory.mktemp("patm") / "lake")
+    t0 = dt.datetime(2024, 1, 1)
+    seq = ["view", "click", "purchase", "view", "click", "purchase",
+           "error", "purchase"]
+    rows = [
+        (k, t0 + dt.timedelta(minutes=k), 7, et, 1.0, "{}")
+        for k, et in enumerate(reversed(seq))
+    ]
+    # reversed insert order + reversed timestamps => same journey
+    rows = [
+        (k, t0 + dt.timedelta(minutes=len(seq) - k), uid, et, v, p)
+        for (k, _, uid, et, v, p) in rows
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    [r] = advanced.event_pattern_match(spark, path).collect()
+    assert (r.n_events, r.n_vcp, r.n_err_recovery) == (8, 2, 1)
+
+
+def test_window_rank_suite_full_frame_nth_value(spark, tmp_path_factory):
+    """nth_value(3) with the full-partition frame is defined for EVERY
+    row (including the first two), and percent_rank of the lowest /
+    highest rows is exactly 0 / 1."""
+    path = str(tmp_path_factory.mktemp("ranks") / "lake")
+    rows = [(997 * k, "A", float(10 * k)) for k in range(1, 6)]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    got = {r.o_orderkey: r for r in
+           advanced.window_rank_suite(spark, path).collect()}
+    assert all(r.third_lowest == 30.0 for r in got.values())
+    assert got[997].pct_rank == 0.0
+    assert got[997 * 5].pct_rank == 1.0
+    assert got[997 * 5].cume_dist == 1.0
+
+
+def test_groupingsets_flags_disambiguate_levels(spark, tmp_path_factory):
+    """Three levels exactly (no grand total); grouping flags — not the
+    NULLed keys — identify each level."""
+    path = str(tmp_path_factory.mktemp("gsets") / "lake")
+    rows = [(1, "HI", "F", 10.0), (2, "HI", "O", 20.0), (3, "LO", "F", 40.0)]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_orderstatus string,"
+        " o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    rows = advanced.groupingsets_revenue(spark, path).collect()
+    levels = {(r.g_priority, r.g_status) for r in rows}
+    assert levels == {(0, 0), (0, 1), (1, 0)}  # detail, by-prio, by-status
+    by_status = {r.o_orderstatus: r.revenue
+                 for r in rows if (r.g_priority, r.g_status) == (1, 0)}
+    assert by_status == {"F": 50.0, "O": 20.0}

@@ -610,6 +610,22 @@ HEADLINERS = {
         "coarser level shuffles ≤ nations×256 band rows — merge by "
         "count addition, never re-scan."
     ),
+    "event_pattern_match": (
+        "Sequence pattern matching (r5): one user_id shuffle builds the "
+        "deterministic journey string (array_sort over (ts,event_id) "
+        "structs — no reliance on aggregation order); literal-pattern "
+        "regexp counts are a projection."
+    ),
+    "window_rank_suite": (
+        "Relative ranks (r5): percent_rank/cume_dist/nth_value share "
+        "one (o_orderpriority) exchange; the output filter stays above "
+        "the windows by necessity — full-partition semantics."
+    ),
+    "groupingsets_revenue": (
+        "Explicit GROUPING SETS (r5): ONE Expand node with 3 replicas "
+        "+ one aggregate exchange — rows shuffle per requested level, "
+        "not per 2^k cube cell."
+    ),
 }
 
 
