@@ -139,6 +139,7 @@ def main() -> int:
         _pq_mod._build_stream_enrich,
         _pq_mod._build_join_view,
         _pq_mod._build_stream_ijoin,
+        _pq_mod._build_stream_ljoin,
         _pq_mod._build_stream_sessions,
         _pq_mod._build_manifest,
         _pq_mod._build_bloom_lake,

@@ -790,6 +790,134 @@ def stream_interval_join_e2e(spark, sf_dir):
     )
 
 
+#: (sf_dir) -> parquet path of the drained stream-stream LEFT OUTER join
+_SLJOIN: dict[str, str] = {}
+
+
+def _build_stream_ljoin(spark: SparkSession, sf_dir: str) -> str:
+    """LEFT OUTER interval-join drain. Outer emission is WATERMARK-driven
+    (an unmatched left row may only emit once no partner can still
+    arrive), so the fixture uses the sessionize protocol: a TIME-ORDERED
+    four-file source — two real halves split at the midpoint timestamp,
+    then two sentinel files an hour+ past the real maximum, each carrying
+    one row per SIDE (ids far past the real range, user_id < 0 so they
+    can never join) so BOTH inputs' watermarks advance — and the final
+    sentinel batch flushes the entire unmatched tail. With the source
+    time-ordered no real row is ever late-dropped, so the drained set
+    equals the batch left join exactly."""
+    if sf_dir in _SLJOIN:
+        return _SLJOIN[sf_dir]
+    import datetime as _dt
+    import glob
+    import shutil
+    import time as _time
+
+    from bridgedownstream_spark.streaming.joins import (
+        interval_left_join_streams,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bds_sljoin_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    ev = tbl(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    big = 10**15  # sentinel ids: far past any real event_id, one per parity
+    parts = [
+        ev.where(F.col("ts") <= F.lit(mid)),
+        ev.where(F.col("ts") > F.lit(mid)),
+        spark.createDataFrame(
+            [(big, hi + _dt.timedelta(hours=1), -1),
+             (big + 1, hi + _dt.timedelta(hours=1), -2)],
+            "event_id long, ts timestamp, user_id long",
+        ),
+        spark.createDataFrame(
+            [(big + 2, hi + _dt.timedelta(hours=2), -1),
+             (big + 3, hi + _dt.timedelta(hours=2), -2)],
+            "event_id long, ts timestamp, user_id long",
+        ),
+    ]
+    now = _time.time()
+    for i, p in enumerate(parts):
+        tmp = os.path.join(base, f"tmp{i}")
+        p.coalesce(1).write.option("timestampFormat", _TS_JSON_FMT).json(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.json"))
+        dst = os.path.join(src, f"{i:02d}.json")
+        shutil.move(part, dst)
+        os.utime(dst, (now + 30 * i, now + 30 * i))
+        shutil.rmtree(tmp, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("timestampFormat", _TS_JSON_FMT)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    left = stream.where(F.col("event_id") % 2 == 0)
+    right = stream.where(
+        (F.col("event_id") % 2 == 1) | (F.col("event_id") % 2 == -1)
+    )
+    joined = interval_left_join_streams(
+        left, right, "user_id", tolerance="10 minutes", watermark="10 minutes"
+    )
+    q_ = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q_.awaitTermination(300):
+        q_.stop()
+        raise TimeoutError(f"stream left-join drain exceeded 300s ({ckpt})")
+    _SLJOIN[sf_dir] = out
+    return out
+
+
+@q(
+    "stream_left_join_e2e",
+    """
+    SELECT l.event_id,
+           COALESCE(r.event_id, -1) AS r_event_id,
+           l.user_id
+    FROM events l LEFT JOIN events r
+      ON l.user_id = r.user_id
+     AND r.event_id % 2 = 1
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    WHERE l.event_id % 2 = 0
+    """,
+)
+def stream_left_join_e2e(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join with a FULL value-hash
+    oracle: even-id events left-join odd-id events of the same user
+    within [ts, ts+10min]; unmatched left rows MUST emit (with the -1
+    null marker) — the correlation where absence is the signal
+    (records whose confirmation never arrived). Outer emission only
+    happens when the watermark passes a row's expiry, which the
+    sentinel-batch drain protocol guarantees for every real row; the
+    drained set then equals the batch left join bit-for-bit. The inner
+    sibling (`stream_interval_join_e2e`) certifies matched-pair
+    exactness; this certifies the unmatched tail."""
+    out = _build_stream_ljoin(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("user_id") >= 0)
+        .select(
+            "event_id",
+            F.coalesce("r_event_id", F.lit(-1)).cast("long").alias(
+                "r_event_id"
+            ),
+            "user_id",
+        )
+    )
+
+
 #: (sf_dir) -> parquet path of the drained stream-static enrichment
 _SENRICH: dict[str, str] = {}
 

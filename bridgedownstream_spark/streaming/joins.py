@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["interval_join_streams"]
+__all__ = ["interval_join_streams", "interval_left_join_streams"]
 
 
 def interval_join_streams(
@@ -51,3 +51,39 @@ def interval_join_streams(
         & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {tolerance}"))
     )
     return lw.join(rw, cond, "inner").drop(rkey)
+
+
+def interval_left_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance: str = "10 minutes",
+    watermark: str = "10 minutes",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """LEFT OUTER sibling of :func:`interval_join_streams`: every left
+    row emits exactly once — joined rows as matches arrive, unmatched
+    rows with NULL right columns once the WATERMARK proves no partner
+    can still arrive (state for a left row is releasable only when the
+    global watermark passes ``left_ts + tolerance``). This is the
+    correlation shape where absence is data: records whose confirmation
+    never landed, impressions that never clicked.
+
+    Unlike the inner join (where an oversized watermark merely buffers
+    more), the outer side NEEDS watermark progress to emit at all — a
+    finite availableNow drain must end with batches that advance event
+    time past every real row's expiry, or the unmatched tail stays in
+    state forever (the sentinel-batch protocol of the e2e fixture).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    rw = rw.select([F.col(c).alias(f"{right_prefix}{c}") for c in rw.columns])
+    rkey, rts = f"{right_prefix}{key}", f"{right_prefix}{right_ts}"
+    cond = (
+        (F.col(key) == F.col(rkey))
+        & (F.col(rts) >= F.col(left_ts))
+        & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {tolerance}"))
+    )
+    return lw.join(rw, cond, "leftOuter").drop(rkey)

@@ -55,3 +55,73 @@ def test_interval_join_streams(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["recordid"] == "rec1"
     assert rows[0]["r_kind"] == "confirm"
+
+
+def test_interval_left_join_emits_unmatched_on_watermark(spark, tmp_path):
+    """LEFT OUTER variant: rec1 joins its in-tolerance confirm; rec2's
+    confirm is too late and rec3 has none — both MUST still emit, with
+    NULL right columns, once the sentinel batch advances the watermark
+    past their expiry. Without the sentinel the unmatched tail would
+    stay in state forever (append-mode outer semantics)."""
+    import time as _time
+
+    from bridgedownstream_spark.streaming.joins import (
+        interval_left_join_streams,
+    )
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    sink, cp = str(tmp_path / "o"), str(tmp_path / "cp")
+    _write(
+        lsrc,
+        "00_uploads.ndjson",
+        [
+            ("2024-01-01 10:00:00", "rec1", "upload"),
+            ("2024-01-01 10:00:00", "rec2", "upload"),
+            ("2024-01-01 10:00:00", "rec3", "upload"),
+        ],
+    )
+    _write(
+        rsrc,
+        "00_confirms.ndjson",
+        [
+            ("2024-01-01 10:05:00", "rec1", "confirm"),
+            ("2024-01-01 10:20:00", "rec2", "confirm"),  # outside tolerance
+        ],
+    )
+    # sentinel batch on BOTH sides, far past expiry of every real row
+    now = _time.time()
+    for src, name, rid in (
+        (lsrc, "01_sent.ndjson", "zzL"),
+        (rsrc, "01_sent.ndjson", "zzR"),
+    ):
+        _write(src, name, [("2024-01-01 12:00:00", rid, "sentinel")])
+        os.utime(os.path.join(src, name), (now + 60, now + 60))
+    left = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(lsrc)
+        .where("kind <> 'x'")
+    )
+    right = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(rsrc)
+    )
+    joined = interval_left_join_streams(
+        left, right, key="recordid", tolerance="10 minutes",
+        watermark="1 minute",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _id: b.write.mode("append").parquet(sink))
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.recordid, r.r_kind)
+        for r in spark.read.parquet(sink).collect()
+        if r.kind != "sentinel"
+    }
+    assert got == {("rec1", "confirm"), ("rec2", None), ("rec3", None)}

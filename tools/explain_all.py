@@ -621,6 +621,13 @@ HEADLINERS = {
         "one (o_orderpriority) exchange; the output filter stays above "
         "the windows by necessity — full-partition semantics."
     ),
+    "stream_left_join_e2e": (
+        "Stream-stream LEFT OUTER interval join (r5): per-side state is "
+        "bounded by watermark × arrival rate; unmatched rows emit on "
+        "watermark passage (sentinel-batch drain). The read side of the "
+        "plan is the drained parquet; the state machine itself is "
+        "certified by the full value-hash oracle vs the batch left join."
+    ),
     "groupingsets_revenue": (
         "Explicit GROUPING SETS (r5): ONE Expand node with 3 replicas "
         "+ one aggregate exchange — rows shuffle per requested level, "
