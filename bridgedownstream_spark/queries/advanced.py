@@ -3700,3 +3700,156 @@ def groupingsets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance — retraction algebra (IVM)
+# ---------------------------------------------------------------------------
+
+_IVM_SQL = """
+    WITH log AS (
+      SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(19,2)) AS v,
+             1 AS sgn
+      FROM orders
+      UNION ALL
+      SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(19,2)) AS v,
+             -1 AS sgn
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(sum(sgn) AS BIGINT) AS n_live,
+           CAST(round(sum(sgn * CAST(v AS DECIMAL(24,10))), 2) AS DOUBLE)
+               AS sum_live
+    FROM log GROUP BY 1 ORDER BY 1
+"""
+
+
+@q("ivm_agg_retract", _IVM_SQL)
+def ivm_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VIEW maintenance for aggregates under DELETES — the
+    retraction ("counting") algebra every streaming materialized view
+    relies on: an insert contributes (+1, +v), a delete (−1, −v), and
+    the maintained (count, sum) per group equals a full recompute over
+    the surviving rows WITHOUT ever touching them (here the change log
+    is orders as inserts plus a delete for every orderkey % 7 == 0;
+    pytest pins maintained ≡ recompute-over-survivors on a hand
+    fixture, and the oracle replays the identical signed log). Sums run
+    on DECIMAL so retraction is exact — float retraction drifts, which
+    is why this algebra demands exact-typed accumulators at scale.
+
+    Plan/scale: the signed log is a UNION of two projections of ONE
+    table scan (no join against the deletes — the sign IS the delete),
+    then a single map-combining aggregate exchange; maintenance cost
+    scales with the CHANGE volume, never the view size."""
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(19,2)").alias("v"),
+    )
+    ins = o.select("o_orderpriority", "v", F.lit(1).alias("sgn"))
+    dels = o.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderpriority", "v", F.lit(-1).alias("sgn")
+    )
+    log = ins.unionByName(dels)
+    return (
+        log.groupBy("o_orderpriority")
+        .agg(
+            F.sum("sgn").cast("long").alias("n_live"),
+            F.round(
+                F.sum(F.col("sgn") * F.col("v").cast("decimal(24,10)")), 2
+            )
+            .cast("double")
+            .alias("sum_live"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest path — bounded Bellman-Ford over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+#: relaxation rounds: dist after round k is exact over all <=k-hop paths
+_SSSP_HOPS = 3
+
+_SSSP_SQL = f"""
+    WITH RECURSIVE
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                 1000000 // count(*) AS w
+          FROM li a JOIN li b USING (l_orderkey)
+          WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+    walk AS (
+        SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist, 0 AS hop
+        FROM part WHERE p_partkey % 500 = 7
+        UNION
+        SELECT e.dst, walk.dist + e.w, walk.hop + 1
+        FROM walk JOIN e ON e.src = walk.node
+        WHERE walk.hop < {_SSSP_HOPS}
+    )
+    SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+"""
+
+
+@q("sssp_weighted", _SSSP_SQL)
+def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source WEIGHTED shortest path (bounded Bellman-Ford) over
+    the part co-purchase graph: edge cost is inversely tied to
+    co-purchase frequency (1000000 div shared-order-count — rare
+    associations are long hops), distances are exact bigint min-plus
+    sums over paths of <= 3 hops from the `p_partkey % 500 = 7` seed
+    set. The min-plus sibling of `bfs_hops` (hop counting) and
+    `pagerank_copurchase` (fixed-point scoring): round k's table is
+    provably the min over all <=k-hop paths, which is EXACTLY what the
+    DuckDB recursive-CTE oracle enumerates — two different algorithms
+    (per-round relaxation vs path enumeration + dedup), one answer.
+
+    Plan/scale: the weighted edge list aggregates out of ONE orderkey
+    self-join and is localCheckpointed; each round BROADCASTS the
+    node-cardinality distance table into the cached edge partitions
+    (edges never re-shuffle) and re-minimizes per node — the shuffle per
+    round is <=|V| rows. The oracle's path enumeration is exponential in
+    hops; the relaxation is rounds x |E| with |V|-sized state, which is
+    why Bellman-Ford, not path listing, is the 100 TB shape."""
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.expr("1000000 div count(*)").alias("w"))
+        .coalesce(8)
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        tbl(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 500 == 7)
+        .select(
+            F.col("p_partkey").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+    )
+    for _ in range(_SSSP_HOPS):
+        relaxed = (
+            edges.join(
+                F.broadcast(dist), edges.src == F.col("node"), "inner"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)  # flatten round-k lineage
+        )
+    return dist

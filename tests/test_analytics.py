@@ -900,3 +900,48 @@ def test_groupingsets_flags_disambiguate_levels(spark, tmp_path_factory):
     by_status = {r.o_orderstatus: r.revenue
                  for r in rows if (r.g_priority, r.g_status) == (1, 0)}
     assert by_status == {"F": 50.0, "O": 20.0}
+
+
+def test_ivm_retraction_equals_recompute_over_survivors(spark, tmp_path_factory):
+    """The maintained (count, sum) from the signed change log equals a
+    recompute over the rows that survive the deletes."""
+    path = str(tmp_path_factory.mktemp("ivm") / "lake")
+    rows = [(k, "P" if k % 2 else "Q", float(10 * k)) for k in range(1, 15)]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    got = {r.o_orderpriority: (r.n_live, r.sum_live)
+           for r in advanced.ivm_agg_retract(spark, path).collect()}
+    survivors = [(p, v) for k, p, v in rows if k % 7 != 0]
+    for prio in ("P", "Q"):
+        vs = [v for p, v in survivors if p == prio]
+        assert got[prio] == (len(vs), round(sum(vs), 2))
+
+
+def test_sssp_prefers_cheap_two_hop_over_direct(spark, tmp_path_factory):
+    """Hand graph: seed 7 connects to part 100 directly through ONE shared
+    order (w=1000000) and via part 50 through two legs that share 4 and 5
+    orders (w=250000+200000=450000): the two-hop path must win. Part 200
+    is reachable only from 100 (third hop)."""
+    path = str(tmp_path_factory.mktemp("sssp") / "lake")
+    rows = []
+    oid = [0]
+
+    def orders_with(x, y, n):
+        for _ in range(n):
+            oid[0] += 1
+            rows.append((oid[0], x))
+            rows.append((oid[0], y))
+
+    orders_with(7, 100, 1)   # direct: w = 1000000
+    orders_with(7, 50, 4)    # leg 1:  w = 250000
+    orders_with(50, 100, 5)  # leg 2:  w = 200000
+    orders_with(100, 200, 2) # hop 3:  w = 500000
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(7,), (50,), (100,), (200,)], "p_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/part.parquet")
+    got = {r.node: r.dist for r in advanced.sssp_weighted(spark, path).collect()}
+    assert got == {7: 0, 50: 250000, 100: 450000, 200: 950000}

@@ -628,6 +628,18 @@ HEADLINERS = {
         "plan is the drained parquet; the state machine itself is "
         "certified by the full value-hash oracle vs the batch left join."
     ),
+    "sssp_weighted": (
+        "Weighted shortest path (r5): weighted edges aggregate out of "
+        "one orderkey self-join, localCheckpointed; each relaxation "
+        "round broadcasts the |V|-row distance table into cached edge "
+        "partitions and re-minimizes — shuffle per round is |V| rows, "
+        "edges never move."
+    ),
+    "ivm_agg_retract": (
+        "IVM retraction (r5): signed log = UNION of two projections of "
+        "ONE scan (the sign IS the delete), then a single map-combining "
+        "aggregate exchange on DECIMAL accumulators."
+    ),
     "groupingsets_revenue": (
         "Explicit GROUPING SETS (r5): ONE Expand node with 3 replicas "
         "+ one aggregate exchange — rows shuffle per requested level, "
