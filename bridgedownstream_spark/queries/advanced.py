@@ -3853,3 +3853,145 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)  # flatten round-k lineage
         )
     return dist
+
+
+# ---------------------------------------------------------------------------
+# Greedy debounce — sequential per-key throttling via applyInPandas
+# ---------------------------------------------------------------------------
+
+#: throttle interval (microseconds): after a kept event, suppress the
+#: user's events for 5 minutes, then keep the next one, and so on
+_DEBOUNCE_US = 300_000_000
+
+_DEBOUNCE_SQL = f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id
+      FROM events WHERE user_id < 40
+    ),
+    walk(user_id, us, event_id) AS (
+      SELECT user_id, (min({{'us': us, 'id': event_id}})).us,
+             (min({{'us': us, 'id': event_id}})).id
+      FROM ev GROUP BY user_id
+      UNION
+      SELECT e.user_id, (min({{'us': e.us, 'id': e.event_id}})).us,
+             (min({{'us': e.us, 'id': e.event_id}})).id
+      FROM walk w JOIN ev e
+        ON e.user_id = w.user_id AND e.us >= w.us + {_DEBOUNCE_US}
+      GROUP BY e.user_id
+    )
+    SELECT user_id, event_id FROM walk ORDER BY user_id, event_id
+"""
+
+
+@q("debounce_events", _DEBOUNCE_SQL)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY per-user debounce (alert throttling): keep an event, drop
+    everything in the next 5 minutes, keep the next survivor, repeat.
+    The kept set depends on which earlier events were kept — a
+    sequential recurrence no window function expresses (a lag/session
+    rewrite computes gaps to the previous EVENT, not to the previous
+    KEPT event) — so this is the showcase for the custom-stateful
+    escape hatch: Arrow-batched ``applyInPandas`` runs the O(n) greedy
+    scan per user, and the DuckDB oracle replays it as a recursive CTE
+    (each iteration's working table holds exactly the per-user frontier
+    row, so ``min(next eligible)`` extends each chain by one link) —
+    two different algorithms, one answer, certifying the imperative
+    path bit-for-bit.
+
+    Plan/scale: ONE shuffle on user_id into FlatMapGroupsInPandas;
+    per-group state is the group itself (the sessionize bound), the
+    Python work is a single numpy-sorted linear scan per user, and the
+    5-minute throttle means output ≤ span/gap rows per user. The tie
+    order (us, event_id) is total, so both engines keep the same event
+    when timestamps collide."""
+    import pandas as pd
+
+    ev = (
+        tbl(spark, sf_dir, "events")
+        .where(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts)").alias("us"),
+            "event_id",
+        )
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"])
+        us = pdf["us"].to_numpy()
+        ids = pdf["event_id"].to_numpy()
+        uid = pdf["user_id"].iloc[0]
+        kept = []
+        next_ok = None
+        for t, i in zip(us, ids):
+            if next_ok is None or t >= next_ok:
+                kept.append(i)
+                next_ok = t + _DEBOUNCE_US
+        return pd.DataFrame({"user_id": uid, "event_id": kept})
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(_greedy, "user_id long, event_id long")
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set operations — EXCEPT ALL / INTERSECT ALL
+# ---------------------------------------------------------------------------
+
+_BAGOPS_SQL = """
+    WITH span AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+                  FROM events),
+    h1 AS (SELECT user_id, event_type FROM events, span
+           WHERE epoch_us(ts) <= mid),
+    h2 AS (SELECT user_id, event_type FROM events, span
+           WHERE epoch_us(ts) > mid),
+    lost AS (SELECT * FROM h1 EXCEPT ALL SELECT * FROM h2),
+    common AS (SELECT * FROM h1 INTERSECT ALL SELECT * FROM h2)
+    SELECT 'lost' AS op, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM lost GROUP BY 2
+    UNION ALL
+    SELECT 'common' AS op, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM common GROUP BY 2
+    ORDER BY op, event_type
+"""
+
+
+@q("bag_set_ops", _BAGOPS_SQL)
+def bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations — EXCEPT ALL / INTERSECT ALL with
+    multiplicity semantics (§2.7's set ops are all DISTINCT-flavored;
+    bags are the other half): per-user activity bags from the first
+    half of the time range are diffed/intersected against the second
+    half, where a user with 3 clicks in h1 and 1 in h2 contributes 2 to
+    the lost bag and 1 to the common bag — counts a distinct-set diff
+    would collapse. Spark's exceptAll/intersectAll implement the SQL
+    standard's max(m−n,0)/min(m,n) multiplicity algebra; the oracle is
+    the literal EXCEPT ALL/INTERSECT ALL.
+
+    Plan/scale: Catalyst rewrites both ops to count-aggregate + join
+    shapes (no row-pairing): one shuffle per side on the row key, then
+    a generate of the surviving multiplicities — bag semantics at
+    group-by cost."""
+    ev = tbl(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("us")
+    )
+    (mid,) = ev.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("long")
+    ).first()
+    h1 = ev.where(F.col("us") <= mid).select("user_id", "event_type")
+    h2 = ev.where(F.col("us") > mid).select("user_id", "event_type")
+    lost = (
+        h1.exceptAll(h2)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("lost").alias("op"), "event_type", "n")
+    )
+    common = (
+        h1.intersectAll(h2)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("common").alias("op"), "event_type", "n")
+    )
+    return lost.unionByName(common).orderBy("op", "event_type")

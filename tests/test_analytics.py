@@ -945,3 +945,44 @@ def test_sssp_prefers_cheap_two_hop_over_direct(spark, tmp_path_factory):
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/part.parquet")
     got = {r.node: r.dist for r in advanced.sssp_weighted(spark, path).collect()}
     assert got == {7: 0, 50: 250000, 100: 450000, 200: 950000}
+
+
+def test_debounce_measures_gap_from_kept_not_previous(spark, tmp_path_factory):
+    """Events at minutes 0, 4, 8: a lag-based rewrite (gap from previous
+    EVENT) would drop both 4 and 8; the greedy throttle must keep 0 and
+    8 (8 >= 0+5min even though it is only 4min after the dropped 4)."""
+    import datetime as dt
+
+    path = str(tmp_path_factory.mktemp("deb") / "lake")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, t0 + dt.timedelta(minutes=m), 1, "x", 1.0, "{}")
+        for k, m in [(1, 0), (2, 4), (3, 8)]
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    kept = [r.event_id for r in advanced.debounce_events(spark, path).collect()]
+    assert kept == [1, 3]
+
+
+def test_bag_set_ops_keep_multiplicity(spark, tmp_path_factory):
+    """User 1 clicks 3x in h1 and 1x in h2: lost=2, common=1 — a
+    distinct-set diff would report lost=0."""
+    import datetime as dt
+
+    path = str(tmp_path_factory.mktemp("bag") / "lake")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(k, t0 + dt.timedelta(hours=h), 1, "click", 1.0, "{}")
+            for k, h in [(1, 0), (2, 1), (3, 2), (4, 40)]]
+    # span 0..40h, mid=20h: three clicks in h1, one in h2
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    got = {(r.op, r.event_type): r.n
+           for r in advanced.bag_set_ops(spark, path).collect()}
+    assert got == {("lost", "click"): 2, ("common", "click"): 1}

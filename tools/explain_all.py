@@ -640,6 +640,18 @@ HEADLINERS = {
         "ONE scan (the sign IS the delete), then a single map-combining "
         "aggregate exchange on DECIMAL accumulators."
     ),
+    "debounce_events": (
+        "Greedy debounce (r5): ONE user_id shuffle into "
+        "FlatMapGroupsInPandas (Arrow-batched, NOT BatchEvalPython); "
+        "per-group state is the group; output bounded by span/gap per "
+        "user. The sequential recurrence is the documented reason the "
+        "imperative path exists."
+    ),
+    "bag_set_ops": (
+        "Bag set ops (r5): exceptAll/intersectAll plan as count-"
+        "aggregate + join + generate — multiplicity semantics without "
+        "row pairing; one shuffle per side."
+    ),
     "groupingsets_revenue": (
         "Explicit GROUPING SETS (r5): ONE Expand node with 3 replicas "
         "+ one aggregate exchange — rows shuffle per requested level, "
