@@ -3995,3 +3995,214 @@ def bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("common").alias("op"), "event_type", "n")
     )
     return lost.unionByName(common).orderBy("op", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation cardinalities — union/intersection SIZE estimates
+# ---------------------------------------------------------------------------
+
+#: md5-60 hash domain size for the KMV cardinality estimator
+_KMV_DOMAIN = 1 << 60
+
+_KMVC_SQL = f"""
+    WITH t AS (
+      SELECT source,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT source,
+             unnest(list_transform(
+               generate_series(1, greatest(len(words) - 2, 0)),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+      FROM t
+    ),
+    h AS (
+      SELECT DISTINCT source, {HASH60.format(x="s")} AS hv
+      FROM sh
+    ),
+    sk AS (
+      SELECT source, hv, rn FROM (
+        SELECT source, hv,
+               row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+               count(*) OVER (PARTITION BY source) AS nd
+        FROM h
+      ) WHERE rn <= {_KMV_K}
+    ),
+    card AS (
+      SELECT source,
+             CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS BIGINT)
+                  ELSE CAST(CAST({(_KMV_K - 1) * _KMV_DOMAIN} AS HUGEINT)
+                       // max(CASE WHEN rn = {_KMV_K} THEN hv END) AS BIGINT)
+             END AS est_d
+      FROM sk GROUP BY source
+    ),
+    pr AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM (SELECT DISTINCT source FROM documents) a
+      JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+    ),
+    uni AS (
+      SELECT p.source_a, p.source_b, s.hv,
+             max(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+      FROM pr p
+      JOIN sk s ON s.source = p.source_a OR s.source = p.source_b
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT source_a, source_b, hv, in_a, in_b,
+             row_number() OVER (PARTITION BY source_a, source_b
+                                ORDER BY hv) AS rn
+      FROM uni
+    ),
+    m AS (
+      SELECT source_a, source_b,
+             CAST(count(*) AS BIGINT) AS k_u,
+             CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+             max(CASE WHEN rn = {_KMV_K} THEN hv END) AS kth
+      FROM ranked WHERE rn <= {_KMV_K}
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT source_a, source_b, n_both,
+             CASE WHEN k_u < {_KMV_K} THEN k_u
+                  ELSE CAST(CAST({(_KMV_K - 1) * _KMV_DOMAIN} AS HUGEINT)
+                            // kth AS BIGINT)
+             END AS est_union,
+             k_u
+      FROM m
+    )
+    SELECT e.source_a, e.source_b,
+           ca.est_d AS est_distinct_a,
+           cb.est_d AS est_distinct_b,
+           e.est_union,
+           e.n_both * e.est_union // e.k_u AS est_intersection
+    FROM est e
+    JOIN card ca ON ca.source = e.source_a
+    JOIN card cb ON cb.source = e.source_b
+    ORDER BY e.source_a, e.source_b
+"""
+
+
+@q("kmv_set_cardinality", _KMVC_SQL)
+def kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation CARDINALITIES from KMV sketches — the theta-sketch
+    capability HLL lacks: per source pair, estimated distinct-shingle
+    counts, UNION size ((k−1)·M div h_k of the combined sketch — the
+    k-th-minimum estimator over the 2^60 hash domain) and INTERSECTION
+    size (overlap share of the union sketch × union estimate), all from
+    the same k=64 sketches `portable_kmv_jaccard` builds — sizes, not
+    just ratios, which is what capacity planning for a cross-corpus
+    dedup actually needs. Small sets degrade to EXACT counts (a sketch
+    with < k values IS its set — the case integer-gated so both engines
+    branch identically); every estimator is integer multiply-then-
+    floor-divide, bit-identical across engines and merge orders.
+
+    Plan/scale: identical to the jaccard twin — bodies hash in the scan
+    projection, only (source, hv) moves, pair math on sources²×k sketch
+    rows. Union/intersection of 100 TB corpora priced without touching
+    either corpus again: the sketches are the interface."""
+    from bridgedownstream_spark.queries.similarity import (
+        _SHINGLES_SPARK,
+        _WORDS_SPARK,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    h = (
+        docs.selectExpr("source", f"{_WORDS_SPARK} AS words")
+        .selectExpr("source", f"explode({_SHINGLES_SPARK}) AS s")
+        .select("source", portable_hash60(F.col("s")).alias("hv"))
+        .distinct()
+    )
+    w = W.partitionBy("source").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .localCheckpoint(eager=False)  # one sketch build, two consumers
+    )
+    card = sk.groupBy("source").agg(
+        F.when(F.count("*") < _KMV_K, F.count("*").cast("long"))
+        .otherwise(
+            F.expr(
+                # integral `div` on DECIMAL is exact (no scale-6 rounding
+                # a floor(/) would ride on) — matches HUGEINT // exactly
+                f"CAST(CAST('{(_KMV_K - 1) * _KMV_DOMAIN}'"
+                f" AS DECIMAL(38,0))"
+                f" div max(CASE WHEN rn = {_KMV_K} THEN hv END) AS BIGINT)"
+            )
+        )
+        .alias("est_d")
+    )
+    srcs = docs.select("source").distinct()
+    pr = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(
+            srcs.select(F.col("source").alias("source_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    uni = (
+        F.broadcast(pr)
+        .join(
+            sk.select(F.col("source").alias("sk_source"), "hv"),
+            (F.col("sk_source") == F.col("source_a"))
+            | (F.col("sk_source") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "hv")
+        .agg(
+            F.max(
+                F.when(F.col("sk_source") == F.col("source_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("sk_source") == F.col("source_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    wp = W.partitionBy("source_a", "source_b").orderBy("hv")
+    m = (
+        uni.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= _KMV_K)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("k_u"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+            F.max(
+                F.when(F.col("rn") == _KMV_K, F.col("hv"))
+            ).alias("kth"),
+        )
+    )
+    est = m.select(
+        "source_a",
+        "source_b",
+        "n_both",
+        "k_u",
+        F.when(F.col("k_u") < _KMV_K, F.col("k_u"))
+        .otherwise(
+            F.expr(
+                f"CAST(CAST('{(_KMV_K - 1) * _KMV_DOMAIN}'"
+                f" AS DECIMAL(38,0)) div kth AS BIGINT)"
+            )
+        )
+        .alias("est_union"),
+    )
+    ca = card.select(
+        F.col("source").alias("source_a"), F.col("est_d").alias("est_distinct_a")
+    )
+    cb = card.select(
+        F.col("source").alias("source_b"), F.col("est_d").alias("est_distinct_b")
+    )
+    return (
+        est.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "est_distinct_a",
+            "est_distinct_b",
+            "est_union",
+            F.expr("n_both * est_union div k_u").alias("est_intersection"),
+        )
+        .orderBy("source_a", "source_b")
+    )

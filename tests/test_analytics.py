@@ -986,3 +986,21 @@ def test_bag_set_ops_keep_multiplicity(spark, tmp_path_factory):
     got = {(r.op, r.event_type): r.n
            for r in advanced.bag_set_ops(spark, path).collect()}
     assert got == {("lost", "click"): 2, ("common", "click"): 1}
+
+
+def test_kmv_cardinality_exact_below_sketch_capacity(spark, tmp_path_factory):
+    """Sets smaller than k=64 ARE their sketches, so every estimate
+    degrades to the exact value: |A|=10, |B|=18, A ⊂ B → union 18,
+    intersection 10."""
+    path = str(tmp_path_factory.mktemp("kmvc") / "lake")
+    words_a = " ".join(f"w{i}" for i in range(12))   # 10 3-gram shingles
+    words_b = " ".join(f"w{i}" for i in range(20))   # 18, superset of A's
+    rows = [(1, words_a, "en", "srcA", 1), (2, words_b, "en", "srcB", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    [r] = advanced.kmv_set_cardinality(spark, path).collect()
+    assert (r.source_a, r.source_b) == ("srcA", "srcB")
+    assert (r.est_distinct_a, r.est_distinct_b) == (10, 18)
+    assert (r.est_union, r.est_intersection) == (18, 10)

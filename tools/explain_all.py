@@ -652,6 +652,11 @@ HEADLINERS = {
         "aggregate + join + generate — multiplicity semantics without "
         "row pairing; one shuffle per side."
     ),
+    "kmv_set_cardinality": (
+        "KMV set-op sizes (r5): bodies hash in the scan projection, "
+        "only (source, hv) shuffles; sketch build = one distinct + one "
+        "per-source rank window; all pair math on sources²×k rows."
+    ),
     "groupingsets_revenue": (
         "Explicit GROUPING SETS (r5): ONE Expand node with 3 replicas "
         "+ one aggregate exchange — rows shuffle per requested level, "
