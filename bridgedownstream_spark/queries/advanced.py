@@ -4206,3 +4206,100 @@ def kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) — dominance via one sorted window pass
+# ---------------------------------------------------------------------------
+
+_PARETO_SQL = """
+    SELECT r.l_returnflag, r.l_orderkey, r.l_linenumber,
+           r.l_extendedprice, r.l_shipdate
+    FROM lineitem r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem s
+      WHERE s.l_returnflag = r.l_returnflag
+        AND s.l_extendedprice <= r.l_extendedprice
+        AND s.l_shipdate <= r.l_shipdate
+        AND (s.l_extendedprice < r.l_extendedprice
+             OR s.l_shipdate < r.l_shipdate)
+    )
+    ORDER BY l_returnflag, l_extendedprice, l_shipdate,
+             l_orderkey, l_linenumber
+"""
+
+
+@q("pareto_frontier", _PARETO_SQL)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier per return flag: the line items no
+    other item beats on BOTH cheapness and ship date (multi-criteria
+    "best offers" — the operator behind price/latency trade-off
+    reports). The oracle states the SEMANTICS as the quadratic NOT
+    EXISTS dominance test; the Spark plan is the O(n log n) rewrite —
+    sort each group by price, then a row survives iff (a) it carries
+    its price group's minimum date and (b) that date is strictly below
+    the running minimum over all strictly-cheaper rows (cumulative min
+    + lag shifts the running min to EXCLUDE the current price group, so
+    equal-price peers can't shadow each other and exact (price, date)
+    duplicates all survive — the same tie algebra the oracle encodes).
+
+    Plan/scale: every window keys on l_returnflag, so ONE exchange
+    feeds the per-price-group min, the cumulative min, and the lag —
+    the quadratic self-join exists only DuckDB-side at oracle scale.
+    Frontier output is O(distinct prices on the hull), tiny by
+    construction."""
+    wp = W.partitionBy("l_returnflag", "l_extendedprice")
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_shipdate",
+    )
+    # per-price-group min date, and the group's DISTINCT-price rank (the
+    # strict-prefix min must exclude the current price group, so it is
+    # keyed on rank-1 rather than a RANGE frame over raw rows)
+    t = li.select(
+        "*",
+        F.min("l_shipdate").over(wp).alias("grp_min"),
+        F.dense_rank()
+        .over(W.partitionBy("l_returnflag").orderBy("l_extendedprice"))
+        .alias("price_rank"),
+    )
+    prev = (
+        t.groupBy("l_returnflag", "price_rank")
+        .agg(F.min("grp_min").alias("gmin"))
+        .withColumn(
+            "prev_min",
+            F.min("gmin").over(
+                W.partitionBy("l_returnflag")
+                .orderBy("price_rank")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+        )
+        .select("l_returnflag", "price_rank", "prev_min")
+    )
+    return (
+        t.join(prev, ["l_returnflag", "price_rank"])
+        .where(
+            (F.col("l_shipdate") == F.col("grp_min"))
+            & (
+                F.col("prev_min").isNull()
+                | (F.col("l_shipdate") < F.col("prev_min"))
+            )
+        )
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+            "l_shipdate",
+        )
+        .orderBy(
+            "l_returnflag",
+            "l_extendedprice",
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )

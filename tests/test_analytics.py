@@ -1004,3 +1004,28 @@ def test_kmv_cardinality_exact_below_sketch_capacity(spark, tmp_path_factory):
     assert (r.source_a, r.source_b) == ("srcA", "srcB")
     assert (r.est_distinct_a, r.est_distinct_b) == (10, 18)
     assert (r.est_union, r.est_intersection) == (18, 10)
+
+
+def test_pareto_frontier_dominance_and_ties(spark, tmp_path_factory):
+    """Hand set: (10,d1) dominates (10,d2) and (20,d3>d1); (20,d0) survives
+    (cheapest-date); exact duplicates of a frontier point BOTH survive
+    (neither dominates the other)."""
+    import datetime as dt
+
+    path = str(tmp_path_factory.mktemp("pareto") / "lake")
+    d = lambda k: dt.datetime(2024, 1, k)
+    rows = [
+        (1, 1, "A", 10.0, d(5)),   # frontier
+        (2, 1, "A", 10.0, d(5)),   # exact duplicate -> also frontier
+        (3, 1, "A", 10.0, d(9)),   # same price, later date -> dominated
+        (4, 1, "A", 20.0, d(9)),   # pricier AND later -> dominated
+        (5, 1, "A", 20.0, d(2)),   # pricier but earlier -> frontier
+        (6, 1, "A", 30.0, d(2)),   # pricier, ties date 2 -> dominated by 5
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber int, l_returnflag string,"
+        " l_extendedprice double, l_shipdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+    got = sorted(r.l_orderkey for r in
+                 advanced.pareto_frontier(spark, path).collect())
+    assert got == [1, 2, 5]

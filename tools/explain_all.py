@@ -657,6 +657,12 @@ HEADLINERS = {
         "only (source, hv) shuffles; sketch build = one distinct + one "
         "per-source rank window; all pair math on sources²×k rows."
     ),
+    "pareto_frontier": (
+        "Skyline (r5): every window keys on l_returnflag — ONE exchange "
+        "feeds group-min, distinct-price rank, and the strict-prefix "
+        "min; the quadratic dominance self-join exists only as the "
+        "oracle."
+    ),
     "groupingsets_revenue": (
         "Explicit GROUPING SETS (r5): ONE Expand node with 3 replicas "
         "+ one aggregate exchange — rows shuffle per requested level, "
