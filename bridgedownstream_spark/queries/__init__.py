@@ -49,7 +49,14 @@ from bridgedownstream_spark.queries import (
 #: set-similarity pair), bloom_pruned_lookup, linear_interpolate,
 #: hll_rollup_hierarchy + quantile_band_rollup (sketch-merge pair),
 #: rolling_active_users + rolling_hll_users (exact/sketch sliding pair),
-#: ewma_smoothing, ntile_quartiles, weighted_median, pivot_order_status.
+#: ewma_smoothing, ntile_quartiles, weighted_median, pivot_order_status,
+#: sssp_weighted (weighted Bellman-Ford — with bfs_hops/pagerank the
+#: iterative-graph trio), debounce_events (applyInPandas greedy vs
+#: recursive oracle — would give the driver its first certified
+#: imperative-path row), pareto_frontier, stream_left_join_e2e (outer
+#: streaming emission), ivm_agg_retract, kmv_set_cardinality,
+#: containment_prefix_join, event_pattern_match, window_rank_suite,
+#: groupingsets_revenue, bag_set_ops, quantile_band_rollup.
 #: Rotate r1-r4-certified window entries out for these, keeping >=1 green
 #: row per §2 component and per extension family (same rule as below).
 #
