@@ -56,7 +56,14 @@ from bridgedownstream_spark.queries import (
 #: imperative-path row), pareto_frontier, stream_left_join_e2e (outer
 #: streaming emission), ivm_agg_retract, kmv_set_cardinality,
 #: containment_prefix_join, event_pattern_match, window_rank_suite,
-#: groupingsets_revenue, bag_set_ops, quantile_band_rollup.
+#: groupingsets_revenue, bag_set_ops, quantile_band_rollup — and the
+#: TPC-H completion set (all 22 shapes now present; q1 ≡ pricing_summary):
+#: q2_min_cost_supplier (correlated min as window), q4_order_priority
+#: (EXISTS → semi), q9_product_type_profit, q11_important_parts (scalar
+#: fraction-of-total), q12_priority_lines, q16_supplier_part_counts
+#: (NOT IN → broadcast anti + count-distinct), q20_potential_promotion
+#: (correlated half-sum in one scan), q21_suppliers_kept_waiting
+#: (EXISTS+NOT-EXISTS pair → single-scan window sets).
 #: Rotate r1-r4-certified window entries out for these, keeping >=1 green
 #: row per §2 component and per extension family (same rule as below).
 #

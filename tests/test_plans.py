@@ -528,3 +528,108 @@ def test_event_paths_is_one_shuffle_plus_takeordered(spark):
     plan = plan_of(spark, "event_paths_topk")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q4_exists_is_semi_join_with_pruned_probe(spark):
+    # the EXISTS compiles to one LEFT SEMI hash join; the lineitem probe
+    # side reads only the two referenced columns and its returnflag gate
+    # is pushed to the scan
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(l_returnflag,R)" in plan.replace(" ", "")
+    m = [
+        s for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        if "l_orderkey" in s
+    ]
+    assert m and all(len(s.split(",")) <= 2 for s in m)
+
+
+def test_q9_like_filter_prunes_part_before_broadcast(spark):
+    # all three dimensions broadcast; the %widget% LIKE reaches the part
+    # scan as a pushed StringContains so the broadcast build is pre-cut
+    plan = plan_of(spark, "q9_product_type_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "StringContains(p_name,widget)" in plan.replace(" ", "")
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_value_frame_computed_once(spark):
+    # the per-part value aggregate feeds BOTH the grand total and the
+    # threshold filter from cache — two InMemoryTableScans, one lineage —
+    # and the scalar total arrives via a 1-row broadcast nested loop, not
+    # a shuffle
+    plan = plan_of(spark, "q11_important_parts")
+    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q12_both_counts_in_one_aggregate_pass(spark):
+    # both conditional counts accumulate in the same partial->final
+    # aggregate (one HashAggregate pair after the join), and the
+    # returnflag + year gates are pushed to the lineitem scan
+    plan = plan_of(spark, "q12_priority_lines")
+    # the lineitem FileScan line is truncated by maxToStringFields before
+    # its PushedFilters render, so assert on its DataFilters instead —
+    # same scan-level placement
+    scan = [
+        l for l in plan.splitlines()
+        if "FileScan" in l and "l_returnflag" in l
+    ]
+    assert scan and "DataFilters" in scan[0]
+    assert "= R)" in scan[0] and "l_shipdate" in scan[0]
+    # one partial+final pair for the group-by (plus none hidden elsewhere)
+    assert len(re.findall(r"HashAggregate", plan)) == 2
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    # the NOT IN subquery must compile to a broadcast LEFT ANTI (keys are
+    # non-null), and the count-distinct goes through the two-phase expand
+    plan = plan_of(spark, "q16_supplier_part_counts")
+    squeezed = plan.replace(" ", "")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "Expand" in plan or "distinct" in squeezed.lower()
+    assert "SortMergeJoin" not in plan
+
+
+def test_q2_correlated_min_is_window_not_self_join(spark):
+    # the groupwise-min correlation is a window over l_partkey + a
+    # row-local filter: exactly one hashpartitioning exchange on
+    # l_partkey, and no join node other than the broadcast enrich joins
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert sum("l_partkey" in e for e in exchanges) == 1
+
+
+def test_q20_single_lineitem_scan(spark):
+    # both the windowed and the all-time quantity sums come out of ONE
+    # lineitem scan and one aggregate pass; both subquery gates are
+    # broadcast semi joins
+    plan = plan_of(spark, "q20_potential_promotion")
+    scans = [
+        s for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        if "l_quantity" in s or "l_partkey" in s
+    ]
+    assert len(scans) == 1
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_exists_pair_is_single_scan_window(spark):
+    # the EXISTS + NOT-EXISTS pair must NOT self-join lineitem: one
+    # lineitem scan, one l_orderkey exchange feeding both window sets,
+    # zero sort-merge joins
+    plan = plan_of(spark, "q21_suppliers_kept_waiting")
+    li_scans = [
+        s for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        if "l_suppkey" in s
+    ]
+    assert len(li_scans) == 1
+    assert "SortMergeJoin" not in plan
+    assert "collect_set" in plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert sum("l_orderkey" in e for e in exchanges) == 1
