@@ -89,11 +89,17 @@ _CERTIFYING: tuple[str, ...] = (
     "projection_pushdown",      # S6 pruned parquet scan, P1
     "intersect_keys",           # P2/A1 projection+distinct, §2.7 intersect
     "q6_forecast_revenue",      # P4 conjunctive range filter, A6 (TPC-H Q6)
-    "membership_filter",        # P5
+    "q16_supplier_part_counts",  # P5 membership via p_size isin, A5
+                                 # count-distinct, NOT-IN broadcast anti
+                                 # (TPC-H Q16; membership_filter +
+                                 # count_reconciliation_report r1-r4-green,
+                                 # rotated out)
     "prefix_filter",            # P6, F8, F10
     "sql_view_query",           # S7 SQL surface
     # joins (J1-J4)
-    "q3_shipping_priority",     # J1 broadcast dims, O1 sort+limit (TPC-H Q3)
+    "q9_product_type_profit",   # J1 broadcast dims (3 of them), O1 ordered
+                                # rollup (TPC-H Q9; q3_shipping_priority
+                                # r4-green, rotated out)
     "anti_join_missing",        # J2
     "anti_join_union",          # J3, §2.7 union
     "relationalize_child",      # N3/N4 key inheritance, N5/F4 naming
@@ -101,7 +107,12 @@ _CERTIFYING: tuple[str, ...] = (
     "dedup_latest",             # A2 + §2.5 row_number window
     "sample_per_group",         # A3
     "reconcile_counts",         # A4/A7
-    "count_reconciliation_report",  # A5
+    "pagerank_copurchase",      # iterative broadcast-rank graph algorithm —
+                                # the driver's first iterative row (A5
+                                # count-distinct moved to
+                                # q16_supplier_part_counts;
+                                # count_reconciliation_report r1-r4-green,
+                                # rotated out)
     "group_collect",            # A8
     "config_cache_dedup",       # A9
     "asof_join_events",         # P3 closest-match as the single-exchange
@@ -111,7 +122,9 @@ _CERTIFYING: tuple[str, ...] = (
     "batched_submit",           # O3
     # scalar functions (F1-F11)
     "scalar_functions",         # F1/F3/F5/F11
-    "case_when_routing",        # F6
+    "q12_priority_lines",       # F6 conditional rewrite as double CASE
+                                # conditional aggregation (TPC-H Q12;
+                                # case_when_routing r1-r4-green, rotated out)
     "json_extract",             # F9
     "basename_extract",         # F7
     # skew: diagnose-then-salt auto-remediating join (covers the salted-agg

@@ -414,6 +414,12 @@ def test_certifying_prefix_is_stable():
         "curation_funnel", "bm25_topk", "retention_cohorts",
         "winsorized_stats", "fuzzy_match_parts", "snapshot_diff",
         "event_transitions", "conversion_latency",
+        # r5 session-3 promotions: TPC-H completion reps + the first
+        # iterative-algorithm row (membership_filter, case_when_routing,
+        # q3_shipping_priority, count_reconciliation_report rotated out —
+        # P5/F6/J1/A5 each stay covered inline, see queries/__init__.py)
+        "q16_supplier_part_counts", "q12_priority_lines",
+        "q9_product_type_profit", "pagerank_copurchase",
     }
     missing = must_have - set(_CERTIFYING)
     assert not missing, f"certifying window lost: {missing}"

@@ -668,6 +668,55 @@ HEADLINERS = {
         "+ one aggregate exchange — rows shuffle per requested level, "
         "not per 2^k cube cell."
     ),
+    "q2_min_cost_supplier": (
+        "TPC-H Q2 shape (r5): the correlated groupwise-min is a Window "
+        "over l_partkey + row-local equality filter — ONE partkey "
+        "exchange, zero self-joins; supplier/nation/region collapse to "
+        "one broadcast enrich, the size-filtered part slice broadcasts "
+        "after the window."
+    ),
+    "q4_order_priority": (
+        "TPC-H Q4 shape (r5): EXISTS compiles to one LEFT SEMI hash "
+        "join; the probe side projects only l_orderkey with the "
+        "returnflag gate pushed to its scan; quarter window pushed to "
+        "the orders scan."
+    ),
+    "q9_product_type_profit": (
+        "TPC-H Q9 shape (r5): all three dimensions broadcast (part "
+        "pre-cut by the pushed LIKE before its build), lineitem⋈orders "
+        "is the only shuffle join; profit accumulates in DECIMAL."
+    ),
+    "q11_important_parts": (
+        "TPC-H Q11 shape (r5): the per-part value aggregate is computed "
+        "ONCE (cache feeds both uses — two InMemoryTableScans in the "
+        "plan); the grand total re-aggregates the 2k-row cached frame "
+        "and returns as a 1-row broadcast nested loop, never a second "
+        "lineitem scan."
+    ),
+    "q12_priority_lines": (
+        "TPC-H Q12 shape (r5): both conditional counts accumulate in "
+        "the SAME partial→final aggregate pair (2 HashAggregates "
+        "total); returnflag + year window pushed to the lineitem scan "
+        "before the orders join."
+    ),
+    "q16_supplier_part_counts": (
+        "TPC-H Q16 shape (r5): NOT IN compiles to a broadcast LEFT "
+        "ANTI (non-null keys); count-distinct runs through the "
+        "two-phase partial-distinct Expand; no sort-merge join exists."
+    ),
+    "q20_potential_promotion": (
+        "TPC-H Q20 shape (r5): the correlated fractional-sum HAVING "
+        "computes the windowed and all-time sums in ONE conditional "
+        "aggregate over ONE lineitem scan (the canonical nested form "
+        "scans twice); compare integerized as 6·win > total in DECIMAL."
+    ),
+    "q21_suppliers_kept_waiting": (
+        "TPC-H Q21 shape (r5): the EXISTS + NOT-EXISTS pair becomes "
+        "two per-order collect_set windows over ONE lineitem scan and "
+        "ONE l_orderkey exchange — the canonical form self-joins "
+        "lineitem twice (three scans); sets bounded by "
+        "suppliers-per-order."
+    ),
 }
 
 
