@@ -918,6 +918,128 @@ def stream_left_join_e2e(spark, sf_dir):
     )
 
 
+#: (sf_dir) -> parquet path of the drained stream-stream FULL OUTER join
+_SFJOIN: dict[str, str] = {}
+
+
+def _build_stream_fjoin(spark: SparkSession, sf_dir: str) -> str:
+    """FULL OUTER interval-join drain — same time-ordered four-file
+    sentinel protocol as the left join (see _build_stream_ljoin): both
+    sides' watermarks must advance past every real row's expiry so BOTH
+    unmatched tails flush before the drain ends."""
+    if sf_dir in _SFJOIN:
+        return _SFJOIN[sf_dir]
+    import datetime as _dt
+    import glob
+    import shutil
+    import time as _time
+
+    from bridgedownstream_spark.streaming.joins import (
+        interval_full_join_streams,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bds_sfjoin_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    ev = tbl(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    big = 10**15
+    parts = [
+        ev.where(F.col("ts") <= F.lit(mid)),
+        ev.where(F.col("ts") > F.lit(mid)),
+        spark.createDataFrame(
+            [(big, hi + _dt.timedelta(hours=1), -1),
+             (big + 1, hi + _dt.timedelta(hours=1), -2)],
+            "event_id long, ts timestamp, user_id long",
+        ),
+        spark.createDataFrame(
+            [(big + 2, hi + _dt.timedelta(hours=2), -1),
+             (big + 3, hi + _dt.timedelta(hours=2), -2)],
+            "event_id long, ts timestamp, user_id long",
+        ),
+    ]
+    now = _time.time()
+    for i, p in enumerate(parts):
+        tmp = os.path.join(base, f"tmp{i}")
+        p.coalesce(1).write.option("timestampFormat", _TS_JSON_FMT).json(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.json"))
+        dst = os.path.join(src, f"{i:02d}.json")
+        shutil.move(part, dst)
+        os.utime(dst, (now + 30 * i, now + 30 * i))
+        shutil.rmtree(tmp, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("timestampFormat", _TS_JSON_FMT)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    left = stream.where(F.col("event_id") % 2 == 0)
+    right = stream.where(F.col("event_id") % 2 != 0)
+    joined = interval_full_join_streams(
+        left, right, "user_id", tolerance="10 minutes", watermark="10 minutes"
+    )
+    q_ = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q_.awaitTermination(300):
+        q_.stop()
+        raise TimeoutError(f"stream full-join drain exceeded 300s ({ckpt})")
+    _SFJOIN[sf_dir] = out
+    return out
+
+
+@q(
+    "stream_full_join_e2e",
+    """
+    SELECT COALESCE(l.event_id, -1) AS l_event_id,
+           COALESCE(r.event_id, -1) AS r_event_id,
+           COALESCE(l.user_id, r.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_id % 2 = 0) l
+    FULL JOIN (SELECT * FROM events WHERE event_id % 2 <> 0) r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    """,
+)
+def stream_full_join_e2e(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join with a FULL value-hash
+    oracle — the last cell of the interval-join matrix (inner:
+    stream_interval_join_e2e, left: stream_left_join_e2e). Even-id
+    events full-join odd-id events of the same user within
+    [ts, ts+10min]; unmatched rows from EITHER side must emit with the
+    -1 marker — the two-directional reconciliation (records without
+    confirmations AND confirmations without records) the reference runs
+    as two batch anti-joins, as one streaming operator. Outer emission
+    on both sides is watermark-driven; the sentinel-batch protocol
+    advances both inputs' watermarks past every real row's expiry, so
+    the drained set equals the batch FULL JOIN bit-for-bit."""
+    out = _build_stream_fjoin(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .where(F.coalesce("user_id", "r_user_id") >= 0)
+        .select(
+            F.coalesce("event_id", F.lit(-1)).cast("long").alias(
+                "l_event_id"
+            ),
+            F.coalesce("r_event_id", F.lit(-1)).cast("long").alias(
+                "r_event_id"
+            ),
+            F.coalesce("user_id", "r_user_id").cast("long").alias("user_id"),
+        )
+    )
+
+
 #: (sf_dir) -> parquet path of the drained stream-static enrichment
 _SENRICH: dict[str, str] = {}
 

@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["interval_join_streams", "interval_left_join_streams"]
+__all__ = [
+    "interval_join_streams",
+    "interval_left_join_streams",
+    "interval_full_join_streams",
+]
 
 
 def interval_join_streams(
@@ -87,3 +91,41 @@ def interval_left_join_streams(
         & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {tolerance}"))
     )
     return lw.join(rw, cond, "leftOuter").drop(rkey)
+
+
+def interval_full_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance: str = "10 minutes",
+    watermark: str = "10 minutes",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """FULL OUTER sibling: every row of BOTH streams emits exactly once —
+    matched pairs as they meet in state, unmatched rows from either side
+    with NULL partner columns once the watermark proves no partner can
+    still arrive. Completes the interval-join matrix (inner / left /
+    full): the reconciliation shape where BOTH absences are data —
+    records without confirmations AND confirmations without records
+    (the reference's two anti-join directions, SURVEY §3.3, in one
+    streaming operator).
+
+    State/expiry semantics follow the left join: a LEFT row is
+    releasable when the watermark passes ``left_ts + tolerance``; a
+    RIGHT row when it passes ``right_ts`` (its join window is
+    ``[right_ts - tolerance, right_ts]`` on the left timeline). The
+    join key is NOT dropped from the right side — an unmatched right
+    row carries the only non-null copy, so callers coalesce.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    rw = rw.select([F.col(c).alias(f"{right_prefix}{c}") for c in rw.columns])
+    rkey, rts = f"{right_prefix}{key}", f"{right_prefix}{right_ts}"
+    cond = (
+        (F.col(key) == F.col(rkey))
+        & (F.col(rts) >= F.col(left_ts))
+        & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {tolerance}"))
+    )
+    return lw.join(rw, cond, "fullOuter")
