@@ -34,7 +34,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["train_pq", "encode_pq", "pq_shortlist"]
+__all__ = [
+    "train_pq",
+    "encode_pq",
+    "pq_shortlist",
+    "ivfpq_index",
+    "ivfpq_shortlist",
+]
 
 #: L2 between subvec and centroid — identical fold order both uses
 _L2 = (
@@ -178,6 +184,158 @@ def pq_shortlist(
         codes.join(F.broadcast(table), ["sub", "code"])
         .groupBy("query_id", "vec_id")
         .agg(F.sum("partial").cast("double").alias("approx_dot"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= shortlist)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (residual) — the FAISS-style composition of the coarse quantizer
+# (similarity.py's IVF) with product quantization of the RESIDUALS.
+# Encoding the residual (vector minus its cell centroid) instead of the raw
+# vector is what makes PQ codes sharp at scale: residual norms are a
+# fraction of vector norms, so the same 16 bytes quantize a much smaller
+# space. This is the standard billion-vector index layout.
+# ---------------------------------------------------------------------------
+
+_L2_EMB = (
+    "aggregate(zip_with(emb, c_vec, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+def _coarse_assign(d: DataFrame, coarse: DataFrame, id_col: str = "vec_id"):
+    """Nearest coarse cell per vector + the residual: (id, cell_id,
+    embedding=emb−centroid). The n_cells-row centroid frame broadcasts
+    into a nested-loop over the corpus (bounded: cells × rows), distances
+    round to 9 before the argmin, ties break on cell_id — the same
+    determinism contract as PQ's _assign."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("dist", "cell_id")
+    return (
+        d.crossJoin(F.broadcast(coarse))
+        .withColumn("dist", F.round(F.expr(_L2_EMB), 9))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            id_col,
+            "cell_id",
+            F.expr("zip_with(emb, c_vec, (x, y) -> x - y)").alias("embedding"),
+        )
+    )
+
+
+def ivfpq_index(
+    emb: DataFrame,
+    n_cells: int = 8,
+    cell_stride: int = 59,
+    m: int = 16,
+    k: int = 16,
+    iters: int = 0,
+):
+    """Build the IVF-PQ index: (coarse, codebook, codes).
+
+    coarse    — (cell_id, c_vec): anchor centroids (every cell_stride-th
+                vector; deterministic, refinable by kmeans_refine the same
+                way the IVF queries do).
+    codebook  — (sub, cent_id, c_vec): PQ codebook trained on RESIDUALS.
+    codes     — (vec_id, cell_id, sub, code): 16 B/vector + 1 cell byte.
+
+    iters=0 keeps the anchor codebook (closed-form → oracle-checkable);
+    production uses iters>0 Lloyd refinement (quality pinned in pytest).
+    """
+    d = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    coarse = d.where(
+        (F.col("vec_id") % cell_stride == 0)
+        & (F.col("vec_id") < cell_stride * n_cells)
+    ).select(
+        (F.col("vec_id") / cell_stride).cast("int").alias("cell_id"),
+        F.col("emb").alias("c_vec"),
+    )
+    resid = _coarse_assign(d, coarse)
+    cb = train_pq(resid.select("vec_id", "embedding"), m=m, k=k, iters=iters)
+    codes = encode_pq(resid.select("vec_id", "embedding"), cb, m=m).join(
+        resid.select("vec_id", "cell_id"), "vec_id"
+    )
+    return coarse, cb, codes
+
+
+def ivfpq_shortlist(
+    queries: DataFrame,
+    coarse: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    m: int = 16,
+    probes: int = 2,
+    shortlist: int = 10,
+) -> DataFrame:
+    """ADC search over the residual index: (query_id, vec_id,
+    approx_dist, rnk ≤ shortlist) — smaller approx_dist = nearer (L2).
+
+    Per query, the ``probes`` nearest cells are scanned; the residual of
+    the QUERY is taken per probed cell (q − cell centroid — residuals are
+    cell-relative, which is why the lookup table keys on cell_id), the
+    per-subspace dot table is (queries × probes × m × k) rows — broadcast
+    — and the corpus code table joins it on (cell_id, sub, code). The
+    corpus never shuffles, never re-materializes floats, and only the
+    probed cells' codes survive the join: search cost scales with
+    probes/cells of the corpus, not the corpus."""
+    from pyspark.sql import Window as W
+
+    qd = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    wq = W.partitionBy("query_id").orderBy("dist", "cell_id")
+    qcells = (
+        qd.crossJoin(F.broadcast(coarse))
+        .withColumn("dist", F.round(F.expr(_L2_EMB), 9))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= probes)
+        .select(
+            "query_id",
+            "cell_id",
+            F.expr("zip_with(emb, c_vec, (x, y) -> x - y)").alias("resid"),
+        )
+    )
+    qsv = qcells.select(
+        "query_id",
+        "cell_id",
+        F.explode(F.expr(f"sequence(0, {m - 1})")).alias("sub"),
+        F.col("resid"),
+    ).select(
+        "query_id",
+        "cell_id",
+        "sub",
+        F.expr(
+            f"slice(resid, CAST(sub * (size(resid) div {m}) + 1 AS INT), "
+            f"size(resid) div {m})"
+        ).alias("subvec"),
+    )
+    # L2 ADC (the FAISS IVF-PQ formulation): the true distance
+    # ||q - (c + r̂)||² = ||(q - c) - r̂||² decomposes into per-subspace
+    # L2 terms between the QUERY RESIDUAL subvector and the code's PQ
+    # centroid — summable from a lookup table. (A dot-product table of
+    # (q-c)·r̂ would NOT be monotone with q·x: the cross terms q·c, c·x
+    # differ per cell.) Partials round to 6 and merge as DECIMAL so the
+    # sum is arrival-order-exact.
+    table = qsv.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "cell_id",
+        "sub",
+        F.col("cent_id").alias("code"),
+        F.round(F.expr(_L2), 6).cast("decimal(18,6)").alias("partial"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), "vec_id")
+    return (
+        codes.join(F.broadcast(table), ["cell_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("partial").cast("double").alias("approx_dist"))
         .where(F.col("vec_id") != F.col("query_id"))
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= shortlist)

@@ -63,7 +63,11 @@ from bridgedownstream_spark.queries import (
 #: fraction-of-total), q12_priority_lines, q16_supplier_part_counts
 #: (NOT IN → broadcast anti + count-distinct), q20_potential_promotion
 #: (correlated half-sum in one scan), q21_suppliers_kept_waiting
-#: (EXISTS+NOT-EXISTS pair → single-scan window sets).
+#: (EXISTS+NOT-EXISTS pair → single-scan window sets) — and the session-3
+#: additions: array_hof_suite (higher-order lambda surface, zero
+#: exchanges), stream_full_join_e2e (completes the streaming interval-join
+#: matrix), ivfpq_residual_search (FAISS-style residual composition — the
+#: ANN stack's capstone, full closed-form-anchor oracle).
 #: Rotate r1-r4-certified window entries out for these, keeping >=1 green
 #: row per §2 component and per extension family (same rule as below).
 #

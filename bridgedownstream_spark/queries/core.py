@@ -2085,3 +2085,72 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
     )
+
+
+@q(
+    "array_hof_suite",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           round(list_reduce(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (a, b) -> a + b), 4) AS norm2,
+           round(list_reduce(list_transform(embedding,
+                     x -> greatest(CAST(x AS DOUBLE), 0)),
+                 (a, b) -> a + b), 4) AS relu_sum,
+           CAST(list_sort(embedding)[3] AS DOUBLE) AS third_smallest,
+           CAST(len(list_filter(embedding, x -> abs(x) > 0.25)) > 0
+                AS INT) AS has_extreme
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column — the
+    lambda-expression surface (transform / filter / aggregate / exists /
+    sort_array) a vector-bearing lakehouse needs without ever exploding:
+    per-vector positive count, squared L2 norm, ReLU mass, 3rd-smallest
+    component, and an any-extreme flag.
+
+    Exactness: folds run element-in-order over doubles in BOTH engines
+    (Spark `aggregate` init 0.0 left-fold ≡ DuckDB `list_reduce` left-
+    reduce — IEEE-identical because 0.0 + s1 == s1 exactly), so the
+    rounded hash can't flip; comparisons are float-exact.
+
+    Plan/scale: one narrow projection pass, zero exchanges except the
+    output sort — each lambda compiles to a Catalyst HigherOrderFunction
+    evaluated inside the scan's codegen stage, never a posexplode +
+    re-aggregate (which would shuffle |vectors|·dim rows: 64× the data
+    at dim-64, unbounded at dim-4096)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    d = lambda c: c.cast("double")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > F.lit(0.0))).alias(
+            "n_pos"
+        ),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: d(x) * d(x)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("norm2"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    "embedding", lambda x: F.greatest(d(x), F.lit(0.0))
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("relu_sum"),
+        F.sort_array("embedding").getItem(2).cast("double").alias(
+            "third_smallest"
+        ),
+        F.exists("embedding", lambda x: F.abs(x) > F.lit(0.25))
+        .cast("int")
+        .alias("has_extreme"),
+    ).orderBy("vec_id")

@@ -1837,3 +1837,162 @@ def containment_prefix_join(spark, sf_dir):
         )
         .withColumn("cont_bp", F.expr("(10000 * inter) div n_a"))
     )
+
+
+#: oracle twin of the IVF-PQ residual search: BOTH quantizers use
+#: closed-form anchors (coarse: every 59th vector, 8 cells; PQ: every
+#: 31st vector's RESIDUAL subvectors), so coarse assignment, residual
+#: computation, residual-PQ encode, per-probed-cell query residuals, ADC
+#: partial dots, and the shortlist rank are all SQL-expressible. Folds
+#: and rounding mirror _PQ_ADC_DUCK exactly.
+_IVFPQ_DUCK = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings
+    ),
+    coarse AS (
+      SELECT CAST(vec_id // 59 AS INT) AS cell_id, emb AS c_vec
+      FROM e WHERE vec_id % 59 = 0 AND vec_id < 472
+    ),
+    cdist AS (
+      SELECT e.vec_id, c.cell_id,
+             round(list_sum(list_transform(generate_series(1, len(e.emb)),
+                   i -> (e.emb[i] - c.c_vec[i])
+                        * (e.emb[i] - c.c_vec[i]))), 9) AS d,
+             list_transform(generate_series(1, len(e.emb)),
+                   i -> e.emb[i] - c.c_vec[i]) AS resid
+      FROM e, coarse c
+    ),
+    assign AS (
+      SELECT vec_id, cell_id, resid FROM (
+        SELECT vec_id, cell_id, resid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cell_id) AS rn
+        FROM cdist) WHERE rn = 1
+    ),
+    -- subvector length: dim 64 / m 16 = 4 (a LIMIT-1 derived CTE here
+    -- trips DuckDB 1.0 CTE inlining into inconsistent results; the Spark
+    -- side computes size(emb) div m dynamically)
+    rsv AS (
+      SELECT vec_id, s.sub,
+             resid[s.sub * 4 + 1 : s.sub * 4 + 4] AS subvec
+      FROM assign, (SELECT unnest(generate_series(0, 15)) AS sub) s
+    ),
+    pqcb AS (
+      SELECT sub, CAST(vec_id // 31 AS INT) AS cent_id, subvec AS c_vec
+      FROM rsv WHERE vec_id % 31 = 0 AND vec_id < 496
+    ),
+    rdist AS (
+      SELECT rsv.vec_id, rsv.sub, pqcb.cent_id,
+             round(list_sum(list_transform(
+                   generate_series(1, len(rsv.subvec)),
+                   i -> (rsv.subvec[i] - pqcb.c_vec[i])
+                        * (rsv.subvec[i] - pqcb.c_vec[i]))), 9) AS d
+      FROM rsv JOIN pqcb USING (sub)
+    ),
+    codes AS (
+      SELECT r.vec_id, a.cell_id, r.sub, r.cent_id AS code
+      FROM (SELECT vec_id, sub, cent_id,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d, cent_id) AS rn
+            FROM rdist) r
+      JOIN assign a ON r.vec_id = a.vec_id
+      WHERE r.rn = 1
+    ),
+    qcells AS (
+      SELECT vec_id AS query_id, cell_id, resid FROM (
+        SELECT vec_id, cell_id, resid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cell_id) AS rn
+        FROM cdist WHERE vec_id < {_N_QUERIES}) WHERE rn <= 2
+    ),
+    qsv AS (
+      SELECT query_id, cell_id, s.sub,
+             resid[s.sub * 4 + 1 : s.sub * 4 + 4] AS subvec
+      FROM qcells, (SELECT unnest(generate_series(0, 15)) AS sub) s
+    ),
+    qtab AS (
+      SELECT q.query_id, q.cell_id, q.sub, pqcb.cent_id AS code,
+             CAST(round(list_sum(list_transform(
+                      generate_series(1, len(q.subvec)),
+                      i -> (q.subvec[i] - pqcb.c_vec[i])
+                           * (q.subvec[i] - pqcb.c_vec[i]))), 6)
+                  AS DECIMAL(18,6)) AS partial
+      FROM qsv q JOIN pqcb USING (sub)
+    ),
+    adc AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             CAST(sum(partial) AS DOUBLE) AS approx_dist
+      FROM codes c
+      JOIN qtab ON c.cell_id = qtab.cell_id AND c.sub = qtab.sub
+               AND c.code = qtab.code
+      WHERE c.vec_id <> qtab.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, approx_dist, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx_dist ASC,
+                                            neighbor_id) AS rnk
+      FROM adc) WHERE rnk <= 10
+"""
+
+#: stamped-dir memo for the IVF-PQ index (same invalidation discipline as
+#: _PQ_INDEX)
+_IVFPQ_INDEX: dict = {}
+
+
+def _ivfpq_corpus(spark, sf_dir, iters: int = 0):
+    import os
+
+    base = _pq_index_dir(sf_dir).replace("bds_pq_", "bds_ivfpq_")
+    if iters:
+        base = os.path.join(base, f"iters{iters}")
+    if base not in _IVFPQ_INDEX:
+        from bridgedownstream_spark.operators.pq import ivfpq_index
+        from bridgedownstream_spark.pipeline.fsutil import has_data_files
+
+        paths = {n: os.path.join(base, n) for n in ("coarse", "codebook", "codes")}
+        if not all(has_data_files(spark, p) for p in paths.values()):
+            emb = tbl(spark, sf_dir, "embeddings")
+            coarse, cb, codes = ivfpq_index(emb, iters=iters)
+            coarse.write.mode("overwrite").parquet(paths["coarse"])
+            cb.write.mode("overwrite").parquet(paths["codebook"])
+            codes.write.mode("overwrite").parquet(paths["codes"])
+        _IVFPQ_INDEX[base] = tuple(
+            spark.read.parquet(paths[n]) for n in ("coarse", "codebook", "codes")
+        )
+    return _IVFPQ_INDEX[base]
+
+
+@q("ivfpq_residual_search", _IVFPQ_DUCK)
+def ivfpq_residual_search(spark, sf_dir):
+    """IVF-PQ residual search — the FAISS-style composition that closes
+    the ANN stack: a coarse quantizer routes each vector to 1 of 8 cells,
+    PQ encodes the RESIDUAL (vector − cell centroid) into 16 subspace
+    bytes, and search probes the query's 2 nearest cells with a
+    cell-relative ADC table. Residual encoding is why this layout wins at
+    scale: residual norms are a fraction of vector norms, so the same
+    16 bytes quantize a far smaller space than raw-vector PQ
+    (pq_adc_search), while cell probing bounds search cost by
+    probes/cells of the corpus instead of the corpus.
+
+    Like pq_adc_search, the oracle-checkable variant uses iters=0 anchor
+    codebooks (closed-form for BOTH quantizers), making the entire
+    pipeline — coarse assign, residuals, residual-PQ encode,
+    per-probed-cell query residuals, decimal-exact ADC, shortlist rank —
+    a full rows+schema+hash certification. The index is built once per
+    corpus (stamped cache) and persisted: search never re-touches float
+    vectors. 100 TB: corpus codes are 17 B/vector and never shuffle; the
+    (queries × probes × m × k) lookup table broadcasts; only the probed
+    cells' codes survive the join."""
+    from bridgedownstream_spark.operators.pq import ivfpq_shortlist
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    coarse, cb, codes = _ivfpq_corpus(spark, sf_dir, iters=0)
+    qs = emb.where(F.col("vec_id") < _N_QUERIES)
+    return ivfpq_shortlist(qs, coarse, cb, codes, probes=2, shortlist=10).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "approx_dist",
+        F.col("rnk").cast("int").alias("rnk"),
+    )

@@ -639,3 +639,24 @@ def test_q21_exists_pair_is_single_scan_window(spark):
     assert "collect_set" in plan
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert sum("l_orderkey" in e for e in exchanges) == 1
+
+
+def test_array_hof_suite_never_explodes(spark):
+    # every lambda runs as a HigherOrderFunction inside the scan's
+    # projection — no Generate/posexplode (which would shuffle
+    # |vectors|*dim rows) and no hashpartitioning exchange at all
+    plan = plan_of(spark, "array_hof_suite")
+    assert "Generate" not in plan and "Explode" not in plan.lower()
+    assert "Exchange hashpartitioning" not in plan
+    assert "transform" in plan and "aggregate" in plan
+
+
+def test_ivfpq_search_is_broadcast_only(spark):
+    # at search time the persisted code table joins a broadcast
+    # (query x probes x m x k) lookup — no sort-merge join, no cartesian;
+    # the only nested-loop is the 8-row coarse-centroid probe
+    plan = plan_of(spark, "ivfpq_residual_search")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

@@ -108,3 +108,56 @@ def test_pq_recall_query_floor(spark):
     assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
     mean_recall = sum(r["recall"] for r in rows) / len(rows)
     assert mean_recall >= 2 / 3, f"mean PQ shortlist recall {mean_recall}"
+
+
+def test_ivfpq_residual_search_recall(spark, emb):
+    """IVF-PQ (residual) end-to-end: index shapes are sound, the probed
+    search returns shortlists for every query, and refined-codebook
+    (iters=1) shortlist recall against brute-force cosine clears the same
+    floor as raw PQ — the residual layout must not LOSE accuracy at equal
+    code budget (it exists to gain it at scale)."""
+    from bridgedownstream_spark.operators.pq import ivfpq_index, ivfpq_shortlist
+
+    coarse, cb, codes = ivfpq_index(emb, iters=1)
+    assert coarse.count() == 8
+    assert cb.count() == M * K
+    n = emb.count()
+    assert codes.count() == n * M  # every vector fully coded + cell-tagged
+    assert codes.select("vec_id", "cell_id").distinct().count() == n
+
+    queries = emb.where(F.col("vec_id") < 5)
+    # measured at re-rank depth (shortlist 50, probes 4 of 8): recall is
+    # monotone in both knobs on this corpus (probes 2/4/8 x shortlist
+    # 20/50 measured 4,6 / 8,11 / 9,13 of 15) — isotropic synthetic
+    # embeddings give weak coarse cells, so half the cells must be
+    # probed for the floor; clustered real corpora need fewer
+    short = ivfpq_shortlist(queries, coarse, cb, codes, probes=4, shortlist=50)
+    got = short.groupBy("query_id").count().collect()
+    assert len(got) == 5 and all(r["count"] == 50 for r in got)
+
+    # brute-force L2 truth (residual ADC approximates squared L2)
+    from pyspark.sql import Window as W
+
+    d = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    q = d.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # L2 truth — the metric the residual ADC approximates
+    dot = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("d"), "vec_id")
+    truth = (
+        d.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dot.alias("d"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+    )
+    true_top = {(r["query_id"], r["vec_id"]) for r in truth.collect()}
+    short_set = {(r["query_id"], r["vec_id"]) for r in short.collect()}
+    hits = len(true_top & short_set)
+    assert hits / len(true_top) >= 2 / 3, f"ivfpq recall {hits}/{len(true_top)}"
