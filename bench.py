@@ -113,6 +113,12 @@ def main() -> int:
         _pq_corpus(spark, sf_dir, iters=0)  # pq_adc_search's anchor index
     except Exception:  # noqa: BLE001 — missing embeddings table
         pass
+    try:
+        from bridgedownstream_spark.queries.similarity import _ivfpq_corpus
+
+        _ivfpq_corpus(spark, sf_dir, iters=0)  # ivfpq_residual_search's index
+    except Exception as e:  # noqa: BLE001 — missing embeddings table
+        print(f"warmup: _ivfpq_corpus failed: {e!r}", file=sys.stderr)
     # The LSH candidate table is the same kind of offline artifact: built
     # once per corpus version, loaded by every consumer.
     try:
@@ -140,6 +146,7 @@ def main() -> int:
         _pq_mod._build_join_view,
         _pq_mod._build_stream_ijoin,
         _pq_mod._build_stream_ljoin,
+        _pq_mod._build_stream_fjoin,
         _pq_mod._build_stream_sessions,
         _pq_mod._build_manifest,
         _pq_mod._build_bloom_lake,

@@ -4303,3 +4303,85 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
         )
     )
+
+
+@q(
+    "chi_square_independence",
+    """
+    WITH j AS (
+      SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS seg,
+             e.event_type AS et
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    ),
+    cell AS (SELECT seg, et, count(*) AS o FROM j GROUP BY 1, 2),
+    rm AS (SELECT seg, sum(o) AS r FROM cell GROUP BY 1),
+    cm AS (SELECT et, sum(o) AS c FROM cell GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM cell)
+    SELECT CAST(round(sum(CAST(round(
+             (CAST(o * tot.n - rm.r * cm.c AS DOUBLE)
+              * CAST(o * tot.n - rm.r * cm.c AS DOUBLE))
+             / (CAST(tot.n AS DOUBLE) * CAST(rm.r AS DOUBLE)
+                * CAST(cm.c AS DOUBLE)), 9)
+           AS DECIMAL(28,9))), 4) AS DOUBLE) AS chi2,
+           CAST((count(DISTINCT cell.seg) - 1)
+                * (count(DISTINCT cell.et) - 1) AS BIGINT) AS dof,
+           CAST(max(tot.n) AS BIGINT) AS n
+    FROM cell JOIN rm USING (seg) JOIN cm USING (et), tot
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event_type and the
+    acting user's market segment — the categorical-association DQ check
+    (is behavior segment-dependent?) that pairs with metric_correlations'
+    numeric one.
+
+    Exactness: the contingency table, margins, and N are exact integers;
+    the per-cell statistic is computed as ((o·N − r·c)² ) / (N·r·c) with
+    the DIFFERENCE taken in int64 BEFORE the double cast (o·N − r·c is
+    bounded by N² — squaring is what would overflow, so only the square
+    runs in double), each term rounds to 9 and the cross-cell sum merges
+    as DECIMAL — arrival-order-proof, hence cross-engine hashable.
+
+    Plan/scale: one fact pass builds the cell table (segments × types
+    rows — tiny); margins and N re-aggregate CELLS, not the fact table;
+    the margin joins broadcast. At 100 TB the only fact-sized work is
+    the first groupBy."""
+    ev = tbl(spark, sf_dir, "events").select("user_id", "event_type")
+    cust = tbl(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    cell = (
+        ev.join(F.broadcast(cust), "user_id", "left")
+        .select(
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("seg"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("seg", "et")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .cache()
+    )
+    rm = cell.groupBy("seg").agg(F.sum("o").alias("r"))
+    cm = cell.groupBy("et").agg(F.sum("o").alias("c"))
+    tot = cell.agg(F.sum("o").alias("n"))
+    diff = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    term = F.round(
+        diff * diff
+        / (
+            F.col("n").cast("double")
+            * F.col("r").cast("double")
+            * F.col("c").cast("double")
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        cell.join(F.broadcast(rm), "seg")
+        .join(F.broadcast(cm), "et")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(term), 4).cast("double").alias("chi2"),
+            (
+                (F.countDistinct("seg") - 1) * (F.countDistinct("et") - 1)
+            ).cast("long").alias("dof"),
+            F.max("n").cast("long").alias("n"),
+        )
+    )

@@ -717,6 +717,32 @@ HEADLINERS = {
         "lineitem twice (three scans); sets bounded by "
         "suppliers-per-order."
     ),
+    "array_hof_suite": (
+        "Higher-order lambdas (r5): transform/filter/aggregate/exists "
+        "all evaluate inside the scan's codegen projection — zero "
+        "Generate nodes, zero hash exchanges; the explode-then-"
+        "reaggregate alternative would shuffle |vectors|xdim rows."
+    ),
+    "ivfpq_residual_search": (
+        "IVF-PQ residual search (r5): the persisted 17 B/vector code "
+        "table joins a broadcast (query x probes x m x k) L2 lookup "
+        "table on (cell, sub, code) — corpus never shuffles, only "
+        "probed cells' codes survive; the sole nested loop is the "
+        "8-row coarse-centroid probe."
+    ),
+    "stream_full_join_e2e": (
+        "FULL OUTER stream-stream interval join (r5): reads the "
+        "watermark-drained output lake; the drain's two-sided state "
+        "machine emits matched pairs once and BOTH unmatched tails on "
+        "watermark expiry (sentinel-batch protocol advances both "
+        "inputs past every real row)."
+    ),
+    "chi_square_independence": (
+        "Chi-square contingency (r5): one fact groupBy builds the "
+        "segments x types cell table; margins and N re-aggregate "
+        "CELLS; per-cell terms integerize the difference before the "
+        "double square and merge as DECIMAL — arrival-order-proof."
+    ),
 }
 
 
