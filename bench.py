@@ -150,6 +150,7 @@ def main() -> int:
         _pq_mod._build_stream_sessions,
         _pq_mod._build_manifest,
         _pq_mod._build_bloom_lake,
+        _pq_mod._build_evolving_lake,
     ):
         # per-builder: one failing fixture must neither skip the remaining
         # builds nor hide its error — the affected queries would silently

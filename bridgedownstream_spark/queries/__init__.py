@@ -67,7 +67,9 @@ from bridgedownstream_spark.queries import (
 #: additions: array_hof_suite (higher-order lambda surface, zero
 #: exchanges), stream_full_join_e2e (completes the streaming interval-join
 #: matrix), ivfpq_residual_search (FAISS-style residual composition — the
-#: ANN stack's capstone, full closed-form-anchor oracle).
+#: ANN stack's capstone, full closed-form-anchor oracle),
+#: chi_square_independence (integer-exact contingency DQ),
+#: schema_evolution_read (mergeSchema union-by-name with NULL backfill).
 #: Rotate r1-r4-certified window entries out for these, keeping >=1 green
 #: row per §2 component and per extension family (same rule as below).
 #

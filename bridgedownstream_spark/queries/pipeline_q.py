@@ -1640,3 +1640,95 @@ def bloom_pruned_lookup(spark, sf_dir):
         "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
     )
+
+
+#: (sf_dir) -> path of the two-batch schema-evolving lake
+_EVOLVED: dict[str, str] = {}
+
+
+def _build_evolving_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet batches with DIFFERENT schemas in one dataset — the
+    schema-drift shape every long-lived lake accumulates. Batch 1
+    (orderkey % 7 = 0) has no `priority` column; batch 2 (% 7 = 1) adds
+    it AND reorders columns (parquet matches by name, not position, so
+    reorder must be a no-op). mergeSchema unions the two by name; batch-1
+    rows must surface priority as NULL."""
+    if sf_dir in _EVOLVED:
+        return _EVOLVED[sf_dir]
+    import shutil
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bds_evolve_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    o = tbl(spark, sf_dir, "orders")
+    v1 = o.where(F.col("o_orderkey") % 7 == 0).select(
+        F.lit(1).alias("batch"), "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = o.where(F.col("o_orderkey") % 7 == 1).select(
+        F.lit(2).alias("batch"),
+        F.col("o_orderpriority").alias("priority"),  # new column, new slot
+        "o_totalprice",
+        "o_orderkey",  # reordered vs v1
+        "o_custkey",
+    )
+    v1.write.parquet(os.path.join(base, "b1"))
+    v2.write.parquet(os.path.join(base, "b2"))
+    _EVOLVED[sf_dir] = base
+    return base
+
+
+@q(
+    "schema_evolution_read",
+    """
+    SELECT 1 AS batch,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_null_priority,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(24,10))), 2)
+                AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT 2 AS batch,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(0 AS BIGINT) AS n_null_priority,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(24,10))), 2)
+                AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderkey % 7 = 1
+    ORDER BY batch
+    """,
+)
+def schema_evolution_read(spark, sf_dir):
+    """Schema-evolution read: one dataset, two parquet batches whose
+    schemas differ (batch 2 adds `priority` and reorders columns);
+    `mergeSchema` unions them by name and missing columns surface as
+    NULL. The oracle recomputes the expected per-batch counts, the
+    null-priority count, and the exact price sum from the SOURCE table —
+    certifying that the merged read lost nothing, invented nothing, and
+    matched columns by name (a positional reader would put o_totalprice
+    under o_orderkey for batch 2).
+
+    100 TB: mergeSchema's footer union runs on the driver over file
+    FOOTERS (schema-only; here 2 batches — at thousands of files pin the
+    schema explicitly instead); the scan itself stays fully columnar and
+    per-batch pruned. Type WIDENING (int→long) is deliberately out of
+    scope — parquet mergeSchema rejects it; that path is the ETL
+    resolveChoice/cast-to-declared operator (pipeline/json_to_parquet.py),
+    certified by pipeline_e2e_root."""
+    base = _build_evolving_lake(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "b1"), os.path.join(base, "b2")
+    )
+    return (
+        merged.groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("priority").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_null_priority"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(24,10)")), 2
+            ).cast("double").alias("sum_price"),
+        )
+        .orderBy("batch")
+    )
