@@ -69,7 +69,10 @@ from bridgedownstream_spark.queries import (
 #: matrix), ivfpq_residual_search (FAISS-style residual composition — the
 #: ANN stack's capstone, full closed-form-anchor oracle),
 #: chi_square_independence (integer-exact contingency DQ),
-#: schema_evolution_read (mergeSchema union-by-name with NULL backfill).
+#: schema_evolution_read (mergeSchema union-by-name with NULL backfill),
+#: dpp_pruned_join (dynamicpruningexpression plan-pinned — runtime
+#: partition pruning through a join), bucketed_join_no_shuffle
+#: (SMB layout: fact⋈fact with zero pre-join exchanges).
 #: Rotate r1-r4-certified window entries out for these, keeping >=1 green
 #: row per §2 component and per extension family (same rule as below).
 #

@@ -1732,3 +1732,139 @@ def schema_evolution_read(spark, sf_dir):
         )
         .orderBy("batch")
     )
+
+
+@q(
+    "dpp_pruned_join",
+    f"""
+    WITH rootr AS (
+      SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y') AS year
+      FROM orders o WHERE o.o_orderkey % {_SAMPLE} = 0
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey)
+    ),
+    big AS (
+      SELECT DISTINCT strftime(o_orderdate, '%Y') AS year FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-06-01'
+        AND o_orderdate <  TIMESTAMP '1998-06-01'
+    )
+    SELECT r.year, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(count(DISTINCT r.o_orderkey) AS BIGINT) AS n_records
+    FROM rootr r JOIN lineitem l ON l.l_orderkey = r.o_orderkey
+    JOIN big USING (year)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dpp_pruned_join(spark, sf_dir):
+    """Dynamic partition pruning: the lake's year-partition filter is
+    only knowable at RUNTIME — the dimension is "years containing an
+    order in a literal 2-year window", which the planner cannot fold
+    into a static partition predicate on the FACT side (it would have
+    to evaluate the dim first). Spark plants a dynamicpruningexpression
+    subquery on the fact scan's PartitionFilters: the broadcast of the
+    filtered dim doubles as the partition pruner, and the item
+    partitions of non-qualifying years (4 of 7 here) are never opened
+    (plan-pinned in tests/test_plans.py).
+
+    This is THE mechanism that makes star joins over a 100 TB hive lake
+    feasible — static pruning handles WHERE year='1995'; only DPP
+    handles WHERE year IN (<join result>)."""
+    written = _build_lake(spark, sf_dir)
+    child = _read_table(spark, written["rec_v1_items"])
+    big = (
+        tbl(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-06-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+        )
+        .select(F.date_format("o_orderdate", "yyyy").alias("year"))
+        .distinct()
+    )
+    return (
+        child.join(big, "year")
+        .groupBy("year")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("recordid").alias("n_records"),
+        )
+        .orderBy("year")
+    )
+
+
+#: sf_dir -> (bucketed lineitem table name, bucketed orders table name)
+_BUCKETED: dict[str, tuple[str, str]] = {}
+
+
+def _build_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Register both fact tables bucketed+sorted on the join key (8
+    buckets) — write-once layout, exchange-free forever after. Bucketing
+    metadata lives in the session catalog, so a fresh session re-runs
+    saveAsTable (mode=overwrite) into the same stamped /tmp path."""
+    if sf_dir in _BUCKETED:
+        return _BUCKETED[sf_dir]
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    li_t, o_t = f"bds_bkt_lineitem_{tag}", f"bds_bkt_orders_{tag}"
+    base = os.path.join(tempfile.gettempdir(), f"bds_bucketed_{tag}")
+    if li_t not in [t.name for t in spark.catalog.listTables()]:
+        li = tbl(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+        (
+            li.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(base, "lineitem"))
+            .saveAsTable(li_t)
+        )
+        (
+            o.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(base, "orders"))
+            .saveAsTable(o_t)
+        )
+    _BUCKETED[sf_dir] = (li_t, o_t)
+    return _BUCKETED[sf_dir]
+
+
+@q(
+    "bucketed_join_no_shuffle",
+    """
+    SELECT o.o_orderstatus,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(24,10))), 2) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def bucketed_join_no_shuffle(spark, sf_dir):
+    """Bucketed co-located fact⋈fact join — the repeated-big-join
+    strategy at 100 TB: both tables are written ONCE bucketed+sorted on
+    the join key (8 buckets), after which every join on that key is
+    EXCHANGE-FREE and SORT-FREE — task i merge-joins bucket i of both
+    sides locally. The oracle recomputes from the raw tables, certifying
+    the bucketed layout is content-preserving; the plan property (sort-
+    merge join with zero pre-join exchanges) is pinned in
+    tests/test_plans.py. The reference re-joins its stage-1/stage-2
+    lakes on recordid every reconciliation cycle — THIS layout amortizes
+    that shuffle to zero."""
+    li_t, o_t = _build_bucketed(spark, sf_dir)
+    bl, bo = spark.table(li_t), spark.table(o_t)
+    rev = F.round(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(24,10)"
+            )
+        ),
+        2,
+    ).cast("double")
+    return (
+        bl.hint("merge")
+        .join(bo, bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(rev.alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("o_orderstatus")
+    )

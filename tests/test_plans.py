@@ -660,3 +660,21 @@ def test_ivfpq_search_is_broadcast_only(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_dpp_join_plants_dynamic_partition_filter(spark):
+    # the runtime-only dim (above-average-share years) must reach the
+    # fact scan as a dynamicpruningexpression in PartitionFilters — the
+    # mechanism that prunes a 100 TB hive lake through a join
+    plan = plan_of(spark, "dpp_pruned_join")
+    assert "dynamicpruning" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    # bucketed+sorted layout: the fact-fact join sort-merges bucket i of
+    # both sides with ZERO pre-join exchanges and no per-task sort of the
+    # bucket data; the only hash exchange is the post-join aggregate's
+    plan = plan_of(spark, "bucketed_join_no_shuffle")
+    assert "SortMergeJoin" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
