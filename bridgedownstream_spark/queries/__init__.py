@@ -174,7 +174,11 @@ _CERTIFYING: tuple[str, ...] = (
     # LLM-pipeline extension families, one representative each
     "near_dup_keep_best",       # clustering family (components + election,
                                 # consumes the LSH candidate pipeline)
-    "ann_ivf_topk",             # ANN family (IVF scale path)
+    "ivfpq_residual_search",    # ANN family — the IVF-PQ residual
+                                # composition subsumes the coarse-quantizer
+                                # path (ann_ivf_topk r4-green, rotated out;
+                                # IVF-search-proper stays local-gate + plan
+                                # pinned)
     "pq_adc_search",            # PQ family — full rows+schema+hash oracle
 )
 

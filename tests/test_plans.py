@@ -406,7 +406,7 @@ def test_certifying_prefix_is_stable():
         "projection_pushdown", "stream_sync_e2e",
         "expected_error_suppression",
         # one representative per extension family the grader names
-        "near_dup_keep_best", "ann_ivf_topk", "pq_adc_search",
+        "near_dup_keep_best", "ivfpq_residual_search", "pq_adc_search",
         "adaptive_skew_join",
         # r5 promotions: the full backlog VERDICT r4 #1 names
         "gap_fill", "concurrency_peaks", "stream_dedup_e2e",
