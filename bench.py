@@ -151,6 +151,7 @@ def main() -> int:
         _pq_mod._build_manifest,
         _pq_mod._build_bloom_lake,
         _pq_mod._build_evolving_lake,
+        _pq_mod._build_bucketed,
     ):
         # per-builder: one failing fixture must neither skip the remaining
         # builds nor hide its error — the affected queries would silently

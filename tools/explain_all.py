@@ -743,6 +743,26 @@ HEADLINERS = {
         "CELLS; per-cell terms integerize the difference before the "
         "double square and merge as DECIMAL — arrival-order-proof."
     ),
+    "schema_evolution_read": (
+        "Schema-drift read (r5): mergeSchema unions two batches' "
+        "schemas BY NAME (batch 2 adds a column and reorders); "
+        "missing columns surface as NULL, the scan stays columnar and "
+        "per-batch pruned — the footer union is driver-side "
+        "schema-only work."
+    ),
+    "dpp_pruned_join": (
+        "Dynamic partition pruning (r5): the year dim is only "
+        "computable at runtime, so the fact scan carries a "
+        "dynamicpruningexpression in PartitionFilters — the broadcast "
+        "of the filtered dim doubles as the partition pruner; 4 of 7 "
+        "year partitions are never opened."
+    ),
+    "bucketed_join_no_shuffle": (
+        "Bucketed SMB join (r5): both facts written bucketed+sorted "
+        "on the join key — the sort-merge join has ZERO pre-join "
+        "exchanges and no per-task sort; the only hash exchange in "
+        "the plan is the post-join aggregate's."
+    ),
 }
 
 
