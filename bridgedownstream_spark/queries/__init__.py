@@ -72,7 +72,8 @@ from bridgedownstream_spark.queries import (
 #: schema_evolution_read (mergeSchema union-by-name with NULL backfill),
 #: dpp_pruned_join (dynamicpruningexpression plan-pinned — runtime
 #: partition pruning through a join), bucketed_join_no_shuffle
-#: (SMB layout: fact⋈fact with zero pre-join exchanges).
+#: (SMB layout: fact⋈fact with zero pre-join exchanges),
+#: copurchase_lift (A-priori level-2 market-basket lift).
 #: Rotate r1-r4-certified window entries out for these, keeping >=1 green
 #: row per §2 component and per extension family (same rule as below).
 #

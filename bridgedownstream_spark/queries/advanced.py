@@ -4385,3 +4385,85 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("long").alias("n"),
         )
     )
+
+
+@q(
+    "copurchase_lift",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pc AS (SELECT l_partkey, count(*) AS n FROM op GROUP BY 1),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS support
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+           round(CAST(support * tot.n_orders AS DOUBLE)
+                 / CAST(pa.n * pb.n AS DOUBLE), 6) AS lift
+    FROM pairs
+    JOIN pc pa ON pa.l_partkey = pairs.part_a
+    JOIN pc pb ON pb.l_partkey = pairs.part_b
+    CROSS JOIN tot
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (A-priori level 2): part pairs
+    co-purchased in ≥3 orders, ranked by LIFT — support·N / (n_a·n_b),
+    how much more often the pair co-occurs than independence predicts.
+    The recommendation/affinity primitive.
+
+    Plan/scale: the (order, part) incidence distincts ONCE and is
+    localCheckpointed — the pair self-join reuses those partitions
+    instead of re-scanning lineitem twice; a < b halves the pair space
+    and kills self-pairs; the HAVING support cut runs IN the pair
+    aggregate (map-combined) so only frequent pairs survive to the lift
+    join; part counts and the order total are dimension-sized
+    broadcasts; top-20 is a TakeOrdered, never a global sort. At 100 TB
+    the pair aggregate is the only fact-scale exchange — and A-priori's
+    support monotonicity is what keeps level-2 tractable: the candidate
+    space is bounded by baskets × (items/basket)², not items².
+
+    Exactness: support/counts are integers; lift's one double division
+    runs on exact integer products (bounded by N·max_support and
+    n_a·n_b ≪ 2^53), rounded to 6 — identical in both engines.
+    """
+    op = (
+        tbl(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 3)
+    )
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    pa = pc.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    pb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    lift = F.round(
+        (F.col("support") * F.col("n_orders")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double"),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select("part_a", "part_b", "support", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )

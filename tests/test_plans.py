@@ -678,3 +678,13 @@ def test_bucketed_join_is_exchange_free(spark):
     plan = plan_of(spark, "bucketed_join_no_shuffle")
     assert "SortMergeJoin" in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_copurchase_lift_is_takeordered_with_broadcast_dims(spark):
+    # top-20 must be a TakeOrdered (never a global sort of all pairs);
+    # part counts and the order total join broadcast; support cut is
+    # map-combined inside the pair aggregate
+    plan = plan_of(spark, "copurchase_lift")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
