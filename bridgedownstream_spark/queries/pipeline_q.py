@@ -1802,10 +1802,18 @@ def _build_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     saveAsTable (mode=overwrite) into the same stamped /tmp path."""
     if sf_dir in _BUCKETED:
         return _BUCKETED[sf_dir]
+    from bridgedownstream_spark.pipeline.fsutil import has_data_files
+
     tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
     li_t, o_t = f"bds_bkt_lineitem_{tag}", f"bds_bkt_orders_{tag}"
     base = os.path.join(tempfile.gettempdir(), f"bds_bucketed_{tag}")
-    if li_t not in [t.name for t in spark.catalog.listTables()]:
+    registered = {t.name for t in spark.catalog.listTables()}
+    # a catalog entry whose /tmp files were cleaned underneath it must
+    # rebuild, not fail at scan time
+    if li_t not in registered or not (
+        has_data_files(spark, os.path.join(base, "lineitem"))
+        and has_data_files(spark, os.path.join(base, "orders"))
+    ):
         li = tbl(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice", "l_discount"
         )
