@@ -43,6 +43,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "decode_images",
+    "pcm_features",
     "extract_features",
     "perceptual_hash",
     "resize_images",
@@ -366,3 +367,64 @@ def perceptual_hash(
             yield pdf
 
     return df.mapInPandas(hash_batch, schema=out_schema)
+
+
+#: Typed audio features: all-integer so the values are exact at any
+#: batch/partition boundary (no float accumulation anywhere).
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),  # sum of squared samples
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def pcm_features(
+    df: DataFrame,
+    content_col: str = "content",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Attach an ``audio`` struct of signal features, interpreting the
+    binary payload as signed 8-bit PCM — the audio leg of the multimodal
+    matrix. Unlike the stubbed image codec (container formats need
+    external decoders), raw PCM IS the decoded form, so these are REAL
+    computed features, not digest stand-ins: energy = Σ sample², zero
+    crossings = sign-change count, duration from the literal sample
+    rate. All integer arithmetic — exact at any batch boundary, and
+    exactly reproducible engine-independently (the oracle recomputes
+    them from hex pairs in SQL).
+
+    Arrow-batched mapInPandas over numpy int8 views — zero copies of the
+    payload beyond the Arrow transfer, vectorized per batch; at 100 TB
+    the job is scan-shaped (narrow, no exchange)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("audio", AUDIO_FEATURES_SCHEMA)]
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf[content_col]:
+                v = np.frombuffer(bytes(payload), dtype=np.int8)
+                n = int(v.size)
+                energy = int((v.astype(np.int64) ** 2).sum()) if n else 0
+                zc = (
+                    int(((v[:-1] < 0) != (v[1:] < 0)).sum()) if n > 1 else 0
+                )
+                feats.append(
+                    {
+                        "n_samples": n,
+                        "energy": energy,
+                        "zero_crossings": zc,
+                        "duration_ms": n * 1000 // sample_rate,
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["audio"] = feats
+            yield pdf
+
+    return df.mapInPandas(featurize, schema=out_schema)

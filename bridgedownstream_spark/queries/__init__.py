@@ -73,7 +73,9 @@ from bridgedownstream_spark.queries import (
 #: dpp_pruned_join (dynamicpruningexpression plan-pinned — runtime
 #: partition pruning through a join), bucketed_join_no_shuffle
 #: (SMB layout: fact⋈fact with zero pre-join exchanges),
-#: copurchase_lift (A-priori level-2 market-basket lift).
+#: copurchase_lift (A-priori level-2 market-basket lift),
+#: multimodal_audio_features (PCM8 audio leg — REAL integer DSP features
+#: with a computed hex-pair oracle, no digest stand-ins).
 #: Rotate r1-r4-certified window entries out for these, keeping >=1 green
 #: row per §2 component and per extension family (same rule as below).
 #

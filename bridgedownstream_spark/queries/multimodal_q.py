@@ -218,3 +218,53 @@ def media_phash_pairs(spark, sf_dir):
     return cand.where(ham <= 2).select(
         "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )
+
+
+@q(
+    "multimodal_audio_features",
+    """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    sv AS (
+      SELECT doc_id, n,
+             list_transform(generate_series(1, n),
+                 i -> (('0x' || substr(hx, 2*i - 1, 2))::BIGINT + 128)
+                      % 256 - 128) AS v
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS energy,
+           CAST(coalesce(list_sum(list_transform(
+                    generate_series(1, n - 1),
+                    i -> CASE WHEN (v[i] < 0) <> (v[i+1] < 0)
+                         THEN 1 ELSE 0 END)), 0) AS BIGINT)
+               AS zero_crossings,
+           CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms
+    FROM sv
+    ORDER BY doc_id
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """Audio-column features — the payload interpreted as signed 8-bit
+    PCM (raw PCM IS its decoded form, so unlike the stubbed image codec
+    these are REAL computed signal features): per-clip sample count,
+    energy (Σ sample²), zero-crossing count, and duration at 8 kHz. The
+    oracle recomputes every value from the hex pairs of the same bytes —
+    integer-exact, engine-independent, no digest stand-ins. Certifies
+    the binary round-trip (utf-8 bytes survive Arrow transfer
+    bit-for-bit), the int8 signed reinterpretation ((b+128)%256−128),
+    and the Arrow-batched mapInPandas plumbing end to end."""
+    from bridgedownstream_spark.operators.multimodal import pcm_features
+
+    feats = pcm_features(_payloads(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        F.col("audio.n_samples").alias("n_samples"),
+        F.col("audio.energy").alias("energy"),
+        F.col("audio.zero_crossings").alias("zero_crossings"),
+        F.col("audio.duration_ms").alias("duration_ms"),
+    ).orderBy("doc_id")

@@ -233,3 +233,24 @@ def test_perceptual_hash_pairs_identical_payloads(spark):
         .where(F.col("h") == 0)
     )
     assert ham.count() == 1  # exactly the (1, 2) pair
+
+
+def test_pcm_features_known_answer(spark):
+    """Hand-computed PCM8 features: bytes (1, 255, 2, 128) are signed
+    samples (1, -1, 2, -128) → energy 1+1+4+16384, three sign changes,
+    4 samples at 8 kHz → 0 ms."""
+    from bridgedownstream_spark.operators.multimodal import pcm_features
+
+    df = spark.createDataFrame(
+        [(1, bytes([1, 255, 2, 128])), (2, b"")],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r["audio"] for r in pcm_features(df).collect()}
+    a = rows[1]
+    assert a["n_samples"] == 4
+    assert a["energy"] == 1 + 1 + 4 + 16384
+    assert a["zero_crossings"] == 3
+    assert a["duration_ms"] == 0
+    z = rows[2]
+    assert z["n_samples"] == 0 and z["energy"] == 0
+    assert z["zero_crossings"] == 0
