@@ -763,6 +763,18 @@ HEADLINERS = {
         "exchanges and no per-task sort; the only hash exchange in "
         "the plan is the post-join aggregate's."
     ),
+    "copurchase_lift": (
+        "Market-basket lift (r5): the (order, part) incidence "
+        "distincts once and is checkpoint-reused by the pair "
+        "self-join; the support cut runs map-combined inside the pair "
+        "aggregate; part counts + order total broadcast; top-20 is a "
+        "TakeOrdered."
+    ),
+    "multimodal_audio_features": (
+        "PCM8 audio features (r5): Arrow-batched mapInPandas over the "
+        "binary column — scan-shaped, zero exchanges except the output "
+        "sort; all-integer features are exact at any batch boundary."
+    ),
 }
 
 
