@@ -436,6 +436,31 @@ _STREAM_SRC: dict[str, str] = {}
 _TS_JSON_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
 
+class _drain_partitions:
+    """Run a stream-drain fixture build at ``n`` shuffle partitions.
+
+    The fixture corpora are event-table-sized, where 32-way state-store
+    tasks are pure scheduling overhead — 8-way halves the drain wall time
+    (measured 36.9 → 16.8 s for the full-outer join drain). The drained
+    OUTPUT is partition-count-invariant (same rows, different file
+    split; every consumer aggregates or value-hashes), and each build
+    rmtree's its checkpoint first, so the count a fresh checkpoint pins
+    can never conflict with a prior one. Restores the session value on
+    exit — fixture builds are sequential (bench warmup / pytest), so no
+    concurrently-planned query can observe the window."""
+
+    def __init__(self, spark: SparkSession, n: str = "8"):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 def _build_stream_src(spark: SparkSession, sf_dir: str) -> str:
     """The shared file-stream source: events as exactly TWO NDJSON files,
     so a maxFilesPerTrigger=1 reader sees two micro-batches — each key's
@@ -522,16 +547,17 @@ def _build_windowed_rollup(spark: SparkSession, sf_dir: str) -> str:
             "append"
         ).parquet(out)
 
-    q_ = (
-        agg.writeStream.foreachBatch(_upsert)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q_.awaitTermination(300):
-        q_.stop()
-        raise TimeoutError(f"windowed rollup drain exceeded 300s ({ckpt})")
+    with _drain_partitions(spark):
+        q_ = (
+            agg.writeStream.foreachBatch(_upsert)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q_.awaitTermination(300):
+            q_.stop()
+            raise TimeoutError(f"windowed rollup drain exceeded 300s ({ckpt})")
     _WINAGG[sf_dir] = out
     return out
 
@@ -641,17 +667,18 @@ def _build_stream_sessions(spark: SparkSession, sf_dir: str) -> str:
     sess = session_counts(
         stream, "ts", "user_id", gap="30 minutes", watermark="10 minutes"
     )
-    q_ = (
-        sess.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q_.awaitTermination(300):
-        q_.stop()
-        raise TimeoutError(f"stream sessionize drain exceeded 300s ({ckpt})")
+    with _drain_partitions(spark):
+        q_ = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q_.awaitTermination(300):
+            q_.stop()
+            raise TimeoutError(f"stream sessionize drain exceeded 300s ({ckpt})")
     _SSESS[sf_dir] = out
     return out
 
@@ -750,15 +777,16 @@ def _build_stream_ijoin(spark: SparkSession, sf_dir: str) -> str:
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out)
 
-    q_ = (
-        joined.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q_.awaitTermination(300):
-        q_.stop()
-        raise TimeoutError(f"stream interval-join drain exceeded 300s ({ckpt})")
+    with _drain_partitions(spark):
+        q_ = (
+            joined.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q_.awaitTermination(300):
+            q_.stop()
+            raise TimeoutError(f"stream interval-join drain exceeded 300s ({ckpt})")
     _SIJOIN[sf_dir] = out
     return out
 
@@ -865,17 +893,18 @@ def _build_stream_ljoin(spark: SparkSession, sf_dir: str) -> str:
     joined = interval_left_join_streams(
         left, right, "user_id", tolerance="10 minutes", watermark="10 minutes"
     )
-    q_ = (
-        joined.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q_.awaitTermination(300):
-        q_.stop()
-        raise TimeoutError(f"stream left-join drain exceeded 300s ({ckpt})")
+    with _drain_partitions(spark):
+        q_ = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q_.awaitTermination(300):
+            q_.stop()
+            raise TimeoutError(f"stream left-join drain exceeded 300s ({ckpt})")
     _SLJOIN[sf_dir] = out
     return out
 
@@ -985,17 +1014,18 @@ def _build_stream_fjoin(spark: SparkSession, sf_dir: str) -> str:
     joined = interval_full_join_streams(
         left, right, "user_id", tolerance="10 minutes", watermark="10 minutes"
     )
-    q_ = (
-        joined.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q_.awaitTermination(300):
-        q_.stop()
-        raise TimeoutError(f"stream full-join drain exceeded 300s ({ckpt})")
+    with _drain_partitions(spark):
+        q_ = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q_.awaitTermination(300):
+            q_.stop()
+            raise TimeoutError(f"stream full-join drain exceeded 300s ({ckpt})")
     _SFJOIN[sf_dir] = out
     return out
 
@@ -1070,17 +1100,18 @@ def _build_stream_enrich(spark: SparkSession, sf_dir: str) -> str:
             F.round(F.col("value"), 2).cast("double").alias("value"),
         )
     )
-    q_ = (
-        enriched.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q_.awaitTermination(300):
-        q_.stop()
-        raise TimeoutError(f"stream enrich drain exceeded 300s ({ckpt})")
+    with _drain_partitions(spark):
+        q_ = (
+            enriched.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q_.awaitTermination(300):
+            q_.stop()
+            raise TimeoutError(f"stream enrich drain exceeded 300s ({ckpt})")
     _SENRICH[sf_dir] = out
     return out
 
@@ -1139,16 +1170,17 @@ def _build_stream_dedup(spark: SparkSession, sf_dir: str) -> str:
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out)
 
-    q_ = (
-        deduped.writeStream.foreachBatch(_sink)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q_.awaitTermination(300):
-        q_.stop()
-        raise TimeoutError(f"stateful dedup drain exceeded 300s ({ckpt})")
+    with _drain_partitions(spark):
+        q_ = (
+            deduped.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q_.awaitTermination(300):
+            q_.stop()
+            raise TimeoutError(f"stateful dedup drain exceeded 300s ({ckpt})")
     _SDEDUP[sf_dir] = out
     return out
 
