@@ -161,3 +161,39 @@ def rebalance_domains(
         .where(gate)
         .drop("__bds_n_docs", "__bds_rate_ppb")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "split-v1",
+    train_ppb: int = 800_000_000,
+    val_ppb: int = 100_000_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the canonical ML-data
+    split, as a pure function of (key, seed): every engine, every run,
+    every shard of a 100 TB corpus assigns each key the same split, so
+    train/eval contamination cannot creep in through reshuffles,
+    retries, or re-ingestion (the property random() splits lose the
+    moment a partition recomputes).
+
+    Gate: portable md5-60 of ``key || ':' || seed`` reduced to parts per
+    billion; [0, train) → train, [train, train+val) → val, rest → test.
+    Changing the seed re-rolls the whole assignment; keys added later
+    fall into splits at the same expected rates. Narrow projection —
+    no shuffle, no state.
+    """
+    if not 0 < train_ppb + val_ppb < 1_000_000_000:
+        raise ValueError(
+            f"split_assign: train+val ppb must be in (0, 1e9), got "
+            f"{train_ppb + val_ppb}"
+        )
+    gate = _hash60(
+        F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))
+    ) % F.lit(1_000_000_000).cast("long")
+    return df.withColumn(
+        "split",
+        F.when(gate < train_ppb, "train")
+        .when(gate < train_ppb + val_ppb, "val")
+        .otherwise("test"),
+    )

@@ -75,7 +75,9 @@ from bridgedownstream_spark.queries import (
 #: (SMB layout: fact⋈fact with zero pre-join exchanges),
 #: copurchase_lift (A-priori level-2 market-basket lift),
 #: multimodal_audio_features (PCM8 audio leg — REAL integer DSP features
-#: with a computed hex-pair oracle, no digest stand-ins).
+#: with a computed hex-pair oracle, no digest stand-ins),
+#: train_val_test_split (contamination-proof deterministic 80/10/10
+#: md5-ppb split).
 #: Rotate r1-r4-certified window entries out for these, keeping >=1 green
 #: row per §2 component and per extension family (same rule as below).
 #

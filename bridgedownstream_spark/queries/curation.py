@@ -692,3 +692,44 @@ def pack_sequences(spark, sf_dir):
         (cum / _PACK_BUDGET).cast("int").alias("pack_id"),
         (cum % _PACK_BUDGET).cast("int").alias("pack_offset"),
     )
+
+
+@q(
+    "train_val_test_split",
+    """
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN g < 800000000 THEN 'train'
+                  WHEN g < 900000000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT lang,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split-v1'),
+                                   1, 15))::BIGINT % 1000000000 AS g
+            FROM documents)
+    )
+    SELECT split, lang, CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of the document corpus
+    (operators/sampling.py::split_assign), audited per language — the
+    split every training pipeline runs first, certified engine-portable:
+    the DuckDB oracle recomputes the md5-ppb gate per document and must
+    land every doc in the identical split. Stratification quality (each
+    language's mass splits ~80/10/10) follows from the hash gate's
+    uniformity; CONTAMINATION-PROOFNESS follows from determinism — a
+    recomputed partition, a retried task, or a re-ingested shard can
+    never flip a document across the train/eval boundary.
+
+    Plan/scale: the gate is a narrow md5 projection inside the scan
+    stage; the only exchange is the audit's (split, lang) aggregate."""
+    from bridgedownstream_spark.operators.sampling import split_assign
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        split_assign(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "lang")
+    )

@@ -133,3 +133,32 @@ def test_preexisting_rate_columns_survive(spark):
     out = rebalance_domains(d, "source", "doc_id")
     assert set(out.columns) == {"source", "doc_id", "n_docs", "rate_ppb"}
     assert out.select(F.min("n_docs"), F.max("n_docs")).first() == (7, 7)
+
+
+def test_split_assign_deterministic_and_bounded(spark):
+    """The split is a pure function of (key, seed): identical across
+    invocations, roughly 80/10/10 by mass, and seed-sensitive."""
+    from bridgedownstream_spark.operators.sampling import split_assign
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id"
+    )
+    a = {r["doc_id"]: r["split"] for r in split_assign(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assign(docs, "doc_id").collect()}
+    assert a == b
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.7 * n <= c["train"] <= 0.9 * n
+    assert c["val"] > 0 and c["test"] > 0
+    c2 = Counter(
+        r["split"]
+        for r in split_assign(docs, "doc_id", seed="other").collect()
+    )
+    assert c2 != c  # reseeding re-rolls the assignment
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_assign(docs, "doc_id", train_ppb=999_999_999, val_ppb=2)
