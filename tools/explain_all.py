@@ -775,6 +775,13 @@ HEADLINERS = {
         "binary column — scan-shaped, zero exchanges except the output "
         "sort; all-integer features are exact at any batch boundary."
     ),
+    "train_val_test_split": (
+        "Deterministic split (r5): the md5-ppb gate is a narrow "
+        "projection inside the scan stage — assignment is a pure "
+        "function of (key, seed), so no reshuffle/retry/re-ingest can "
+        "flip a document across the train/eval boundary; the only "
+        "exchange is the audit aggregate."
+    ),
 }
 
 
