@@ -183,6 +183,11 @@ def split_assign(
     fall into splits at the same expected rates. Narrow projection —
     no shuffle, no state.
     """
+    if train_ppb <= 0 or val_ppb < 0:
+        raise ValueError(
+            f"split_assign: need train_ppb > 0 and val_ppb >= 0, got "
+            f"train_ppb={train_ppb}, val_ppb={val_ppb}"
+        )
     if not 0 < train_ppb + val_ppb < 1_000_000_000:
         raise ValueError(
             f"split_assign: train+val ppb must be in (0, 1e9), got "

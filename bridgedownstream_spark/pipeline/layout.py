@@ -209,20 +209,7 @@ def skipping_scan(
         )
     m = spark.read.parquet(manifest_path)
     if verify:
-        actual = {
-            _file_key(f) for f in spark.read.parquet(path).inputFiles()
-        }
-        listed = {_file_key(r["file"]) for r in m.select("file").collect()}
-        if actual != listed:
-            missing = sorted(actual - listed)[:5]
-            gone = sorted(listed - actual)[:5]
-            raise ValueError(
-                f"skipping_scan: stale manifest {manifest_path!r}: dataset "
-                f"has {len(actual)} files, manifest lists {len(listed)}. "
-                f"Unlisted files the scan would silently drop: {missing}; "
-                f"listed files no longer present: {gone}. Rebuild with "
-                "write_stats_manifest() after every layout rewrite."
-            )
+        _verify_manifest(spark, path, m, manifest_path)
     cond = None
     for c, (lo, hi) in predicates.items():
         p = (F.col(f"max_{c}") >= F.lit(lo)) & (F.col(f"min_{c}") <= F.lit(hi))

@@ -4358,7 +4358,7 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("seg", "et")
         .agg(F.count(F.lit(1)).alias("o"))
-        .cache()
+        .localCheckpoint(eager=False)  # one cell build, three consumers
     )
     rm = cell.groupBy("seg").agg(F.sum("o").alias("r"))
     cm = cell.groupBy("et").agg(F.sum("o").alias("c"))

@@ -1772,7 +1772,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("v")
         )
-    ).cache()
+    ).localCheckpoint(eager=False)  # one build, two consumers (total+filter)
     total = val.agg(F.sum("v").alias("total"))
     return (
         val.crossJoin(F.broadcast(total))

@@ -237,7 +237,8 @@ def media_phash_pairs(spark, sf_dir):
     )
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_samples,
-           CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS energy,
+           CAST(coalesce(list_sum(list_transform(v, x -> x * x)), 0)
+               AS BIGINT) AS energy,
            CAST(coalesce(list_sum(list_transform(
                     generate_series(1, n - 1),
                     i -> CASE WHEN (v[i] < 0) <> (v[i+1] < 0)

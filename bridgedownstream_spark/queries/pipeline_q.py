@@ -1842,7 +1842,7 @@ def _build_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     registered = {t.name for t in spark.catalog.listTables()}
     # a catalog entry whose /tmp files were cleaned underneath it must
     # rebuild, not fail at scan time
-    if li_t not in registered or not (
+    if {li_t, o_t} - registered or not (
         has_data_files(spark, os.path.join(base, "lineitem"))
         and has_data_files(spark, os.path.join(base, "orders"))
     ):

@@ -162,3 +162,9 @@ def test_split_assign_deterministic_and_bounded(spark):
 
     with _pytest.raises(ValueError):
         split_assign(docs, "doc_id", train_ppb=999_999_999, val_ppb=2)
+    # negative val_ppb sums inside (0, 1e9) but must still be rejected —
+    # the when() chain would otherwise silently skew the splits
+    with _pytest.raises(ValueError):
+        split_assign(docs, "doc_id", train_ppb=900_000_000, val_ppb=-100_000_000)
+    with _pytest.raises(ValueError):
+        split_assign(docs, "doc_id", train_ppb=0, val_ppb=100)
