@@ -26,59 +26,46 @@ from bridgedownstream_spark.queries import (
 #: representative per LLM-pipeline extension family FIRST; redundant
 #: variants and already-covered extras fill the tail. Keep every §2
 #: component's certifying query inside the first 50 names.
-#: Round-6 rotation backlog (never driver-certified after r5, in rough
-#: promotion-priority order): groupwise_regression, metric_correlations,
-#: value_histogram, zscore_anomalies, hot_key_report, bpe_token_count,
-#: contamination_check, repetition_stats, quality_weighted_sample,
-#: train_shards, ngram_topk, doc_chunking, pack_sequences,
-#: minhash_signature, simhash16, ann_topk_cosine, ann_lsh_bucketed,
-#: ann_quantized_topk, embedding_near_dup, kmeans_refine_centroids,
-#: ann_recall, dedup_graph_triangles, near_dup_incremental,
-#: portable_hll_cardinality, portable_quantile_bands,
-#: multimodal_decode/features/frame_sample/resize, stream_interval_join_e2e,
-#: stream_sessionize_e2e, pipeline_compaction_equiv, upsert variants —
-#: plus the r5 additions: TPC-H q5/q7/q8/q13/q14/q18/q22,
-#: stream_enrich_e2e (stream-static broadcast enrichment),
-#: portable_cms_heavy_hitters (count-min sketch), time_weighted_avg,
-#: cdc_apply, attribution_last_touch, incremental_join_view,
-#: bloom_semi_join (literal-bitmap runtime filter), mad_outliers,
-#: q15/q17/q19 (TPC-H), pagerank_copurchase (iterative graph — would give
-#: the driver its first iterative-algorithm row), portable_kmv_jaccard,
-#: merkle_snapshot_diff, event_paths_topk, bfs_hops (second iterative
-#: candidate), jaccard_prefix_join + containment_prefix_join (exact
-#: set-similarity pair), bloom_pruned_lookup, linear_interpolate,
-#: hll_rollup_hierarchy + quantile_band_rollup (sketch-merge pair),
-#: rolling_active_users + rolling_hll_users (exact/sketch sliding pair),
-#: ewma_smoothing, ntile_quartiles, weighted_median, pivot_order_status,
-#: sssp_weighted (weighted Bellman-Ford — with bfs_hops/pagerank the
-#: iterative-graph trio), debounce_events (applyInPandas greedy vs
-#: recursive oracle — would give the driver its first certified
-#: imperative-path row), pareto_frontier, stream_left_join_e2e (outer
-#: streaming emission), ivm_agg_retract, kmv_set_cardinality,
-#: containment_prefix_join, event_pattern_match, window_rank_suite,
-#: groupingsets_revenue, bag_set_ops, quantile_band_rollup — and the
-#: TPC-H completion set (all 22 shapes now present; q1 ≡ pricing_summary):
-#: q2_min_cost_supplier (correlated min as window), q4_order_priority
-#: (EXISTS → semi), q9_product_type_profit, q11_important_parts (scalar
-#: fraction-of-total), q12_priority_lines, q16_supplier_part_counts
-#: (NOT IN → broadcast anti + count-distinct), q20_potential_promotion
-#: (correlated half-sum in one scan), q21_suppliers_kept_waiting
-#: (EXISTS+NOT-EXISTS pair → single-scan window sets) — and the session-3
-#: additions: array_hof_suite (higher-order lambda surface, zero
-#: exchanges), stream_full_join_e2e (completes the streaming interval-join
-#: matrix), ivfpq_residual_search (FAISS-style residual composition — the
-#: ANN stack's capstone, full closed-form-anchor oracle),
-#: chi_square_independence (integer-exact contingency DQ),
-#: schema_evolution_read (mergeSchema union-by-name with NULL backfill),
-#: dpp_pruned_join (dynamicpruningexpression plan-pinned — runtime
-#: partition pruning through a join), bucketed_join_no_shuffle
-#: (SMB layout: fact⋈fact with zero pre-join exchanges),
-#: copurchase_lift (A-priori level-2 market-basket lift),
-#: multimodal_audio_features (PCM8 audio leg — REAL integer DSP features
-#: with a computed hex-pair oracle, no digest stand-ins),
-#: train_val_test_split (contamination-proof deterministic 80/10/10
-#: md5-ppb split).
-#: Rotate r1-r4-certified window entries out for these, keeping >=1 green
+#: Round-6 rotation EXECUTED (VERDICT r5 #1): promoted the full 14-query
+#: backlog the r5 verdict names — debounce_events, bfs_hops, sssp_weighted,
+#: jaccard_prefix_join, containment_prefix_join, kmv_set_cardinality,
+#: hll_rollup_hierarchy, merkle_snapshot_diff, stream_full_join_e2e,
+#: train_val_test_split, dpp_pruned_join, bucketed_join_no_shuffle,
+#: schema_evolution_read, multimodal_audio_features. Rotated out (all
+#: r5-driver-green; survivor noted inline in the tuple): pagerank_copurchase,
+#: stream_dedup_e2e, stats_pruned_scan, gap_fill, concurrency_peaks,
+#: retention_cohorts, event_transitions, snapshot_diff, winsorized_stats,
+#: rebalance_domains, duplicate_spans, bm25_topk, fuzzy_match_parts,
+#: pq_adc_search.
+#: Round-7 rotation backlog (never driver-certified after r6, in rough
+#: promotion-priority order — lead with mechanism classes the driver has
+#: never seen): chi_square_independence (integer-exact contingency DQ),
+#: array_hof_suite (higher-order lambda surface, scalar folds),
+#: kmeans_refine_centroids (iterative centroid refinement — the last
+#: uncertified iterative algorithm), pareto_frontier (dominance via
+#: windowed O(n log n)), copurchase_lift (A-priori market-basket),
+#: event_pattern_match + event_paths_topk (sequence mining),
+#: stream_interval_join_e2e / stream_left_join_e2e / stream_sessionize_e2e
+#: / stream_enrich_e2e (remaining streaming matrix), portable_cms_heavy_hitters
+#: + quantile_band_rollup + portable_hll_cardinality + portable_kmv_jaccard
+#: (remaining portable sketches), bloom_semi_join + bloom_pruned_lookup
+#: (runtime bitmap filters), cdc_apply + ivm_agg_retract +
+#: incremental_join_view (incremental-view maintenance trio),
+#: pipeline_compaction_equiv + upsert variants (lake maintenance),
+#: multimodal_decode/features/frame_sample/resize (image legs),
+#: near_dup_incremental, dedup_graph_triangles, minhash_signature,
+#: simhash16, embedding_near_dup, ann_topk_cosine / ann_lsh_bucketed /
+#: ann_quantized_topk / ann_recall (ANN remainder), ngram_topk,
+#: bpe_token_count, contamination_check, repetition_stats, doc_chunking,
+#: pack_sequences, train_shards, quality_weighted_sample,
+#: groupwise_regression, metric_correlations, value_histogram,
+#: zscore_anomalies, mad_outliers, hot_key_report, time_weighted_avg,
+#: attribution_last_touch, linear_interpolate, ewma_smoothing,
+#: ntile_quartiles, weighted_median, pivot_order_status,
+#: rolling_active_users + rolling_hll_users, window_rank_suite,
+#: groupingsets_revenue, bag_set_ops, event_paths_topk, and the TPC-H
+#: remainder q2/q4/q5/q7/q8/q11/q13/q14/q15/q17/q18/q19/q20/q21/q22.
+#: Rotate driver-green window entries out for these, keeping >=1 green
 #: row per §2 component and per extension family (same rule as below).
 #
 #: Round-5 rotation (VERDICT r4 #1): promote the full 14-query backlog the
@@ -121,12 +108,9 @@ _CERTIFYING: tuple[str, ...] = (
     "dedup_latest",             # A2 + §2.5 row_number window
     "sample_per_group",         # A3
     "reconcile_counts",         # A4/A7
-    "pagerank_copurchase",      # iterative broadcast-rank graph algorithm —
-                                # the driver's first iterative row (A5
-                                # count-distinct moved to
-                                # q16_supplier_part_counts;
-                                # count_reconciliation_report r1-r4-green,
-                                # rotated out)
+    "bfs_hops",                 # iterative graph: frontier-broadcast BFS
+                                # (pagerank_copurchase r5-green, rotated out;
+                                # iterative family → bfs + sssp below)
     "group_collect",            # A8
     "config_cache_dedup",       # A9
     "asof_join_events",         # P3 closest-match as the single-exchange
@@ -155,36 +139,54 @@ _CERTIFYING: tuple[str, ...] = (
     "expected_error_suppression",  # P8/V3 whitelist subtraction
     "stream_sync_e2e",          # streaming family + §2.11 incremental
                                 # (checkpointed availableNow = bookmarks)
-    "stream_dedup_e2e",         # applyInPandasWithState stateful dedup —
-                                # the last streaming operator without a
-                                # driver row (r5 promotion)
+    "stream_full_join_e2e",     # stateful symmetric FULL OUTER interval
+                                # join — completes the streaming join
+                                # matrix (stream_dedup_e2e r5-green,
+                                # rotated out; stateful streaming stays
+                                # certified via this + stream_sync_e2e)
     "pipeline_e2e_root",        # S2/S5/N1/N2
     "pipeline_partition_pruned",        # P7
-    "stats_pruned_scan",        # layout family: manifest data skipping
-                                # (r5 promotion; zorder_box_query r4-green)
-    # r5 promotions: analytics / time-series over events
-    "gap_fill",                 # calendar densification + interpolation
-    "concurrency_peaks",        # interval overlap via +1/-1 sweep
-    "retention_cohorts",        # cohort × offset retention triangle
-    "event_transitions",        # §2.5 lag windows: Markov transition counts
-    "conversion_latency",       # funnel step latency quantiles
-    "snapshot_diff",            # CDC-style table diff
-    "winsorized_stats",         # robust stats / DQ family
-    # r5 promotions: curation / text
-    "rebalance_domains",        # domain-mix resampler (ppb hash gate)
-    "duplicate_spans",          # n-gram span-level duplication audit
+    # r6 promotions: layout / plan-shape mechanisms
+    "dpp_pruned_join",          # runtime partition pruning through a join
+                                # (dynamicpruningexpression plan-pinned;
+                                # stats_pruned_scan r5-green, rotated out —
+                                # layout family stays via this + bucketed)
+    "bucketed_join_no_shuffle",  # SMB fact⋈fact with zero pre-join
+                                 # exchanges (bucketed catalog layout)
+    "schema_evolution_read",    # mergeSchema union-by-name + NULL backfill
+    # analytics / time-series over events (gap_fill, concurrency_peaks,
+    # retention_cohorts, event_transitions, snapshot_diff, winsorized_stats
+    # all r5-green, rotated out; family + §2.5 lag windows stay certified
+    # via conversion_latency and dedup_latest)
+    "conversion_latency",       # funnel step latency quantiles (§2.5 lag)
+    "merkle_snapshot_diff",     # hash-tree CDC diff — O(changed) compare
+                                # (snapshot_diff r5-green, rotated out)
+    # curation / text (rebalance_domains, duplicate_spans, bm25_topk,
+    # fuzzy_match_parts all r5-green, rotated out; family stays certified
+    # via curation_funnel + train_val_test_split)
     "curation_funnel",          # multi-stage filter funnel w/ attrition
-    "bm25_topk",                # scaled-integer Okapi BM25 ranking
-    "fuzzy_match_parts",        # blocked edit-distance entity resolution
+    "train_val_test_split",     # contamination-proof md5-ppb 80/10/10 split
+    "debounce_events",          # imperative applyInPandas greedy debounce
+                                # vs recursive-CTE oracle — first certified
+                                # imperative-path row
+    # iterative graph trio (pagerank rotated out; bfs_hops in agg block)
+    "sssp_weighted",            # Bellman-Ford weighted shortest paths
+    # sketch-merge algebra pair
+    "kmv_set_cardinality",      # K-minimum-values distinct sketch,
+                                # integer-exact merge
+    "hll_rollup_hierarchy",     # HLL registers merged across rollup levels
+    # exact set-similarity pair (PPJoin prefix filtering)
+    "jaccard_prefix_join",      # rarity-ordered prefixes + positional cuts
+    "containment_prefix_join",  # directed containment, B-side posting lists
+    # multimodal family
+    "multimodal_audio_features",  # PCM8 integer DSP, hex-pair oracle
     # LLM-pipeline extension families, one representative each
     "near_dup_keep_best",       # clustering family (components + election,
                                 # consumes the LSH candidate pipeline)
     "ivfpq_residual_search",    # ANN family — the IVF-PQ residual
                                 # composition subsumes the coarse-quantizer
-                                # path (ann_ivf_topk r4-green, rotated out;
-                                # IVF-search-proper stays local-gate + plan
-                                # pinned)
-    "pq_adc_search",            # PQ family — full rows+schema+hash oracle
+                                # AND the ADC path (pq_adc_search r5-green,
+                                # rotated out; ann_ivf_topk r4-green)
 )
 
 #: name -> (query_fn, oracle_sql_or_None)
