@@ -129,6 +129,42 @@ def _shingled_for(spark, sf_dir, doc_ids):
     )
 
 
+def _rarity_ranked(sh):
+    """(doc_id, s, rn, n): each doc's DISTINCT shingles ranked by global
+    rarity (document-frequency asc, shingle asc — one total order shared
+    by every doc, the precondition of the prefix-filter theorem). Rarity
+    is load-bearing, not a nicety: re-measured at 100x corpus, a cheap
+    hash order (rank by xxhash64, zero-shuffle array_sort build) blows
+    the candidate set up 362x (834k -> 302M pairs) because frequent
+    shingles enter prefixes.
+
+    Lean build — measured at 100x corpus (500k docs, 26M posting rows):
+    the naive chain (explode.distinct -> size groupBy -> df groupBy ->
+    two joins back -> rank window) shuffles the posting list ~5 times
+    and was 103 s of containment_prefix_join's 115 s total; this form
+    computes per-doc dedup + set size MAP-SIDE on the shingle arrays
+    (no distinct shuffle, no size groupBy/join), document frequency as
+    an unordered count window over the shingle partitioning (no
+    groupBy + join back), and per-doc rank as the one remaining doc_id
+    exchange — 2 posting-list shuffles total.
+    """
+    from pyspark.sql import Window as W
+
+    e = sh.select("doc_id", F.array_distinct("sh").alias("sha")).select(
+        "doc_id",
+        F.size("sha").cast("long").alias("n"),
+        F.explode("sha").alias("s"),
+    )
+    return (
+        e.withColumn("df", F.count("*").over(W.partitionBy("s")))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("df", "s")),
+        )
+        .select("doc_id", "s", "rn", "n")
+    )
+
+
 def _signatures(spark, sf_dir):
     """(doc_id, sh, m0..m7) — narrow projection over one scan.
 
@@ -1604,18 +1640,16 @@ def jaccard_prefix_join(spark, sf_dir):
     shingles loses no true pair while skipping every pair whose only
     overlap is frequent shingles.
 
-    Plan/scale: df + per-doc rank are two shuffles on shingle/doc_id;
-    the candidate join touches only prefix rows (rarity-first ordering
-    makes per-shingle fan-out df_prefix^2 with SMALL df by construction
-    — frequent shingles never enter a prefix unless a doc is nearly all
-    stopword-shingles). Verification re-shingles ONLY candidate docs
-    (broadcast semi-join on the candidate id set) and intersects the two
-    arrays per pair — never corpus x corpus. The brute-force oracle is
-    the quadratic plan this query exists to avoid; it stays DuckDB-side
-    at oracle scale only.
+    Plan/scale: the rarity-ranked posting list (`_rarity_ranked`) costs
+    two posting-list shuffles; the candidate join touches only prefix
+    rows (rarity-first ordering makes per-shingle fan-out df_prefix^2
+    with SMALL df by construction — frequent shingles never enter a
+    prefix unless a doc is nearly all stopword-shingles). Verification
+    re-shingles ONLY candidate docs (broadcast semi-join on the
+    candidate id set) and intersects the two arrays per pair — never
+    corpus x corpus. The brute-force oracle is the quadratic plan this
+    query exists to avoid; it stays DuckDB-side at oracle scale only.
     """
-    from pyspark.sql import Window as W
-
     # Materialize the shingle ARRAYS once, spread across the cluster:
     # documents parquet arrives as few (locally: one) splits, and
     # Catalyst's projection collapse would otherwise re-evaluate the
@@ -1628,25 +1662,11 @@ def jaccard_prefix_join(spark, sf_dir):
         .repartition(par, "doc_id")
         .localCheckpoint(eager=False)
     )
-    e = sh.select("doc_id", F.explode("sh").alias("s")).distinct()
-    sz = e.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    dfreq = e.groupBy("s").agg(F.count("*").cast("long").alias("df"))
-    prefix = (
-        e.join(dfreq, "s")
-        .join(sz, "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy("df", "s")
-            ),
-        )
-        .where(
-            F.col("rn")
-            <= F.col("n")
-            - F.expr(f"({_JPJ_NUM} * n + {_JPJ_NUM}) div {_JPJ_DEN}")
-            + 1
-        )
-        .select("doc_id", "s", "rn", "n")
+    prefix = _rarity_ranked(sh).where(
+        F.col("rn")
+        <= F.col("n")
+        - F.expr(f"({_JPJ_NUM} * n + {_JPJ_NUM}) div {_JPJ_DEN}")
+        + 1
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     # PPJoin's two lossless candidate cuts on top of the prefix match:
@@ -1742,38 +1762,39 @@ def containment_prefix_join(spark, sf_dir):
     Candidate rule (directed prefix filter): with overlap target
     t = ceil(0.9·na), A must match inside its na−t+1 RAREST shingles
     (global rarity order, df asc then shingle — a total order), while the
-    B side indexes ALL its shingles (containment imposes no upper length
+    B side indexes its shingles (containment imposes no upper length
     bound on B — the structural difference from the symmetric join). Two
     lossless cuts prune the candidate space: SIZE (inter <= nb, so
     10·nb >= 9·na) and POSITIONAL (overlap <= 1 + min(na−rna, nb−rnb)
     must reach t, with both ranks in the SAME global order).
+
+    Posting-list scale note (measured, 100x corpus = 500k docs / 26M
+    posting rows): the pre-r6 16x-at-100x cost was NOT the B-side
+    posting-list join — candidate generation over the full B list is
+    ~1 s there (834k pairs) — but the rarity-index BUILD, whose naive
+    5-shuffle chain was 103 s of the 115 s total; `_rarity_ranked`'s
+    2-shuffle form removes it. Two capping alternatives were measured
+    and REJECTED: (a) banding the B list by floor(log2(na)) with the
+    lossless rarest-shared-token cut (extra band pass + ~2.5x B-side
+    shuffle volume outweighed the join-product saving: 6.7 s -> 11.0 s
+    at sf0.1, 116 s -> 166 s at 100x); (b) replacing rarity with a
+    zero-shuffle hash order (candidates exploded 362x). If a future
+    corpus's shingle df actually grows with corpus size (this one's is
+    salted per copy), banding is the lossless lever to revisit —
+    predicate: 10*(nb - rnb + 1) >= 9*2^band, join key (s, band).
 
     Plan/scale: A-side join input shrinks to prefix rows (rarity-first,
     so per-shingle fan-out is df_prefix · df with small df_prefix); the
     B side stays the full posting list — the documented asymmetric cost
     of containment. Verification re-shingles ONLY candidate docs and
     intersects arrays per pair; never corpus × corpus."""
-    from pyspark.sql import Window as W
-
     par = spark.sparkContext.defaultParallelism
     sh = (
         _shingled(spark, sf_dir)
         .repartition(par, "doc_id")
         .localCheckpoint(eager=False)
     )
-    e = sh.select("doc_id", F.explode("sh").alias("s")).distinct()
-    sz = e.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    dfreq = e.groupBy("s").agg(F.count("*").cast("long").alias("df"))
-    ranked = (
-        e.join(dfreq, "s")
-        .join(sz, "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(W.partitionBy("doc_id").orderBy("df", "s")),
-        )
-        .select("doc_id", "s", "rn", "n")
-        .localCheckpoint(eager=False)
-    )
+    ranked = _rarity_ranked(sh).localCheckpoint(eager=False)
     # t = ceil(0.9*n) in integers; A-prefix keeps rn <= n - t + 1
     t_of = "(({num} * {n} + {den} - 1) div {den})"
     ta = t_of.format(num=_CPJ_NUM, den=_CPJ_DEN, n="pa.n")
@@ -1783,7 +1804,12 @@ def containment_prefix_join(spark, sf_dir):
         - F.expr(t_of.format(num=_CPJ_NUM, den=_CPJ_DEN, n="n"))
         + 1
     )
-    pa, pb = prefix_a.alias("pa"), ranked.alias("pb")
+    # shuffle-hash, not broadcast: prefix_a is a FILTER over the
+    # checkpointed posting list, so Catalyst's selectivity estimate is a
+    # guess — at 100x it guessed broadcastable for a 2.9M-row build side
+    # and OOM'd the driver; posting-list joins partition by shingle.
+    pa = prefix_a.hint("shuffle_hash").alias("pa")
+    pb = ranked.alias("pb")
     cand = (
         pa.join(
             pb,
