@@ -37,6 +37,20 @@ def q(name: str, oracle: str | None):
     return deco
 
 
+def _edge_parts(fact: DataFrame) -> int:
+    """Partition count for checkpointed graph edge state, sized by the
+    INPUT's scan-split count (= input bytes / maxPartitionBytes) instead
+    of a constant. At sf0.1 (single scan split) this keeps the measured
+    8-way layout — 32-way kilobyte edge tasks paid ~5x scheduling
+    overhead per iteration round; at 100x data (1.1 GB lineitem, ~9
+    splits) it keeps the edge distinct/groupBy's reduce side wide enough
+    that per-task hash-aggregation state fits executor memory (a fixed
+    coalesce(8) there collapsed ~180M pre-distinct edge rows onto 8
+    tasks and died with AGGREGATE_OUT_OF_MEMORY). The 2x factor covers
+    the co-purchase fan-out (|E| is a small multiple of |lineitem|)."""
+    return max(8, 2 * fact.rdd.getNumPartitions())
+
+
 # ---------------------------------------------------------------------------
 # Sessionization — gaps-and-islands over event time
 # ---------------------------------------------------------------------------
@@ -2296,7 +2310,9 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would pay scheduling overhead 5x over; at cluster scale size this by
     # |E| / maxPartitionBytes instead.
     edges_deg = (
-        edges.join(deg, "src").coalesce(8).localCheckpoint(eager=False)
+        edges.join(deg, "src")
+        .coalesce(_edge_parts(li))
+        .localCheckpoint(eager=False)
     )
     nodes = li.select(F.col("l_partkey").alias("node")).distinct()
     connected = (
@@ -2715,7 +2731,7 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("dst"),
         )
         .distinct()
-        .coalesce(8)
+        .coalesce(_edge_parts(li))
         .localCheckpoint(eager=False)
     )
     seeds = (
@@ -3825,7 +3841,7 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("dst"),
         )
         .agg(F.expr("1000000 div count(*)").alias("w"))
-        .coalesce(8)
+        .coalesce(_edge_parts(li))
         .localCheckpoint(eager=False)
     )
     dist = (
@@ -4226,6 +4242,42 @@ _PARETO_SQL = """
     )
     ORDER BY l_returnflag, l_extendedprice, l_shipdate,
              l_orderkey, l_linenumber
+"""
+
+
+#: O(n log n) oracle twin for bench-scale verification: the same frontier
+#: via DuckDB windows (per-price-group min date + strict-prefix running
+#: min keyed on distinct-price rank). The REGISTERED oracle stays the
+#: quadratic NOT-EXISTS spec above — it states the semantics rather than
+#: an algorithm, which is the stronger independent check — but it is only
+#: affordable at sf0.01; tools/verify_local.py swaps in this form at
+#: larger scale factors, and tests/test_analytics.py pins the two DuckDB
+#: formulations bit-identical on the sf0.01 corpus.
+_PARETO_SQL_FAST = """
+    WITH t AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             l_shipdate,
+             min(l_shipdate) OVER (
+               PARTITION BY l_returnflag, l_extendedprice) AS grp_min,
+             dense_rank() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice) AS pr
+      FROM lineitem),
+    g AS (SELECT l_returnflag, pr, min(grp_min) AS gmin
+          FROM t GROUP BY 1, 2),
+    p AS (SELECT l_returnflag, pr,
+                 min(gmin) OVER (
+                   PARTITION BY l_returnflag ORDER BY pr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_min
+          FROM g)
+    SELECT t.l_returnflag, t.l_orderkey, t.l_linenumber,
+           t.l_extendedprice, t.l_shipdate
+    FROM t JOIN p ON t.l_returnflag = p.l_returnflag AND t.pr = p.pr
+    WHERE t.l_shipdate = t.grp_min
+      AND (p.prev_min IS NULL OR t.l_shipdate < p.prev_min)
+    ORDER BY t.l_returnflag, t.l_extendedprice, t.l_shipdate,
+             t.l_orderkey, t.l_linenumber
 """
 
 

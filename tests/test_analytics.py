@@ -1029,3 +1029,27 @@ def test_pareto_frontier_dominance_and_ties(spark, tmp_path_factory):
     got = sorted(r.l_orderkey for r in
                  advanced.pareto_frontier(spark, path).collect())
     assert got == [1, 2, 5]
+
+
+def test_pareto_oracle_formulations_agree():
+    """The bench-scale O(n log n) window oracle (_PARETO_SQL_FAST) must be
+    bit-identical to the registered quadratic NOT-EXISTS spec oracle —
+    both run DuckDB-side on the sf0.01 corpus (the scale the spec form
+    affords). tools/verify_local.py swaps the fast form in at larger
+    scale factors on the strength of this pin."""
+    import duckdb
+
+    from bridgedownstream_spark.queries.advanced import (
+        _PARETO_SQL,
+        _PARETO_SQL_FAST,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/lineitem.parquet')"
+    )
+    spec = con.execute(_PARETO_SQL).fetchall()
+    fast = con.execute(_PARETO_SQL_FAST).fetchall()
+    assert len(spec) > 0
+    assert spec == fast

@@ -125,8 +125,25 @@ def frame_rows(df) -> list[tuple]:
     return out
 
 
-def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str, float]:
+#: bench-scale oracle swaps: the REGISTERED oracle (what the driver runs
+#: at sf0.01) deliberately states SEMANTICS even when that formulation is
+#: super-linear; at larger scale factors this gate swaps in an equivalent
+#: fast formulation so 195/195 stays affordable. Equivalence of each pair
+#: is itself pinned by a pytest that runs BOTH SQLs in DuckDB on sf0.01
+#: and compares bit-exactly (tests/test_analytics.py::test_pareto_oracle_
+#: formulations_agree).
+def _bench_oracle_overrides():
+    from bridgedownstream_spark.queries.advanced import _PARETO_SQL_FAST
+
+    return {"pareto_frontier": _PARETO_SQL_FAST}
+
+
+def compare(
+    name: str, spark, con, sf_dir: str, bench_oracles: bool = False
+) -> tuple[bool, str, float]:
     fn, oracle = REGISTRY[name]
+    if bench_oracles:
+        oracle = _bench_oracle_overrides().get(name, oracle)
     t0 = time.time()
     sdf = fn(spark, sf_dir)
     # the driver canonicalizes through pandas — replicate EXACTLY that
@@ -183,12 +200,18 @@ def main() -> int:
                 return 2
         else:
             names = prefix
+    # at the driver's own scale factor run the registered (spec) oracles
+    # verbatim — that's the faithful driver replica; at bench scale the
+    # documented fast twins keep super-linear spec oracles affordable
+    bench_oracles = os.path.basename(sf_dir.rstrip("/")) != "sf0.01"
     spark = get_spark("verify-local")
     con = duck_connection(sf_dir)
     failures = 0
     for name in names:
         try:
-            ok, msg, elapsed = compare(name, spark, con, sf_dir)
+            ok, msg, elapsed = compare(
+                name, spark, con, sf_dir, bench_oracles=bench_oracles
+            )
         except Exception as e:  # noqa: BLE001
             ok, msg, elapsed = False, f"EXCEPTION {type(e).__name__}: {e}", 0.0
         status = "OK  " if ok else "FAIL"
