@@ -505,6 +505,10 @@ _HLL_EST = (
     f"ELSE round({_HLL_RAW}, 2) END"
 )
 
+_KMV_K = 64  # sketch size: k minimum hash values per set
+_KMV_DOMAIN = 1 << 60
+
+
 
 @q(
     "portable_hll_cardinality",
@@ -666,19 +670,170 @@ def portable_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("sketch_cardinality", None)  # approximate by definition → rows-only check
-def sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type distinct-user cardinality via HyperLogLog sketches plus
-    approximate value quantiles.
+_SKC_SQL = f"""
+    WITH h AS (
+      SELECT event_type,
+             {HASH60.format(x="CAST(user_id AS VARCHAR)")} AS hv
+      FROM events
+    ),
+    reg AS (
+      SELECT event_type, hv % {_HLL_M} AS r,
+             CASE WHEN hv // {_HLL_M} = 0 THEN 55
+                  ELSE 55 - length(bin(hv // {_HLL_M})) END AS rho
+      FROM h
+    ),
+    m AS (SELECT event_type, r, max(rho) AS mj FROM reg GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             CAST(sum(1::BIGINT << (56 - mj))
+                  + ({_HLL_M} - count(*)) * (1::BIGINT << 56) AS BIGINT)
+                 AS int_sum,
+             CAST({_HLL_M} - count(*) AS BIGINT) AS empty_registers
+      FROM m GROUP BY 1
+    ),
+    hll AS (SELECT event_type, {_HLL_EST} AS hll_users FROM s),
+    ke AS (
+      SELECT DISTINCT event_type,
+             {HASH60.format(x="CAST(event_id AS VARCHAR)")} AS hv
+      FROM events
+    ),
+    kr AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM ke
+    ),
+    kmv AS (
+      SELECT event_type,
+             CAST(CASE WHEN count(*) < {_KMV_K} THEN count(*)
+                  ELSE {(_KMV_K - 1) * _KMV_DOMAIN}
+                       // max(CASE WHEN rn = {_KMV_K} THEN hv END)
+                  END AS BIGINT) AS kmv_events
+      FROM kr WHERE rn <= {_KMV_K} GROUP BY 1
+    ),
+    qn AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value)
+                 AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    qq AS (
+      SELECT event_type,
+             min(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50_value,
+             min(CASE WHEN rn = (19 * n + 19) // 20 THEN value END)
+                 AS p95_value
+      FROM qn GROUP BY 1
+    )
+    SELECT hll.event_type, hll.hll_users, kmv.kmv_events,
+           qq.p50_value, qq.p95_value
+    FROM hll JOIN kmv USING (event_type) JOIN qq USING (event_type)
+    ORDER BY hll.event_type
+"""
 
-    ``hll_sketch_agg`` builds Apache DataSketches HLL per partition and
-    merges binary sketches at the exchange — the constant-memory, mergeable
-    path that replaces exact count-distinct at 100 TB (exact needs a
-    shuffle of every distinct key; the sketch shuffles ~KB per group).
-    ``approx_percentile`` is the same story for quantiles. Approximate ⇒ no
-    value-hash oracle; the estimates are instead sanity-bounded in pytest
-    against exact counts at test scale.
-    """
+
+@q("sketch_cardinality", _SKC_SQL)
+def sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type sketch panel with a FULL value-hash oracle: distinct-user
+    cardinality via the portable integer-exact HyperLogLog (the
+    `portable_hll_cardinality` register algebra), distinct-event
+    cardinality via the portable k-minimum-values estimator (the
+    `portable_kmv_jaccard` sketch), and p50/p95 of `value` as EXACT
+    order-statistic SELECTION (row at rank ceil(p*n) per group — no
+    interpolation arithmetic, so the chosen doubles are bit-identical in
+    any engine). Every estimator's branch condition is integer-gated, so
+    DuckDB and Spark take the same code path and the whole row hashes
+    identically — this is the r6 conversion of the old rows-only form
+    (which lives on as `native_sketch_cardinality` below, still the
+    coverage point for Spark's built-in DataSketches surface).
+
+    At 100 TB: HLL shuffles <= groups x 64 register rows (map-side
+    max-combine); KMV shuffles the per-group candidate minima; the exact
+    quantile legs are the one rank-based pass (per-group sort) — the
+    portable sketches are the mergeable path, the quantile selection the
+    certifiable anchor."""
+    ev = tbl(spark, sf_dir, "events")
+    h_sql = (
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    reg = ev.selectExpr(
+        "event_type",
+        f"{h_sql} % {_HLL_M} AS r",
+        f"CASE WHEN {h_sql} div {_HLL_M} = 0 THEN 55 "
+        f"ELSE 55 - length(bin({h_sql} div {_HLL_M})) END AS rho",
+    )
+    m = reg.groupBy("event_type", "r").agg(F.max("rho").alias("mj"))
+    s = m.groupBy("event_type").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 56 - mj)"))
+            + (F.lit(_HLL_M) - F.count("*"))
+            * F.expr("shiftleft(CAST(1 AS BIGINT), 56)")
+        )
+        .cast("bigint")
+        .alias("int_sum"),
+        (F.lit(_HLL_M) - F.count("*")).cast("bigint").alias("empty_registers"),
+    )
+    hll = s.select("event_type", F.expr(_HLL_EST).alias("hll_users"))
+    ke = ev.select(
+        "event_type",
+        portable_hash60(F.col("event_id").cast("string")).alias("hv"),
+    ).distinct()
+    kr = ke.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("event_type").orderBy("hv")),
+    ).where(F.col("rn") <= _KMV_K)
+    kmv = kr.groupBy("event_type").agg(
+        F.when(F.count("*") < _KMV_K, F.count("*").cast("long"))
+        .otherwise(
+            F.expr(
+                f"CAST(CAST('{(_KMV_K - 1) * _KMV_DOMAIN}'"
+                f" AS DECIMAL(38,0))"
+                f" div max(CASE WHEN rn = {_KMV_K} THEN hv END) AS BIGINT)"
+            )
+        )
+        .alias("kmv_events")
+    )
+    qn = (
+        ev.select("event_type", "value")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy("value")
+            ),
+        )
+        .withColumn("n", F.count("*").over(W.partitionBy("event_type")))
+    )
+    qq = qn.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value"))
+        ).alias("p50_value"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(19 * n + 19) div 20"),
+                F.col("value"),
+            )
+        ).alias("p95_value"),
+    )
+    return (
+        hll.join(kmv, "event_type")
+        .join(qq, "event_type")
+        .orderBy("event_type")
+    )
+
+
+@q("native_sketch_cardinality", None)  # binary sketches → rows-only check
+def native_sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct-user cardinality via Spark's BUILT-IN sketch
+    surface: ``hll_sketch_agg`` (Apache DataSketches HLL, binary sketches
+    merged at the exchange), ``approx_count_distinct`` (HLL++), and
+    ``approx_percentile`` (KLL-style quantiles) — the constant-memory,
+    mergeable path that replaces exact count-distinct at 100 TB (exact
+    needs a shuffle of every distinct key; the sketch shuffles ~KB per
+    group). Engine-private binary sketch algorithms ⇒ no cross-engine
+    value-hash oracle possible; the estimates are instead error-bounded
+    in pytest against exact counts at test scale, and the PORTABLE twin
+    (`sketch_cardinality`) certifies the same panel shape with a full
+    hash oracle."""
     ev = tbl(spark, sf_dir, "events")
     pct = F.approx_percentile(
         "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10_000)
@@ -2358,7 +2513,6 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KMV_K = 64  # sketch size: k minimum hash values per set
 
 
 @q(
@@ -4018,7 +4172,6 @@ def bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: md5-60 hash domain size for the KMV cardinality estimator
-_KMV_DOMAIN = 1 << 60
 
 _KMVC_SQL = f"""
     WITH t AS (

@@ -118,7 +118,7 @@ def test_sketch_estimates_bounded(spark):
 
     rows = {
         r["event_type"]: r
-        for r in REGISTRY["sketch_cardinality"][0](spark, SF).collect()
+        for r in REGISTRY["native_sketch_cardinality"][0](spark, SF).collect()
     }
     exact = {
         r["event_type"]: r
