@@ -782,6 +782,369 @@ HEADLINERS = {
         "flip a document across the train/eval boundary; the only "
         "exchange is the audit aggregate."
     ),
+    # ---- r6: full-registry coverage (VERDICT r5 #6) — the remaining 65 ----
+    "distinct_projection": (
+        "Projection + DISTINCT: ReadSchema prunes to the 2 projected "
+        "columns; HashAggregate-based distinct map-combines before its "
+        "single exchange, so the wire carries unique pairs, not rows."
+    ),
+    "conjunctive_filter": (
+        "Conjunctive range + null-guard filter: every conjunct lands in "
+        "PushedFilters (IsNotNull + range bounds reach the parquet "
+        "row-group stats); the aggregate is partial→final around one "
+        "exchange on a bounded group key."
+    ),
+    "semi_join_exists": (
+        "EXISTS as LeftSemi: the filtered probe side stays a semi-join "
+        "(each left row emitted at most once, no fan-out); AQE picks "
+        "broadcast for the bounded key side, so the fact never shuffles."
+    ),
+    "top_k_per_group": (
+        "Per-group top-k: ONE exchange on the group key feeds the "
+        "rank window; the rank filter cuts before anything else "
+        "consumes the rows — no global sort, no second shuffle."
+    ),
+    "running_total": (
+        "Running total: a single window spec (partition key + time "
+        "order, unbounded-preceding ROWS frame) = one exchange + one "
+        "in-partition sort; DECIMAL accumulation is merge-order-exact."
+    ),
+    "asof_closest": (
+        "Closest-revision as-of (P3): union trick — zero join nodes; "
+        "one exchange on the match key, a last(ignorenulls) running "
+        "window resolves each probe to its closest prior revision."
+    ),
+    "union_distinct": (
+        "UNION (distinct flavor): the two branches scan with pruned "
+        "ReadSchema, union is plan-free (no operator), and the distinct "
+        "is one map-combined aggregate — a single exchange of unique rows."
+    ),
+    "rollup_revenue": (
+        "ROLLUP: one Expand node replicates rows per grouping level "
+        "BEFORE a single partial→final aggregate — all levels share one "
+        "exchange; DECIMAL sums keep every level merge-order-exact."
+    ),
+    "cube_revenue": (
+        "CUBE (§ grouping sets): same Expand+single-aggregate shape as "
+        "rollup — 2^k levels from ONE scan and ONE exchange, never k "
+        "separate jobs over the fact table."
+    ),
+    "pivot_daily_events": (
+        "Pivot with DECLARED values: no domain-discovery pre-scan; the "
+        "pivot compiles to conditional aggregates in one partial→final "
+        "pass, so the plan is exactly a groupBy with k conditional sums."
+    ),
+    "relationalize_root": (
+        "Relationalize root table (N1/N2): struct flatten is pure "
+        "Project — the root extraction is exchange-free; nested arrays "
+        "are carried, not exploded, so row count is preserved 1:1."
+    ),
+    "q10_returned_items": (
+        "TPC-H Q10: date window prunes orders at the scan and the "
+        "returnflag prunes lineitem at the scan (both in PushedFilters); "
+        "facts join on orderkey; customer/nation broadcast; top-20 is "
+        "TakeOrdered with a key tie-break — no global sort."
+    ),
+    "q7_volume_shipping": (
+        "TPC-H Q7 (two-role dimension): nation broadcasts TWICE under "
+        "different aliases; the bilateral pair predicate evaluates "
+        "row-locally after both role joins (never a cartesian); facts "
+        "join on natural keys with the ship-year filter pushed down."
+    ),
+    "q14_promo_effect": (
+        "TPC-H Q14: month window in PushedFilters on lineitem; part "
+        "broadcasts; numerator AND denominator accumulate in ONE "
+        "conditional-aggregate pass (single scan, single exchange), "
+        "exact in DECIMAL with one final division."
+    ),
+    "q22_global_sales_opportunity": (
+        "TPC-H Q22: the average balance is a broadcast 1-row scalar "
+        "(never a window over all customers); the no-recent-orders test "
+        "is a LeftAnti against the date-pruned orders scan; the final "
+        "rollup groups on the bounded code key."
+    ),
+    "time_bucket_rollup": (
+        "Hypertable time-bucket rollup: integer epoch flooring is a "
+        "narrow projection (bucket id computed in the scan stage), so "
+        "the whole query is one partial→final aggregate on (key, bucket) "
+        "— the continuous-aggregate shape at any retention length."
+    ),
+    "rolling_range_frame": (
+        "Event-time RANGE frame (rolling 1 h): one window spec = one "
+        "exchange on the entity key + one in-partition time sort; the "
+        "RANGE frame scans each partition once with a sliding bound, "
+        "and the DECIMAL sum is exact under any row order."
+    ),
+    "stratified_sample": (
+        "Deterministic stratified sample: md5-hash membership is a "
+        "pure row-local predicate — no RNG state, no sort, no shuffle; "
+        "the sample is reproducible at any partition count, and the "
+        "only exchange is the per-stratum audit aggregate."
+    ),
+    "portable_quantile_bands": (
+        "Portable quantile sketch: 256-band equi-width histogram — "
+        "band ids are a floor-divide projection, counts map-combine, so "
+        "the wire carries ≤256 rows per group however large the input; "
+        "threshold selection is integer cumulative-crossing over ≤256 rows."
+    ),
+    "sketch_cardinality": (
+        "Sketch suite over one scan: portable-HLL registers and KMV "
+        "minima map-combine (≤64 rows per source cross the wire); exact "
+        "p50/p95 are order-statistic selections on the grouped values — "
+        "the one exact leg, swappable for the band sketch at scale."
+    ),
+    "native_sketch_cardinality": (
+        "Native DataSketches HLL + approx_percentile: both are true "
+        "partial aggregates (mergeable sketch buffers cross the wire, "
+        "never values) — the built-in scale path the portable twins "
+        "certify numerically."
+    ),
+    "group_median": (
+        "Exact group percentiles: Spark `percentile` needs each group's "
+        "values together — ONE exchange on the group key, in-group "
+        "selection; correct up to millions of rows per group, with "
+        "portable_quantile_bands as the documented bounded-memory path."
+    ),
+    "unpivot_metrics": (
+        "Unpivot/melt: compiles to a single Expand node — zero shuffle, "
+        "output = rows × measures, scales with the scan; the inverse "
+        "pivot at no aggregation cost."
+    ),
+    "groupwise_regression": (
+        "Group-wise least squares: ONE pass of exact sufficient "
+        "statistics (n, Σx, Σy, Σxy, Σx² as DECIMAL over integer days) "
+        "map-combined into a single exchange; slope/intercept are "
+        "closed-form row-local arithmetic on the 1-row-per-group result."
+    ),
+    "metric_correlations": (
+        "Per-group Pearson r: same sufficient-statistics shape as the "
+        "regression — one map-combined aggregate, closed-form r from "
+        "exact sums; sqrt is IEEE-exact on exact inputs, so the hash "
+        "oracle holds."
+    ),
+    "value_histogram": (
+        "Equi-width histogram: bucket = floor-divide projection with a "
+        "clamped overflow bucket — NO bounds-discovery pass; one "
+        "map-combined count aggregate whose wire volume is the bucket "
+        "count, not the row count."
+    ),
+    "zscore_anomalies": (
+        "Z-score screen: exact DECIMAL mean/σ computed in one aggregate, "
+        "broadcast back as a 1-row frame (never a window over the "
+        "table), 3σ flags counted in a second map-combined pass — two "
+        "scans, zero wide shuffles of the fact."
+    ),
+    "skew_salted_agg": (
+        "Two-phase salted aggregation: phase 1 groups on (key, salt) so "
+        "every reducer holds ≤1/16 of the hottest key; phase 2 merges "
+        "16 partials per key — the wire is keys×salt rows, and no "
+        "single task ever owns a hot key's full row set."
+    ),
+    "column_profile": (
+        "Per-column profile: null/distinct/min/max for every column "
+        "fused into ONE scan of parallel aggregates — a single job, not "
+        "N per-column jobs; at 100 TB the profile costs one pass."
+    ),
+    "orc_export_roundtrip": (
+        "ORC round-trip: partitioned ORC write clusters by partition "
+        "key first (bounded file count); the read-back scan shows ORC "
+        "PushedFilters + pruned ReadSchema — the third columnar "
+        "consumer format behind parquet/CSV."
+    ),
+    "profile_drift": (
+        "Stats drift: two single-pass profiles (current vs prior "
+        "snapshot) joined per column — the join side is "
+        "columns-count-sized, so it broadcasts; report cost is two "
+        "scans regardless of table width×depth."
+    ),
+    "dq_constraint_report": (
+        "Deequ-style constraints: completeness/uniqueness/range/"
+        "membership fused into ONE scan-aggregate; the referential "
+        "probe is a LeftAnti against the (broadcast) key side; output "
+        "is constraint-count rows."
+    ),
+    "hot_key_report": (
+        "Skew diagnostic: per-key counts map-combine; top-10 is "
+        "TakeOrdered; max/mean skew factor comes from the same tiny "
+        "aggregate — the measure-before-you-salt pass costs one "
+        "map-combined shuffle of key cardinality."
+    ),
+    "incremental_dedup": (
+        "Cross-batch dedup: the incoming batch anti-joins the stored "
+        "corpus fingerprints on 8-byte digests — bodies never move, the "
+        "wire is digest-sized, and cost scales with the batch, not the "
+        "corpus."
+    ),
+    "doc_fingerprint": (
+        "Fingerprinting: md5 + 60-bit portable hash are narrow "
+        "projections inside the scan stage — zero exchanges except the "
+        "output sort; the digest column is what every downstream dedup "
+        "shuffles INSTEAD of bodies."
+    ),
+    "token_stats": (
+        "Token stats/TTR: tokenize + distinct-count per doc are "
+        "row-local HOF expressions (no explode, no shuffle) — quality "
+        "signals at pure scan cost."
+    ),
+    "language_id": (
+        "Language ID: stopword-hit scoring is a fixed-size row-local "
+        "expression tree (one per language, fixed precedence tie-break) "
+        "— no dictionary join, no UDF, scan-shaped."
+    ),
+    "quality_score": (
+        "Quality gates: punctuation/stopword/length ratios are pure "
+        "projections; the gate predicate stays in the scan stage — the "
+        "cheap pre-filter runs at I/O speed."
+    ),
+    "bpe_token_count": (
+        "BPE-proxy token counting: regexp_extract_all pre-tokenizer is "
+        "codegen'd JVM-side — no UDF, no shuffle; cost estimation for "
+        "real BPE at scan cost."
+    ),
+    "pii_redact": (
+        "PII redaction: regexp count + mask are codegen'd projections; "
+        "the redacted body leaves as an md5 digest so even the OUTPUT "
+        "stays 32 bytes/row — no body ever shuffles."
+    ),
+    "contamination_check": (
+        "Decontamination: 8-grams DISTINCT per doc before the join; the "
+        "join key is the gram, so shuffles are gram-sized. The benchmark "
+        "side carries NO broadcast hint — real eval suites are bounded "
+        "but data-proportional fixtures must not be forced resident."
+    ),
+    "repetition_stats": (
+        "Gopher repetition rule: both aggregation levels key on "
+        "(doc_id[, gram]) — partial aggregation absorbs duplicates "
+        "map-side; nothing wider than per-doc gram counts moves."
+    ),
+    "quality_weighted_sample": (
+        "Quality-weighted sampling: keep-probability ∝ TTR decided by a "
+        "portable hash — a pure filter, reproducible at any partition "
+        "count, no RNG, no shuffle."
+    ),
+    "train_shards": (
+        "Shard assignment: portable hash → 16 shards is a projection; "
+        "the balance audit is one 16-row aggregate — the final-write "
+        "stage shape at 100 TB (uniform shards, no global sort)."
+    ),
+    "ngram_topk": (
+        "Corpus top-k n-grams: bigram counts map-combine before the "
+        "shuffle; TakeOrderedAndProject keeps k rows without a global "
+        "sort; gram tie-break makes the cut deterministic."
+    ),
+    "lm_perplexity": (
+        "Bigram-LM scoring: the model 'training' is a map-combined gram "
+        "count; scoring joins docs' grams to the count table on the gram "
+        "key; per-token NLL rounds to DECIMAL so the doc average is "
+        "merge-order-exact. The one linear data-bound pass (SCALE.md)."
+    ),
+    "minhash_signature": (
+        "MinHash k=8: permutation salts are driver constants folded "
+        "into the plan; signatures are min-aggregates over shingle "
+        "hashes keyed per doc — map-combined, signature-sized wire."
+    ),
+    "simhash16": (
+        "SimHash: 16 per-bit votes are row-local bit arithmetic over "
+        "token hashes — one narrow projection, zero exchanges; the "
+        "signature doubles as a dedup bucket key."
+    ),
+    "ann_topk_cosine": (
+        "Brute-force ANN baseline: the 5-query side broadcasts; the "
+        "corpus scans ONCE with zero shuffle; ranking is one window "
+        "partitioned by query id (queries × corpus rows, never corpus²)."
+    ),
+    "ann_lsh_bucketed": (
+        "LSH ANN: hyperplane weights are driver constants; each query "
+        "probes only its bucket via broadcast hash join on bucket id — "
+        "candidate volume is corpus/2^planes per query, not a scan."
+    ),
+    "embedding_near_dup": (
+        "Embedding near-dup: pairs form only INSIDE an LSH bucket "
+        "(plane count must track corpus size, documented) — the pair "
+        "join is bucket-equi, never cartesian; cosine is a zip_with "
+        "fold on already-paired rows."
+    ),
+    "kmeans_refine_centroids": (
+        "Lloyd refinement: 8 centroids ride along as broadcast "
+        "constants; assignment is a row-local argmin; per-cell means "
+        "map-combine — each iteration is one scan + one "
+        "centroid-cardinality exchange. Measured 2.5× at 100× data."
+    ),
+    "near_dup_components": (
+        "Connected components: Pregel-style min-label loop over the "
+        "candidate pairs; labels (node-cardinality) broadcast into "
+        "localCheckpointed edges each round — edges never re-shuffle "
+        "and lineage stays O(1) in iteration count."
+    ),
+    "ann_recall": (
+        "Recall@k: ground truth is queries×k rows → broadcasts into a "
+        "left join against the ANN result; the quality metric costs "
+        "one tiny aggregation on top of the two existing pipelines."
+    ),
+    "pq_ann_shortlist": (
+        "PQ ADC: 16 B/vector codes join a broadcast (query × subspace "
+        "× centroid) distance table; partial dots sum in ONE aggregate; "
+        "the float corpus is never re-read after encoding — the "
+        "memory-bound regime's plan."
+    ),
+    "pq_recall": (
+        "PQ recall: broadcast ground truth (queries × k) left-joins the "
+        "cached-index shortlist — repeat measurements never pay the "
+        "codebook train; one small aggregate emits the recall."
+    ),
+    "dedup_graph_triangles": (
+        "Triangle QC: edges stored a<b once; each triangle found "
+        "exactly once via the oriented 2-path⋈closing-edge join — both "
+        "joins key on node ids, so the plan is two equi-joins on the "
+        "edge table, never an all-pairs expansion."
+    ),
+    "multimodal_decode": (
+        "Image decode: Arrow-batched mapInPandas over the binary "
+        "column, unit of work = payload not row; codec resolved ONCE on "
+        "the driver (never mixed in a job); scan-shaped, zero "
+        "exchanges except the output sort."
+    ),
+    "multimodal_features": (
+        "Image features: same Arrow-batched scan shape as decode — "
+        "feature extraction stays inside the mapInPandas batch, output "
+        "is fixed-width typed columns, no shuffle of payloads."
+    ),
+    "multimodal_frame_sample": (
+        "Frame sampling: per-payload frame selection inside one "
+        "mapInPandas pass; output rows = payloads × sampled frames "
+        "(bounded fan-out declared in the schema), partitioning "
+        "inherited from the scan."
+    ),
+    "multimodal_resize": (
+        "Resize: decode→resample→re-encode within the Arrow batch "
+        "(vendored PPM/BMP codec on the real path); payloads never "
+        "cross a shuffle — the output binary column writes straight "
+        "back out."
+    ),
+    "media_phash_pairs": (
+        "Perceptual-hash dedup: aHash per payload (one mapInPandas "
+        "pass), then 3-band pigeonhole bucketing — full recall at "
+        "hamming ≤ 2 with band-equi candidate joins (never 256-bucket "
+        "quadratic); verify is native bit_count hamming on candidates."
+    ),
+    "pipeline_e2e_child": (
+        "Stage-2 child table e2e: declared-schema JSON scan → "
+        "shuffle-free relationalize (posexplode, key inheritance "
+        "join-free) → one clustering exchange before the partitioned "
+        "parquet write — the whole child path costs one shuffle."
+    ),
+    "pipeline_incremental_idempotent": (
+        "Ledger idempotency: TWO full stage-2 runs by design; run 2's "
+        "listing anti-joins the processed-files ledger on 32 B digests "
+        "and touches O(delta)=0 files — measured 2.1× at 100× data "
+        "because only run 1's ETL grows."
+    ),
+    "rollup_incremental_equiv": (
+        "Incremental rollup: the refresh recomputes ONLY partitions the "
+        "delta touched (partition-diff listing), dynamic overwrite "
+        "isolates healthy partitions; the oracle recomputes the full "
+        "aggregate — pass proves refresh-by-diff ≡ recompute."
+    ),
 }
 
 
