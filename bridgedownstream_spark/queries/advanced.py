@@ -14,6 +14,7 @@ feeds an ORDER BY so float noise can never flip cross-engine ordering.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -25,6 +26,16 @@ from bridgedownstream_spark.queries.util import (
     tbl,
     ts_str,
 )
+
+#: Storage level for FACT-derived checkpointed state (graph edge lists):
+#: serialized memory+disk. localCheckpoint's JVM default stores
+#: DESERIALIZED objects — at 100x data the ~180M-row edge state as Java
+#: objects filled the storage pool past the protected fraction and
+#: starved concurrent hash aggregates into UNABLE_TO_ACQUIRE_MEMORY
+#: (r5's 100x graph-trio OOM). Serialized Tungsten rows are 3-5x
+#: smaller and evict to disk cleanly; node-sized frames (rank/frontier/
+#: distance tables) keep the cheap deserialized default.
+_FACT_STATE = StorageLevel.MEMORY_AND_DISK
 
 QUERIES: dict = {}
 
@@ -42,13 +53,17 @@ def _edge_parts(fact: DataFrame) -> int:
     INPUT's scan-split count (= input bytes / maxPartitionBytes) instead
     of a constant. At sf0.1 (single scan split) this keeps the measured
     8-way layout — 32-way kilobyte edge tasks paid ~5x scheduling
-    overhead per iteration round; at 100x data (1.1 GB lineitem, ~9
-    splits) it keeps the edge distinct/groupBy's reduce side wide enough
-    that per-task hash-aggregation state fits executor memory (a fixed
-    coalesce(8) there collapsed ~180M pre-distinct edge rows onto 8
-    tasks and died with AGGREGATE_OUT_OF_MEMORY). The 2x factor covers
-    the co-purchase fan-out (|E| is a small multiple of |lineitem|)."""
-    return max(8, 2 * fact.rdd.getNumPartitions())
+    overhead per iteration round. CRITICAL coalesce semantics at scale:
+    coalesce() is a narrow dependency, so the edge groupBy's FINAL
+    aggregation executes INSIDE the coalesced tasks — the target must
+    never drop below the shuffle width once data is large, or hundreds
+    of millions of pre-aggregation pair rows collapse onto a handful of
+    hash maps (r5's fixed coalesce(8) died AGGREGATE_OUT_OF_MEMORY at
+    100x; the r6 2x-splits variant at 18-way ground through multi-GB
+    spills). 4x splits crosses the shuffle-partition count by ~4 scan
+    splits (~0.5 GB input), making the coalesce a no-op exactly when
+    the aggregate needs full width."""
+    return max(8, 4 * fact.rdd.getNumPartitions())
 
 
 # ---------------------------------------------------------------------------
@@ -2447,9 +2462,16 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_FACT_STATE)
     )
     a, b = li.alias("a"), li.alias("b")
+    # ONE pair-sized shuffle total: the distinct edge set checkpoints
+    # straight off the self-join, and the out-degree table derives from
+    # the CACHED edges as a node-sized aggregate that broadcasts back —
+    # the r5 shape (edges ⋈ deg as a second pair-sized join, with the
+    # un-checkpointed distinct subtree recomputed for each consumer)
+    # paid the expensive self-join+distinct twice and shuffled pairs
+    # three times; at 100x that dominated the whole query.
     edges = (
         a.join(b, "l_orderkey")
         .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
@@ -2458,23 +2480,16 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("dst"),
         )
         .distinct()
-    )
-    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
-    # The cached edge state is dimension-sized (parts x avg co-purchase
-    # degree), so a handful of partitions suffices — 32-way kilobyte tasks
-    # would pay scheduling overhead 5x over; at cluster scale size this by
-    # |E| / maxPartitionBytes instead.
-    edges_deg = (
-        edges.join(deg, "src")
         .coalesce(_edge_parts(li))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_FACT_STATE)
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("long").alias("outdeg"))
+        .select(F.col("src").alias("node"), "outdeg")
+        .localCheckpoint(eager=False)  # node-sized, reused all rounds
     )
     nodes = li.select(F.col("l_partkey").alias("node")).distinct()
-    connected = (
-        edges_deg.select(F.col("src").alias("node"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
 
     n = nodes.count()
     init = _PR_TOTAL // n
@@ -2482,14 +2497,17 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # In the symmetric co-purchase graph every connected node has in-edges,
     # so contributions cover the full connected set each round: the
-    # edges ⋈ rank inner join loses nobody.
-    rank = connected.withColumn("pr", F.lit(init).cast("long"))
+    # edges ⋈ share inner join loses nobody. deg's key set IS the
+    # connected set (every connected node has out-edges by symmetry).
+    rank = deg.select("node").withColumn("pr", F.lit(init).cast("long"))
     for _ in range(_PR_ITERS):
+        share = rank.join(F.broadcast(deg), "node").select(
+            "node", F.expr("pr div outdeg").alias("share")
+        )
         rank = (
-            edges_deg.join(F.broadcast(rank), rank.node == edges_deg.src)
-            .select(F.col("dst"), F.expr("pr div outdeg").alias("c"))
+            edges.join(F.broadcast(share), share.node == edges.src)
             .groupBy("dst")
-            .agg(F.sum("c").cast("long").alias("contrib"))
+            .agg(F.sum("share").cast("long").alias("contrib"))
             .select(
                 F.col("dst").alias("node"),
                 (
@@ -2499,7 +2517,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    isolated = nodes.join(connected, "node", "left_anti").withColumn(
+    isolated = nodes.join(deg.select("node"), "node", "left_anti").withColumn(
         "pr", F.lit(base).cast("long")
     )
     return (
@@ -2886,7 +2904,7 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .coalesce(_edge_parts(li))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_FACT_STATE)
     )
     seeds = (
         tbl(spark, sf_dir, "part")
@@ -3996,7 +4014,7 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.expr("1000000 div count(*)").alias("w"))
         .coalesce(_edge_parts(li))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_FACT_STATE)
     )
     dist = (
         tbl(spark, sf_dir, "part")
@@ -4023,6 +4041,139 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)  # flatten round-k lineage
         )
     return dist
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling — iterative subgraph fixpoint (degree-threshold removal)
+# ---------------------------------------------------------------------------
+
+#: degree threshold and peel-round cap. A full decomposition iterates to
+#: fixpoint; bounding the rounds keeps the oracle unrollable and the
+#: lineage flat — the round count is the knob, exactly like _BFS_HOPS.
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+#: an edge requires the pair to share >= this many DISTINCT orders: the
+#: raw co-purchase graph is too dense for any fixed k to discriminate
+#: (at sf0.001 every part sits in a 100-core), while 2-confirmed
+#: association yields a sparse graph whose peel genuinely cascades.
+#: k=2 (cycle cores) stays non-degenerate across scales — the graph
+#: thins as it grows (same order size over more parts), so sf0.1's
+#: 3-core is empty while its 2-core keeps 22 of 1067 round-1 survivors
+#: (sf0.01: 1535 of 1880) — an output that certifies the cascade at
+#: every scale the driver checks.
+_KCORE_MIN_ORDERS = 2
+
+
+def _kcore_deg_cte(r: int) -> str:
+    return f"""
+    d{r} AS (
+      SELECT e.src AS node, CAST(count(*) AS BIGINT) AS c
+      FROM e JOIN s{r - 1} a ON e.src = a.node
+             JOIN s{r - 1} b ON e.dst = b.node
+      GROUP BY 1
+    ),
+    s{r} AS (SELECT node FROM d{r} WHERE c >= {_KCORE_K})"""
+
+
+_KCORE_SQL = (
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b USING (l_orderkey)
+          WHERE a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= """
+    + str(_KCORE_MIN_ORDERS)
+    + """),
+    d1 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS c
+           FROM e GROUP BY 1),
+    s1 AS (SELECT node FROM d1 WHERE c >= """
+    + str(_KCORE_K)
+    + """),"""
+    + ",".join(_kcore_deg_cte(r) for r in range(2, _KCORE_ROUNDS + 1))
+    + f"""
+    SELECT node AS p_partkey, c AS core_degree
+    FROM d{_KCORE_ROUNDS} WHERE c >= {_KCORE_K}
+    ORDER BY p_partkey
+    """
+)
+
+
+@q("kcore_peeling", _KCORE_SQL)
+def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling over the CONFIRMED part co-purchase graph (an edge
+    requires >= 2 shared distinct orders — the raw 1-order graph is so
+    dense every node sits in a deep core and no fixed k discriminates):
+    repeatedly remove nodes whose degree in the SURVIVING subgraph falls
+    below k, and report the parts still standing after a bounded number
+    of peel rounds with their residual degree. The k-core is the
+    standard density filter before community detection or dedup-cluster
+    trust scoring (a node in a 3-core has 3 mutually-surviving
+    confirmed neighbors — association that cannot be an artifact of one
+    promiscuous order). This is a NEW iterative mechanism next to bfs (frontier
+    expansion), sssp (relaxation), and pagerank (fixed-point scoring):
+    the iterated object is the SUBGRAPH itself — each round's node set
+    induces the next round's degree distribution.
+
+    Plan/scale: the symmetric edge list builds from ONE orderkey
+    self-join and is localCheckpointed ONCE (serialized — see
+    _FACT_STATE); each peel round BROADCASTS the node-cardinality
+    survivor set into the cached edge partitions as two LeftSemi joins
+    (src-end, dst-end) — the edge table never re-shuffles — and the only
+    exchange per round is the map-combined integer degree count on src.
+    Round semantics are deliberately fixed-count (not to-fixpoint) so
+    the DuckDB oracle is the same computation unrolled; convergence at
+    this corpus happens within the cap (verified by the value hash —
+    a non-converged round count would still certify, just as a looser
+    core).
+    """
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()  # same part twice in one order must count ONE order
+        .localCheckpoint(eager=False, storageLevel=_FACT_STATE)
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= _KCORE_MIN_ORDERS)
+        .select("src", "dst")
+        .coalesce(_edge_parts(li))
+        .localCheckpoint(eager=False, storageLevel=_FACT_STATE)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("c"))
+    for _ in range(_KCORE_ROUNDS - 1):
+        # node-sized round state; _KCORE_ROUNDS is small enough to skip
+        # per-round checkpoints (the bfs_hops rationale: keep the round
+        # joins visible to plan inspection; a deeper peel would
+        # checkpoint every ~5 rounds to stop 2^k lineage growth)
+        surv = deg.where(F.col("c") >= _KCORE_K).select(
+            F.col("src").alias("node")
+        )
+        kept = edges.join(
+            F.broadcast(surv.withColumnRenamed("node", "src")),
+            "src",
+            "left_semi",
+        ).join(
+            F.broadcast(surv.withColumnRenamed("node", "dst")),
+            "dst",
+            "left_semi",
+        )
+        deg = kept.groupBy("src").agg(F.count("*").cast("long").alias("c"))
+    return (
+        deg.where(F.col("c") >= _KCORE_K)
+        .select(
+            F.col("src").alias("p_partkey"),
+            F.col("c").alias("core_degree"),
+        )
+        .orderBy("p_partkey")
+    )
 
 
 # ---------------------------------------------------------------------------

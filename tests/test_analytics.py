@@ -947,6 +947,26 @@ def test_sssp_prefers_cheap_two_hop_over_direct(spark, tmp_path_factory):
     assert got == {7: 0, 50: 250000, 100: 450000, 200: 950000}
 
 
+def test_kcore_peels_pendant_and_keeps_clique(spark, tmp_path_factory):
+    """Hand graph: orders 1+2 both hold parts {10,20,30,40} (a
+    2-order-confirmed 4-clique — every member keeps 3 surviving
+    neighbors, comfortably inside the k=2 core) and orders 3+4 both
+    hold {40, 99} (a confirmed pendant: 99 has degree 1 < k, and it
+    inflates 40's raw degree to 4). Round 1 peels 99; the induced
+    subgraph must then report 40 at its RESIDUAL degree 3, not its raw
+    4 — the defining property peeling has and a one-shot degree filter
+    lacks."""
+    path = str(tmp_path_factory.mktemp("kcore") / "lake")
+    rows = [(o, p) for o in (1, 2) for p in (10, 20, 30, 40)] + [
+        (3, 40), (3, 99), (4, 40), (4, 99)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+    got = {r.p_partkey: r.core_degree
+           for r in advanced.kcore_peeling(spark, path).collect()}
+    assert got == {10: 3, 20: 3, 30: 3, 40: 3}
+
+
 def test_debounce_measures_gap_from_kept_not_previous(spark, tmp_path_factory):
     """Events at minutes 0, 4, 8: a lag-based rewrite (gap from previous
     EVENT) would drop both 4 and 8; the greedy throttle must keep 0 and

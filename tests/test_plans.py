@@ -528,6 +528,18 @@ def test_bfs_broadcasts_frontier_every_round(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_kcore_broadcasts_survivors_every_round(spark):
+    # each peel round broadcasts the node-cardinality survivor set into
+    # the cached edge partitions as TWO LeftSemi joins (src end + dst
+    # end); the edge table is never re-shuffled inside the loop
+    from bridgedownstream_spark.queries.advanced import _KCORE_ROUNDS
+
+    plan = plan_of(spark, "kcore_peeling")
+    assert plan.count("BroadcastHashJoin") >= 2 * (_KCORE_ROUNDS - 1)
+    assert plan.count("LeftSemi") >= 2 * (_KCORE_ROUNDS - 1)
+    assert "CartesianProduct" not in plan
+
+
 def test_event_paths_is_one_shuffle_plus_takeordered(spark):
     # lead-window shuffle on user_id, map-combined trigram aggregate,
     # TakeOrdered top-20 — no global sort materializes

@@ -1139,6 +1139,13 @@ HEADLINERS = {
         "and touches O(delta)=0 files — measured 2.1× at 100× data "
         "because only run 1's ETL grows."
     ),
+    "kcore_peeling": (
+        "k-core (r6): the symmetric edge list localCheckpoints ONCE "
+        "(serialized); each peel round broadcasts the node-cardinality "
+        "survivor set into the cached edges as two LeftSemi joins — "
+        "edges never re-shuffle, and the only exchange per round is the "
+        "map-combined integer degree count."
+    ),
     "rollup_incremental_equiv": (
         "Incremental rollup: the refresh recomputes ONLY partitions the "
         "delta touched (partition-diff listing), dynamic overwrite "
