@@ -50,19 +50,19 @@ def q(name: str, oracle: str | None):
 
 def _edge_parts(fact: DataFrame) -> int:
     """Partition count for checkpointed graph edge state, sized by the
-    INPUT's scan-split count (= input bytes / maxPartitionBytes) instead
-    of a constant. At sf0.1 (single scan split) this keeps the measured
-    8-way layout — 32-way kilobyte edge tasks paid ~5x scheduling
-    overhead per iteration round. CRITICAL coalesce semantics at scale:
-    coalesce() is a narrow dependency, so the edge groupBy's FINAL
-    aggregation executes INSIDE the coalesced tasks — the target must
-    never drop below the shuffle width once data is large, or hundreds
-    of millions of pre-aggregation pair rows collapse onto a handful of
-    hash maps (r5's fixed coalesce(8) died AGGREGATE_OUT_OF_MEMORY at
-    100x; the r6 2x-splits variant at 18-way ground through multi-GB
-    spills). 4x splits crosses the shuffle-partition count by ~4 scan
-    splits (~0.5 GB input), making the coalesce a no-op exactly when
-    the aggregate needs full width."""
+    RAW SCAN's split count (= input bytes / maxPartitionBytes) instead
+    of a constant — pass the pre-shuffle scan frame, never a
+    shuffle-derived one (whose rdd partition count is just
+    spark.sql.shuffle.partitions). At sf0.1 (single scan split) this
+    keeps the measured 8-way layout — 32-way kilobyte edge tasks paid
+    ~5x scheduling overhead per iteration round; at 100x (1.1 GB, ~9
+    splits) it gives 36-way edge state so per-task aggregation maps
+    stay bounded (the r5 fixed coalesce(8) died
+    AGGREGATE_OUT_OF_MEMORY there). Used as an explicit
+    repartition-by-dst width: the ONE pair-sized exchange each graph
+    query pays, after which dst-clustering makes every per-round
+    aggregate exchange-free (localCheckpoint preserves the
+    partitioning metadata through the LogicalRDD boundary)."""
     return max(8, 4 * fact.rdd.getNumPartitions())
 
 
@@ -2458,20 +2458,20 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrades gracefully to a shuffle hash join on src — the oracle SQL is
     arithmetic-identical either way.
     """
-    li = (
-        tbl(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=False, storageLevel=_FACT_STATE)
-    )
+    raw = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = raw.distinct().localCheckpoint(eager=False, storageLevel=_FACT_STATE)
     a, b = li.alias("a"), li.alias("b")
-    # ONE pair-sized shuffle total: the distinct edge set checkpoints
-    # straight off the self-join, and the out-degree table derives from
-    # the CACHED edges as a node-sized aggregate that broadcasts back —
-    # the r5 shape (edges ⋈ deg as a second pair-sized join, with the
-    # un-checkpointed distinct subtree recomputed for each consumer)
-    # paid the expensive self-join+distinct twice and shuffled pairs
-    # three times; at 100x that dominated the whole query.
+    # ONE pair-sized exchange total: the self-join's pairs repartition
+    # by dst, after which dst-clustering satisfies EVERY later grouping
+    # — the (src,dst) distinct needs no second exchange (a subset of the
+    # grouping keys clusters it), the out-degree aggregate runs on dst
+    # (= in-degree: the co-purchase graph is symmetric) exchange-free,
+    # and each round's contribution sum on dst is exchange-free because
+    # the broadcast join preserves the streamed side's partitioning and
+    # localCheckpoint carries it through the LogicalRDD boundary. The
+    # r5 shape (distinct + deg-on-src + edges ⋈ deg) recomputed the
+    # self-join twice and moved pair-sized data three times; at 100x
+    # that dominated the whole query.
     edges = (
         a.join(b, "l_orderkey")
         .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
@@ -2479,14 +2479,14 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
+        .repartition(_edge_parts(raw), "dst")
         .distinct()
-        .coalesce(_edge_parts(li))
         .localCheckpoint(eager=False, storageLevel=_FACT_STATE)
     )
     deg = (
-        edges.groupBy("src")
+        edges.groupBy("dst")  # symmetric graph: indeg == outdeg
         .agg(F.count("*").cast("long").alias("outdeg"))
-        .select(F.col("src").alias("node"), "outdeg")
+        .select(F.col("dst").alias("node"), "outdeg")
         .localCheckpoint(eager=False)  # node-sized, reused all rounds
     )
     nodes = li.select(F.col("l_partkey").alias("node")).distinct()
@@ -2902,8 +2902,11 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
+        # one pair-sized exchange: dst-clustering satisfies the (src,dst)
+        # distinct AND makes every round's frontier-distinct on dst
+        # exchange-free (the broadcast semi preserves partitioning)
+        .repartition(_edge_parts(li), "dst")
         .distinct()
-        .coalesce(_edge_parts(li))
         .localCheckpoint(eager=False, storageLevel=_FACT_STATE)
     )
     seeds = (
@@ -3999,21 +4002,24 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     round is <=|V| rows. The oracle's path enumeration is exponential in
     hops; the relaxation is rounds x |E| with |V|-sized state, which is
     why Bellman-Ford, not path listing, is the 100 TB shape."""
-    li = (
-        tbl(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    raw = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = raw.distinct()
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(b, "l_orderkey")
         .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .groupBy(
+        .select(
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
+        # one pair-sized exchange: dst-clustering satisfies the (src,dst)
+        # weight aggregate (grouping-key subset) and pre-shrinks every
+        # round's min-distance partials — relaxed rows stay dst-clustered
+        # through the broadcast join, so partial aggregation emits
+        # per-node minima instead of per-partition-per-node ones
+        .repartition(_edge_parts(raw), "dst")
+        .groupBy("src", "dst")
         .agg(F.expr("1000000 div count(*)").alias("w"))
-        .coalesce(_edge_parts(li))
         .localCheckpoint(eager=False, storageLevel=_FACT_STATE)
     )
     dist = (
@@ -4127,34 +4133,35 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     a non-converged round count would still certify, just as a looser
     core).
     """
-    li = (
-        tbl(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()  # same part twice in one order must count ONE order
-        .localCheckpoint(eager=False, storageLevel=_FACT_STATE)
-    )
+    raw = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # same part twice in one order must count ONE order
+    li = raw.distinct().localCheckpoint(eager=False, storageLevel=_FACT_STATE)
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(b, "l_orderkey")
         .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .groupBy(
+        .select(
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
+        # one pair-sized exchange: dst-clustering satisfies the (src,dst)
+        # confirmation count and makes every round's degree aggregate
+        # (on dst — symmetric graph, indeg == outdeg) exchange-free
+        .repartition(_edge_parts(raw), "dst")
+        .groupBy("src", "dst")
         .agg(F.count("*").alias("n_orders"))
         .where(F.col("n_orders") >= _KCORE_MIN_ORDERS)
         .select("src", "dst")
-        .coalesce(_edge_parts(li))
         .localCheckpoint(eager=False, storageLevel=_FACT_STATE)
     )
-    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("c"))
+    deg = edges.groupBy("dst").agg(F.count("*").cast("long").alias("c"))
     for _ in range(_KCORE_ROUNDS - 1):
         # node-sized round state; _KCORE_ROUNDS is small enough to skip
         # per-round checkpoints (the bfs_hops rationale: keep the round
         # joins visible to plan inspection; a deeper peel would
         # checkpoint every ~5 rounds to stop 2^k lineage growth)
         surv = deg.where(F.col("c") >= _KCORE_K).select(
-            F.col("src").alias("node")
+            F.col("dst").alias("node")
         )
         kept = edges.join(
             F.broadcast(surv.withColumnRenamed("node", "src")),
@@ -4165,11 +4172,11 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst",
             "left_semi",
         )
-        deg = kept.groupBy("src").agg(F.count("*").cast("long").alias("c"))
+        deg = kept.groupBy("dst").agg(F.count("*").cast("long").alias("c"))
     return (
         deg.where(F.col("c") >= _KCORE_K)
         .select(
-            F.col("src").alias("p_partkey"),
+            F.col("dst").alias("p_partkey"),
             F.col("c").alias("core_degree"),
         )
         .orderBy("p_partkey")

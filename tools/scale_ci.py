@@ -55,13 +55,17 @@ GATE: dict[str, tuple[float, str]] = {
 }
 
 
-def bench_once(sf_dir: str, queries: list[str], driver_mem: str) -> dict:
+def bench_once(
+    sf_dir: str, queries: list[str], driver_mem: str, shuffle: str | None
+) -> dict:
     """One fresh-JVM bench.py pass; returns the per-query seconds map."""
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_DRIVER_MEM=driver_mem,
     )
+    if shuffle:  # scaled config: shuffle width sized to data, not cores
+        env["SPARK_GRAFT_SHUFFLE"] = shuffle
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), *queries],
         env=env,
@@ -87,6 +91,13 @@ def main() -> int:
     ap.add_argument("--copies", type=int, default=100)
     ap.add_argument("--runs", type=int, default=3, help="min-of-N per config")
     ap.add_argument("--driver-mem", default="32g")
+    ap.add_argument(
+        "--scaled-shuffle",
+        default="256",
+        help="shuffle partitions for the scaled config (1x keeps the "
+        "default 32) — a 100x input on a 32-way shuffle carries ~7.5M "
+        "rows/partition, a sizing no real cluster would run",
+    )
     args = ap.parse_args()
 
     names = list(GATE) if not args.queries else args.queries.split(",")
@@ -101,10 +112,13 @@ def main() -> int:
     replica = build(args.copies, tables)
 
     mins: dict[str, dict[str, float]] = {"base": {}, "scaled": {}}
-    for label, sf_dir in (("base", BASE), ("scaled", replica)):
+    for label, sf_dir, shuf in (
+        ("base", BASE, None),
+        ("scaled", replica, args.scaled_shuffle),
+    ):
         for i in range(args.runs):
             print(f"[scale_ci] {label} run {i + 1}/{args.runs}", file=sys.stderr)
-            got = bench_once(sf_dir, names, args.driver_mem)
+            got = bench_once(sf_dir, names, args.driver_mem, shuf)
             for q in names:
                 sec = got[q]
                 cur = mins[label].get(q)
