@@ -43,7 +43,8 @@ from bridgedownstream_spark.queries import (
 #: array_hof_suite (higher-order lambda surface, scalar folds),
 #: kmeans_refine_centroids (iterative centroid refinement — the last
 #: uncertified iterative algorithm), kcore_peeling (r6: iterative
-#: subgraph peeling — a fourth iterative mechanism class), pareto_frontier (dominance via
+#: subgraph peeling — a fourth iterative mechanism class), domain_mix_kl
+#: (r6: data-mix KL drift), pareto_frontier (dominance via
 #: windowed O(n log n)), copurchase_lift (A-priori market-basket),
 #: event_pattern_match + event_paths_topk (sequence mining),
 #: stream_interval_join_e2e / stream_left_join_e2e / stream_sessionize_e2e

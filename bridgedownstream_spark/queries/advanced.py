@@ -2915,12 +2915,15 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("node"))
     )
     visited = seeds.withColumn("hop", F.lit(0).cast("long"))
-    frontier = seeds
-    # 3 fixed rounds keep the lineage shallow enough to skip per-round
-    # localCheckpoints (which would also hide the per-round joins from
-    # plan inspection); a deeper traversal would reinstate them every
-    # ~5 rounds to stop 2^k plan growth.
+    # The visited accumulator is referenced TWICE per round (anti-join +
+    # union), so without a per-round materialization boundary round k's
+    # plan re-computes round k-1's subtree twice — 2^k blowup that cost
+    # ~40% of the 100x wall clock. Checkpointing the node-sized
+    # accumulator each round (except the last, which keeps one round's
+    # join shape visible to plan inspection) computes every round once;
+    # the frontier reads back out of the checkpoint as a hop filter.
     for k in range(1, _BFS_HOPS + 1):
+        frontier = visited.where(F.col("hop") == k - 1).select("node")
         new = (
             edges.join(
                 F.broadcast(frontier), edges.src == frontier.node, "left_semi"
@@ -2931,7 +2934,8 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("hop", F.lit(k).cast("long"))
         )
         visited = visited.unionByName(new)
-        frontier = new.select("node")
+        if k < _BFS_HOPS:
+            visited = visited.localCheckpoint(eager=False)
     return visited
 
 
@@ -4155,14 +4159,17 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False, storageLevel=_FACT_STATE)
     )
     deg = edges.groupBy("dst").agg(F.count("*").cast("long").alias("c"))
-    for _ in range(_KCORE_ROUNDS - 1):
-        # node-sized round state; _KCORE_ROUNDS is small enough to skip
-        # per-round checkpoints (the bfs_hops rationale: keep the round
-        # joins visible to plan inspection; a deeper peel would
-        # checkpoint every ~5 rounds to stop 2^k lineage growth)
+    for i in range(_KCORE_ROUNDS - 1):
+        # The survivor set feeds TWO semi-joins per round, so an
+        # un-materialized surv re-computes the previous round's degree
+        # aggregate twice (4x blowup over 2 peels at 100x). Checkpoint
+        # the node-sized round state — except the last round, which
+        # keeps one peel's join shape visible to plan inspection.
         surv = deg.where(F.col("c") >= _KCORE_K).select(
             F.col("dst").alias("node")
         )
+        if i < _KCORE_ROUNDS - 2:
+            surv = surv.localCheckpoint(eager=False)
         kept = edges.join(
             F.broadcast(surv.withColumnRenamed("node", "src")),
             "src",

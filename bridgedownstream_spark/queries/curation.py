@@ -733,3 +733,82 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("split", "lang")
     )
+
+
+@q(
+    "domain_mix_kl",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    cur AS (SELECT source, CAST(sum(n) AS BIGINT) AS cur_toks
+            FROM t GROUP BY 1),
+    ref AS (SELECT source, CAST(sum(n) AS BIGINT) AS ref_toks
+            FROM t WHERE doc_id % 10 < 9 GROUP BY 1),
+    tot AS (SELECT (SELECT CAST(sum(cur_toks) AS BIGINT) FROM cur) AS ct,
+                   (SELECT CAST(sum(ref_toks) AS BIGINT) FROM ref) AS rt)
+    SELECT c.source, c.cur_toks, r.ref_toks,
+           round((CAST(c.cur_toks AS DOUBLE) / ct)
+                 * ln((CAST(c.cur_toks AS DOUBLE) * rt)
+                      / (CAST(ct AS DOUBLE) * r.ref_toks)), 9) AS kl_term
+    FROM cur c JOIN ref r USING (source) CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def domain_mix_kl(spark, sf_dir):
+    """Training-mix drift monitor: per-domain KL-divergence terms of the
+    CURRENT corpus token mix p against a reference snapshot mix q (the
+    ``doc_id % 10 < 9`` slice stands in for yesterday's corpus, the
+    profile_drift convention). Σ kl_term = KL(p ∥ q) in nats — the
+    standard alarm for a crawl batch silently tilting the domain
+    balance a data-mixture recipe was tuned on; per-domain terms
+    localize WHICH source drifted (positive = over-represented vs the
+    recipe, negative = starved).
+
+    Portability: the inputs to ln() are exact BIGINT token counts
+    combined in IEEE-exact double divisions, so both engines evaluate
+    ln on bit-identical arguments; the result rounds to 9 decimals
+    (the lm_perplexity discipline — libm agreement is far inside 1e-9
+    for these O(1) ratios) and lands in DECIMAL so the hash compare is
+    byte-stable.
+
+    Plan/scale: token counts are size(split(...)) projections inside
+    the scan stage — bodies never shuffle; both mixes aggregate from
+    ONE scan (the reference mass is a conditional sum), the totals are
+    a broadcast 1-row frame, and the output is domain-cardinality.
+    """
+    t = tbl(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n"),
+    )
+    mix = t.groupBy("source").agg(
+        F.sum("n").cast("long").alias("cur_toks"),
+        F.sum(F.when(F.col("doc_id") % 10 < 9, F.col("n")))
+        .cast("long")
+        .alias("ref_toks"),
+    )
+    tot = mix.agg(
+        F.sum("cur_toks").cast("long").alias("ct"),
+        F.sum("ref_toks").cast("long").alias("rt"),
+    )
+    p = F.col("cur_toks").cast("double") / F.col("ct")
+    ratio = (F.col("cur_toks").cast("double") * F.col("rt")) / (
+        F.col("ct").cast("double") * F.col("ref_toks")
+    )
+    return (
+        # a source absent from the reference slice has no q to diverge
+        # from — the oracle's inner join drops it, so must we (it would
+        # surface via cur_toks in a totals-drift alarm, not KL)
+        mix.where(F.col("ref_toks").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "cur_toks",
+            "ref_toks",
+            F.round(p * F.log(ratio), 9).alias("kl_term"),
+        )
+        .orderBy("source")
+    )

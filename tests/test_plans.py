@@ -520,23 +520,28 @@ def test_merkle_diff_prunes_row_join_through_semi_filters(spark):
 def test_bfs_broadcasts_frontier_every_round(spark):
     # the dimension-sized frontier broadcasts into the cached edge
     # partitions each round (semi-join), and the edge table is never
-    # re-shuffled inside the loop
-    from bridgedownstream_spark.queries.advanced import _BFS_HOPS
-
+    # re-shuffled inside the loop. Rounds before the last sit behind
+    # per-round localCheckpoints (the visited accumulator is referenced
+    # twice per round — anti-join + union — so un-materialized rounds
+    # re-compute 2^k times); every round is built by the same loop body,
+    # so the one visible round pins them all.
     plan = plan_of(spark, "bfs_hops")
-    assert plan.count("BroadcastHashJoin") >= _BFS_HOPS
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
 
 
 def test_kcore_broadcasts_survivors_every_round(spark):
     # each peel round broadcasts the node-cardinality survivor set into
     # the cached edge partitions as TWO LeftSemi joins (src end + dst
-    # end); the edge table is never re-shuffled inside the loop
-    from bridgedownstream_spark.queries.advanced import _KCORE_ROUNDS
-
+    # end); the edge table is never re-shuffled inside the loop. Earlier
+    # peels sit behind per-round survivor checkpoints (surv feeds two
+    # semi-joins, so an un-materialized round re-computes the previous
+    # degree aggregate twice); the loop body is identical each round, so
+    # the visible last peel pins the shape of all of them.
     plan = plan_of(spark, "kcore_peeling")
-    assert plan.count("BroadcastHashJoin") >= 2 * (_KCORE_ROUNDS - 1)
-    assert plan.count("LeftSemi") >= 2 * (_KCORE_ROUNDS - 1)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("LeftSemi") >= 2
     assert "CartesianProduct" not in plan
 
 

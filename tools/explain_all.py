@@ -1139,6 +1139,12 @@ HEADLINERS = {
         "and touches O(delta)=0 files — measured 2.1× at 100× data "
         "because only run 1's ETL grows."
     ),
+    "domain_mix_kl": (
+        "Data-mix drift (r6): token counts are size(split(...)) "
+        "projections in the scan stage (bodies never shuffle); both "
+        "mixes come from ONE scan via conditional sums, totals are a "
+        "broadcast 1-row frame, output is domain-cardinality."
+    ),
     "kcore_peeling": (
         "k-core (r6): the symmetric edge list localCheckpoints ONCE "
         "(serialized); each peel round broadcasts the node-cardinality "
