@@ -95,7 +95,17 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", default=None, help="comma-separated subset")
     ap.add_argument("--copies", type=int, default=100)
-    ap.add_argument("--runs", type=int, default=3, help="min-of-N per config")
+    ap.add_argument(
+        "--runs",
+        type=int,
+        default=3,
+        help="min-of-N per config. Budgets are calibrated for warm "
+        "minima (N >= 2): a single COLD 100x run pays the first read "
+        "of the gigabyte-scale replica and measures 3-5x the warm "
+        "minimum (observed: kcore 194.6 s cold-run-1 vs 35.0 s warm "
+        "min) — with --runs 1 treat a breach as a prompt to re-run, "
+        "not a regression",
+    )
     ap.add_argument("--driver-mem", default="32g")
     ap.add_argument(
         "--scaled-shuffle",
