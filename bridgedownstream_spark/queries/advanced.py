@@ -63,6 +63,17 @@ def _edge_parts(fact: DataFrame) -> int:
     query pays, after which dst-clustering makes every per-round
     aggregate exchange-free (localCheckpoint preserves the
     partitioning metadata through the LogicalRDD boundary)."""
+    # Structural guard (not just a docstring contract): a shuffle-derived
+    # frame would silently report shuffle-width partition counts and
+    # mis-size the edge state. A raw scan (+ narrow filter/project)
+    # compiles to a physical plan with NO Exchange node — cheap to check.
+    phys = fact._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in phys:
+        raise ValueError(
+            "_edge_parts requires the pre-shuffle SCAN frame; got a plan "
+            "containing an Exchange — its rdd partition count would be "
+            "spark.sql.shuffle.partitions, not the input split count"
+        )
     return max(8, 4 * fact.rdd.getNumPartitions())
 
 

@@ -1073,3 +1073,22 @@ def test_pareto_oracle_formulations_agree():
     fast = con.execute(_PARETO_SQL_FAST).fetchall()
     assert len(spec) > 0
     assert spec == fast
+
+
+def test_edge_parts_rejects_shuffle_derived_frames(spark):
+    """_edge_parts sizes graph edge state from the RAW SCAN's split
+    count; a shuffle-derived frame would silently report
+    spark.sql.shuffle.partitions instead. The guard must be structural:
+    raw scans pass, anything whose physical plan contains an Exchange
+    raises."""
+    import pytest
+
+    from bridgedownstream_spark.queries.advanced import _edge_parts
+    from bridgedownstream_spark.queries.util import tbl
+
+    raw = tbl(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    assert _edge_parts(raw) >= 8  # scan + narrow project: accepted
+    with pytest.raises(ValueError, match="pre-shuffle SCAN frame"):
+        _edge_parts(raw.distinct())

@@ -239,6 +239,30 @@ def test_every_query_output_is_driver_canonicalizable(registry_dfs):
     assert not bad, f"container-typed output columns: {bad}"
 
 
+def _is_bare_minmax(expr: str) -> bool:
+    """True iff the aliased expression is EXACTLY one min(...)/max(...)
+    call — found by balancing parens backward from the trailing ')' —
+    preceded only by an expression-list delimiter ('[' or ', '). A
+    composite like 'sum(x#1) + max(y#2)' fails (its final ')' balances
+    back to max's '(' but the prefix 'sum(x#1) + ' is not a delimiter);
+    a truncated-window prefix also fails closed (flagged, not passed)."""
+    e = expr.rstrip()
+    if not e.endswith(")"):
+        return False
+    depth = 0
+    for i in range(len(e) - 1, -1, -1):
+        if e[i] == ")":
+            depth += 1
+        elif e[i] == "(":
+            depth -= 1
+            if depth == 0:
+                if e[max(0, i - 3):i] not in ("min", "max"):
+                    return False
+                pre = e[: max(0, i - 3)]
+                return pre == "" or pre.endswith("[") or pre.endswith(", ")
+    return False
+
+
 def test_hash_checked_float_outputs_are_stabilized(registry_dfs):
     """Every DoubleType output column of a hash-checked (oracle-paired)
     query must be produced by an explicit round()/bround() or a cast from
@@ -270,16 +294,23 @@ def test_hash_checked_float_outputs_are_stabilized(registry_dfs):
             aliased = _re.search(r" AS " + _re.escape(c) + r"#\d+", analyzed)
             if not aliased:
                 continue
-            # min()/max() over doubles are exact SELECTIONS of stored
-            # values (commutative, associative, no accumulation error) —
-            # merge-order-exact at any partition count, e.g. the exact
-            # order-statistic percentiles in sketch_cardinality
             pat = _re.compile(
                 r"(round|bround)\([^\n]*AS " + _re.escape(c) + r"#\d+"
                 r"|cast\([^\n]*as double\) AS " + _re.escape(c) + r"#\d+"
-                r"|(min|max)\([^\n]*\) AS " + _re.escape(c) + r"#\d+"
             )
-            if not pat.search(analyzed):
+            # min()/max() over doubles are exact SELECTIONS of stored
+            # values (commutative, associative, no accumulation error) —
+            # merge-order-exact at any partition count, e.g. the exact
+            # order-statistic percentiles in sketch_cardinality. The
+            # whole aliased expression must BE the min()/max() call
+            # (paren-balanced check, not a substring match), so
+            # 'sum(x) + max(y) AS c' does NOT slip through the guard.
+            mm = _re.search(
+                r"([^\n]{0,300}) AS " + _re.escape(c) + r"#\d+", analyzed
+            )
+            if not pat.search(analyzed) and not (
+                mm and _is_bare_minmax(mm.group(1))
+            ):
                 bad.append(f"{name}.{c}")
                 continue
             # round() alone is NOT enough for a group-sum/avg over doubles:
@@ -523,14 +554,14 @@ def test_merkle_diff_prunes_row_join_through_semi_filters(spark):
     assert "partial_sum" in plan or "partial" in plan.lower()
 
 
-def test_bfs_broadcasts_frontier_every_round(spark):
-    # the dimension-sized frontier broadcasts into the cached edge
-    # partitions each round (semi-join), and the edge table is never
-    # re-shuffled inside the loop. Rounds before the last sit behind
+def test_bfs_final_round_broadcasts_frontier(spark):
+    # ONLY the final round's plan is visible — earlier rounds sit behind
     # per-round localCheckpoints (the visited accumulator is referenced
     # twice per round — anti-join + union — so un-materialized rounds
-    # re-compute 2^k times); every round is built by the same loop body,
-    # so the one visible round pins them all.
+    # re-compute 2^k times). The dimension-sized frontier must broadcast
+    # into the cached edge partitions (semi-join) and the edge table must
+    # not re-shuffle; every round is built by the same loop body, so the
+    # one visible round is representative (not proof) for the rest.
     plan = plan_of(spark, "bfs_hops")
     assert plan.count("BroadcastHashJoin") >= 1
     assert "LeftSemi" in plan

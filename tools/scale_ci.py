@@ -72,6 +72,12 @@ def bench_once(
     )
     if shuffle:  # scaled config: shuffle width sized to data, not cores
         env["SPARK_GRAFT_SHUFFLE"] = shuffle
+    # a stale BENCH_FULL.json from a previous run would mask a crashed
+    # subprocess as a green result — remove it up front so the only file
+    # read back is the one THIS invocation wrote
+    full = os.path.join(REPO, "BENCH_FULL.json")
+    if os.path.exists(full):
+        os.remove(full)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), *queries],
         env=env,
@@ -79,15 +85,26 @@ def bench_once(
         text=True,
         check=False,
     )
+    if out.returncode != 0:
+        tail = out.stderr[-2000:] if out.stderr else "<no stderr>"
+        raise RuntimeError(
+            f"bench.py exited {out.returncode} at {sf_dir}: {tail}"
+        )
     line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
     rep = json.loads(line)
     failures = rep.get("failures") or {}
     if failures:
         raise RuntimeError(f"bench failures at {sf_dir}: {failures}")
-    full = os.path.join(REPO, "BENCH_FULL.json")
     if os.path.exists(full):  # per-query map lives in the full report
         with open(full) as f:
-            return json.load(f)["queries"]
+            fullrep = json.load(f)
+        missing = [q for q in queries if q not in fullrep.get("queries", {})]
+        if missing:
+            raise RuntimeError(
+                f"BENCH_FULL.json missing gated queries {missing} — "
+                "partial run, not a valid sample"
+            )
+        return fullrep["queries"]
     return rep.get("queries", {})
 
 
