@@ -221,6 +221,119 @@ def media_phash_pairs(spark, sf_dir):
 
 
 @q(
+    "multimodal_real_codec",
+    """
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             doc_id % 7 = 0 AS broken
+      FROM documents
+      WHERE octet_length(encode(text)) >= 60
+    ), dims AS (
+      SELECT doc_id, n, broken,
+             CAST(n % 4 + 2 AS BIGINT) AS w, CAST(n % 3 + 2 AS BIGINT) AS h,
+             hex(encode(text)) AS hx
+      FROM d
+    ), px AS (
+      SELECT doc_id, n, broken, w, h,
+             list_transform(generate_series(0, w*h - 1),
+                p -> (('0x' || substr(hx, 6*p + 1, 2))::BIGINT * 299
+                    + ('0x' || substr(hx, 6*p + 3, 2))::BIGINT * 587
+                    + ('0x' || substr(hx, 6*p + 5, 2))::BIGINT * 114) // 1000
+             ) AS luma
+      FROM dims
+    ), grid AS (
+      SELECT doc_id, n, broken, w, h, luma,
+             list_transform(generate_series(0, 15),
+                i -> luma[ least(h - 1, (i // 4) * h // 4) * w
+                         + least(w - 1, (i % 4) * w // 4) + 1 ]) AS g
+      FROM px
+    )
+    SELECT doc_id,
+           CASE WHEN broken THEN 'undecodable' ELSE 'ppm' END AS format,
+           CAST(CASE WHEN broken THEN 0 ELSE w END AS INT) AS width,
+           CAST(CASE WHEN broken THEN 0 ELSE h END AS INT) AS height,
+           CAST(CASE WHEN broken THEN n + 11 ELSE 11 + w*h*3 END AS BIGINT)
+               AS n_bytes,
+           CAST(CASE WHEN broken THEN 0 ELSE
+             list_sum(list_transform(generate_series(0, 15),
+               i -> CASE WHEN g[i+1] > list_sum(g) / 16.0
+                    THEN 1 << i ELSE 0 END))
+           END AS BIGINT) AS phash,
+           round(CASE WHEN broken THEN 0 ELSE luma[1] END / 255.0, 6) AS f0,
+           round(CASE WHEN broken THEN 0
+                 ELSE luma[least(w - 1, w // 2) + 1] END / 255.0, 6) AS f1,
+           round(CASE WHEN broken THEN 0
+                 ELSE luma[least(h - 1, h // 2) * w + 1] END / 255.0, 6) AS f2,
+           round(CASE WHEN broken THEN 0
+                 ELSE luma[least(h - 1, h // 2) * w + least(w - 1, w // 2) + 1]
+                 END / 255.0, 6) AS f3
+    FROM grid
+    """,
+)
+def multimodal_real_codec(spark, sf_dir):
+    """REAL-codec certification row (no digest stand-ins anywhere): PPM
+    bitmaps are synthesized NATIVELY (header + the doc's first w*h*3
+    utf-8 bytes as RGB triples, w/h derived from the byte length; every
+    7th doc gets a deliberately headerless payload), then pushed through
+    the vendored real decode path — ``decode_images(codec="mini")``
+    header parse + body validation, ``perceptual_hash(codec="mini")``
+    (decode → ITU-R 601 grayscale → 4×4 nearest-neighbor grid →
+    above-mean aHash bits), ``extract_features(codec="mini")`` (decode →
+    2×2 resample → luma/255). The oracle recomputes pixels, lumas, grid
+    positions, the /16.0 mean threshold, and the bit packing from the
+    same bytes in SQL — so the REAL decode branch (the one a PIL/libvips
+    deployment swaps its codec into) gets a driver-certifiable
+    rows+schema+hash row, including the undecodable contract (format
+    'undecodable', zero dims, phash 0, zero features). All-integer until
+    the final exact /255.0 and /16.0 steps; Arrow-batched mapInPandas,
+    scan-shaped (zero exchanges)."""
+    from bridgedownstream_spark.operators.multimodal import (
+        decode_images,
+        extract_features,
+        perceptual_hash,
+    )
+
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.expr("octet_length(encode(text, 'utf-8')) >= 60"))
+    )
+    payloads = d.select(
+        "doc_id",
+        F.expr(
+            """CASE WHEN doc_id % 7 = 0
+               THEN encode(concat('notanimage:', text), 'utf-8')
+               ELSE concat(
+                 encode(format_string('P6\n%d %d\n255\n',
+                        octet_length(encode(text, 'utf-8')) % 4 + 2,
+                        octet_length(encode(text, 'utf-8')) % 3 + 2),
+                        'utf-8'),
+                 substring(encode(text, 'utf-8'), 1,
+                   (octet_length(encode(text, 'utf-8')) % 4 + 2)
+                   * (octet_length(encode(text, 'utf-8')) % 3 + 2) * 3))
+               END"""
+        ).alias("content"),
+    )
+    out = extract_features(
+        perceptual_hash(decode_images(payloads, codec="mini"), codec="mini"),
+        dim=4,
+        codec="mini",
+    )
+    return out.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        "phash",
+        *[
+            F.round(F.col("features").getItem(i), 6).alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+
+
+@q(
     "multimodal_audio_features",
     """
     WITH b AS (
