@@ -37,36 +37,38 @@ from bridgedownstream_spark.queries import (
 #: retention_cohorts, event_transitions, snapshot_diff, winsorized_stats,
 #: rebalance_domains, duplicate_spans, bm25_topk, fuzzy_match_parts,
 #: pq_adc_search.
-#: Round-7 rotation backlog (never driver-certified after r6, in rough
-#: promotion-priority order — lead with mechanism classes the driver has
-#: never seen): chi_square_independence (integer-exact contingency DQ),
-#: array_hof_suite (higher-order lambda surface, scalar folds),
-#: kmeans_refine_centroids (iterative centroid refinement — the last
-#: uncertified iterative algorithm), kcore_peeling (r6: iterative
-#: subgraph peeling — a fourth iterative mechanism class), domain_mix_kl
-#: (r6: data-mix KL drift), pareto_frontier (dominance via
-#: windowed O(n log n)), copurchase_lift (A-priori market-basket),
-#: event_pattern_match + event_paths_topk (sequence mining),
-#: stream_interval_join_e2e / stream_left_join_e2e / stream_sessionize_e2e
-#: / stream_enrich_e2e (remaining streaming matrix), portable_cms_heavy_hitters
-#: + quantile_band_rollup + portable_hll_cardinality + portable_kmv_jaccard
-#: (remaining portable sketches), bloom_semi_join + bloom_pruned_lookup
-#: (runtime bitmap filters), cdc_apply + ivm_agg_retract +
-#: incremental_join_view (incremental-view maintenance trio),
-#: pipeline_compaction_equiv + upsert variants (lake maintenance),
-#: multimodal_decode/features/frame_sample/resize (image legs),
-#: near_dup_incremental, dedup_graph_triangles, minhash_signature,
-#: simhash16, embedding_near_dup, ann_topk_cosine / ann_lsh_bucketed /
-#: ann_quantized_topk / ann_recall (ANN remainder), ngram_topk,
-#: bpe_token_count, contamination_check, repetition_stats, doc_chunking,
-#: pack_sequences, train_shards, quality_weighted_sample,
-#: groupwise_regression, metric_correlations, value_histogram,
-#: zscore_anomalies, mad_outliers, hot_key_report, time_weighted_avg,
-#: attribution_last_touch, linear_interpolate, ewma_smoothing,
-#: ntile_quartiles, weighted_median, pivot_order_status,
-#: rolling_active_users + rolling_hll_users, window_rank_suite,
-#: groupingsets_revenue, bag_set_ops, event_paths_topk, and the TPC-H
-#: remainder q2/q4/q5/q7/q8/q11/q13/q14/q15/q17/q18/q19/q20/q21/q22.
+#: Round-7 rotation EXECUTED (VERDICT r6 #1): promoted the full backlog
+#: the r6 verdict names — kmeans_refine_centroids (last uncertified
+#: iterative class), kcore_peeling + domain_mix_kl (the r6 additions),
+#: chi_square_independence, array_hof_suite, pareto_frontier,
+#: copurchase_lift, event_pattern_match, the streaming matrix remainder
+#: (stream_interval_join_e2e, stream_sessionize_e2e, stream_enrich_e2e),
+#: portable_cms_heavy_hitters, plus q21_suppliers_kept_waiting (TPC-H
+#: stretch, VERDICT #8) and multimodal_real_codec (NEW r7 — the real
+#: vendored-codec branch gets its hash row, VERDICT #7). Rotated out
+#: (all r6-driver-green; §2/family survivor noted inline in the tuple):
+#: bfs_hops, jaccard_prefix_join, kmv_set_cardinality,
+#: hll_rollup_hierarchy, train_val_test_split, dpp_pruned_join,
+#: schema_evolution_read, stream_full_join_e2e,
+#: multimodal_audio_features, q9_product_type_profit, q12_priority_lines,
+#: conversion_latency, debounce_events, json_extract.
+#: Round-8 rotation backlog (never driver-certified after r7, rough
+#: priority order): pipeline_compaction_equiv + upsert_merge_equiv (lake
+#: maintenance — promote FIRST, r7-new), event_paths_topk,
+#: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
+#: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +
+#: incremental_join_view, multimodal_decode/features/frame_sample/resize,
+#: near_dup_incremental, dedup_graph_triangles, simhash16,
+#: embedding_near_dup, ann_topk_cosine / ann_lsh_bucketed /
+#: ann_quantized_topk / ann_recall, ngram_topk, bpe_token_count,
+#: contamination_check, repetition_stats, doc_chunking, pack_sequences,
+#: train_shards, quality_weighted_sample, groupwise_regression,
+#: metric_correlations, value_histogram, zscore_anomalies, mad_outliers,
+#: hot_key_report, time_weighted_avg, attribution_last_touch,
+#: linear_interpolate, ewma_smoothing, ntile_quartiles, weighted_median,
+#: pivot_order_status, rolling_active_users + rolling_hll_users,
+#: window_rank_suite, groupingsets_revenue, bag_set_ops, and the TPC-H
+#: remainder q2/q4/q5/q7/q8/q11/q13/q14/q15/q17/q18/q19/q20/q22.
 #: Rotate driver-green window entries out for these, keeping >=1 green
 #: row per §2 component and per extension family (same rule as below).
 #
@@ -100,9 +102,12 @@ _CERTIFYING: tuple[str, ...] = (
     "prefix_filter",            # P6, F8, F10
     "sql_view_query",           # S7 SQL surface
     # joins (J1-J4)
-    "q9_product_type_profit",   # J1 broadcast dims (3 of them), O1 ordered
-                                # rollup (TPC-H Q9; q3_shipping_priority
-                                # r4-green, rotated out)
+    "q21_suppliers_kept_waiting",  # J1 broadcast dims + EXISTS/NOT-EXISTS
+                                   # lineitem self-joins, O1 ordered top
+                                   # (TPC-H Q21; q9_product_type_profit
+                                   # r6-green, rotated out — J1's 3-dim
+                                   # broadcast star stays via this + the
+                                   # ingest/pipeline joins)
     "anti_join_missing",        # J2
     "anti_join_union",          # J3, §2.7 union
     "relationalize_child",      # N3/N4 key inheritance, N5/F4 naming
@@ -110,9 +115,10 @@ _CERTIFYING: tuple[str, ...] = (
     "dedup_latest",             # A2 + §2.5 row_number window
     "sample_per_group",         # A3
     "reconcile_counts",         # A4/A7
-    "bfs_hops",                 # iterative graph: frontier-broadcast BFS
-                                # (pagerank_copurchase r5-green, rotated out;
-                                # iterative family → bfs + sssp below)
+    "kmeans_refine_centroids",  # iterative centroid refinement — the last
+                                # uncertified iterative mechanism class
+                                # (bfs_hops r6-green, rotated out;
+                                # iterative family → this + sssp + kcore)
     "group_collect",            # A8
     "config_cache_dedup",       # A9
     "asof_join_events",         # P3 closest-match as the single-exchange
@@ -122,10 +128,15 @@ _CERTIFYING: tuple[str, ...] = (
     "batched_submit",           # O3
     # scalar functions (F1-F11)
     "scalar_functions",         # F1/F3/F5/F11
-    "q12_priority_lines",       # F6 conditional rewrite as double CASE
-                                # conditional aggregation (TPC-H Q12;
-                                # case_when_routing r1-r4-green, rotated out)
-    "json_extract",             # F9
+    "chi_square_independence",  # integer-exact contingency DQ test
+                                # (q12_priority_lines r6-green, rotated
+                                # out; F6 conditional rewrite stays via
+                                # ingest_e2e_events' microphone rename)
+    "array_hof_suite",          # higher-order lambda surface: transform/
+                                # filter/aggregate/zip_with scalar folds
+                                # (json_extract r6-green, rotated out; F9
+                                # stays via ingest_e2e_events' JSON body
+                                # parse + rewrite)
     "basename_extract",         # F7
     # skew: diagnose-then-salt auto-remediating join (covers the salted-agg
     # machinery skew_salted_agg certified r4)
@@ -141,47 +152,57 @@ _CERTIFYING: tuple[str, ...] = (
     "expected_error_suppression",  # P8/V3 whitelist subtraction
     "stream_sync_e2e",          # streaming family + §2.11 incremental
                                 # (checkpointed availableNow = bookmarks)
-    "stream_full_join_e2e",     # stateful symmetric FULL OUTER interval
-                                # join — completes the streaming join
-                                # matrix (stream_dedup_e2e r5-green,
-                                # rotated out; stateful streaming stays
-                                # certified via this + stream_sync_e2e)
-    "pipeline_e2e_root",        # S2/S5/N1/N2
-    "pipeline_partition_pruned",        # P7
-    # r6 promotions: layout / plan-shape mechanisms
-    "dpp_pruned_join",          # runtime partition pruning through a join
-                                # (dynamicpruningexpression plan-pinned;
-                                # stats_pruned_scan r5-green, rotated out —
-                                # layout family stays via this + bucketed)
+    # streaming matrix remainder (stream_full_join_e2e r6-green, rotated
+    # out — stateful interval joins stay certified via interval_join;
+    # stream_dedup_e2e r5-green)
+    "stream_interval_join_e2e",  # stream-stream interval join, two-sided
+                                 # watermarks, bounded state
+    "stream_sessionize_e2e",    # session_window + watermark finalization
+                                # (APPEND-mode drain == batch
+                                # gaps-and-islands)
+    "stream_enrich_e2e",        # stream-static broadcast-dim enrichment
+    "pipeline_e2e_root",        # S2/S5/N1/N2 (schema_evolution_read
+                                # r6-green, rotated out — N2
+                                # cast-to-declared stays via this)
+    "pipeline_partition_pruned",        # P7 (dpp_pruned_join r6-green,
+                                        # rotated out; layout family stays
+                                        # via this + bucketed)
     "bucketed_join_no_shuffle",  # SMB fact⋈fact with zero pre-join
                                  # exchanges (bucketed catalog layout)
-    "schema_evolution_read",    # mergeSchema union-by-name + NULL backfill
-    # analytics / time-series over events (gap_fill, concurrency_peaks,
-    # retention_cohorts, event_transitions, snapshot_diff, winsorized_stats
-    # all r5-green, rotated out; family + §2.5 lag windows stay certified
-    # via conversion_latency and dedup_latest)
-    "conversion_latency",       # funnel step latency quantiles (§2.5 lag)
+    # analytics / sequence mining over events (conversion_latency
+    # r6-green, rotated out; §2.5 lag windows stay via dedup_latest,
+    # funnel semantics via event_pattern_match)
+    "event_pattern_match",      # MATCH_RECOGNIZE-style journey patterns,
+                                # non-overlapping counts
+    "pareto_frontier",          # skyline dominance via the O(n log n)
+                                # window rewrite vs quadratic NOT-EXISTS
+                                # oracle
+    "copurchase_lift",          # A-priori level-2 market-basket lift
     "merkle_snapshot_diff",     # hash-tree CDC diff — O(changed) compare
                                 # (snapshot_diff r5-green, rotated out)
-    # curation / text (rebalance_domains, duplicate_spans, bm25_topk,
-    # fuzzy_match_parts all r5-green, rotated out; family stays certified
-    # via curation_funnel + train_val_test_split)
+    # curation / text (train_val_test_split r6-green, rotated out; split
+    # machinery shares the md5-ppb gate certified via curation_funnel +
+    # domain_mix_kl)
     "curation_funnel",          # multi-stage filter funnel w/ attrition
-    "train_val_test_split",     # contamination-proof md5-ppb 80/10/10 split
-    "debounce_events",          # imperative applyInPandas greedy debounce
-                                # vs recursive-CTE oracle — first certified
-                                # imperative-path row
-    # iterative graph trio (pagerank rotated out; bfs_hops in agg block)
+    "domain_mix_kl",            # per-domain KL(p||q) mix-drift terms,
+                                # exact-integer inputs
+    # iterative graph (pagerank r5-green + bfs_hops r6-green rotated out)
     "sssp_weighted",            # Bellman-Ford weighted shortest paths
-    # sketch-merge algebra pair
-    "kmv_set_cardinality",      # K-minimum-values distinct sketch,
-                                # integer-exact merge
-    "hll_rollup_hierarchy",     # HLL registers merged across rollup levels
-    # exact set-similarity pair (PPJoin prefix filtering)
-    "jaccard_prefix_join",      # rarity-ordered prefixes + positional cuts
+    "kcore_peeling",            # iterative subgraph peeling, residual
+                                # degrees
+    # portable-sketch rep (kmv_set_cardinality + hll_rollup_hierarchy
+    # r6-green, rotated out; sketch-merge algebra stays via CMS)
+    "portable_cms_heavy_hitters",  # count-min heavy hitters, exact-integer
+                                   # counters, <=768-row shuffle
+    # exact set-similarity (jaccard_prefix_join r6-green, rotated out;
+    # PPJoin prefix machinery stays via the directed variant)
     "containment_prefix_join",  # directed containment, B-side posting lists
-    # multimodal family
-    "multimodal_audio_features",  # PCM8 integer DSP, hex-pair oracle
+    # multimodal family (multimodal_audio_features r6-green, rotated out;
+    # debounce_events r6-green, rotated out — the Arrow-batched imperative
+    # path stays certified via this real-codec mapInPandas chain + the
+    # ingest/validation mapInPandas legs of ingest_e2e_events)
+    "multimodal_real_codec",    # REAL vendored-codec decode/aHash/features
+                                # with a from-bytes SQL oracle (r7, NEW)
     # LLM-pipeline extension families, one representative each
     "near_dup_keep_best",       # clustering family (components + election,
                                 # consumes the LSH candidate pipeline)
