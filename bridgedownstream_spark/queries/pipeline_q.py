@@ -1908,3 +1908,159 @@ def bucketed_join_no_shuffle(spark, sf_dir):
         .agg(rev.alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
         .orderBy("o_orderstatus")
     )
+
+
+#: (sf_dir) -> compacted-lake path (built + compacted once per process)
+_COMPACTED: dict[str, str] = {}
+
+
+def _build_compacted_lake(spark: SparkSession, sf_dir: str) -> str:
+    """A deliberately fragmented lineitem lake (8 writer tasks per
+    partition = 8 small files each, the shape incremental appends leave
+    behind), then compacted via pipeline/compact.py — target sized so
+    every fragmented partition collapses to ONE file."""
+    if sf_dir in _COMPACTED:
+        return _COMPACTED[sf_dir]
+    import shutil
+
+    from bridgedownstream_spark.pipeline.compact import compact_dataset
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bds_compactlake_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    li.repartition(8).write.partitionBy("l_returnflag").parquet(base)
+    compact_dataset(
+        spark, base, ["l_returnflag"], target_file_bytes=1 << 30, min_files=2
+    )
+    _COMPACTED[sf_dir] = base
+    return base
+
+
+@q(
+    "pipeline_compaction_equiv",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+           CAST(1 AS BIGINT) AS part_files
+    FROM lineitem
+    """,
+)
+def pipeline_compaction_equiv(spark, sf_dir):
+    """Small-file compaction equivalence (pipeline/compact.py — the
+    reference operates its lake with Glue's groupFiles to READ through
+    fragmentation, json_s3_to_parquet.py:73; this is the operator that
+    FIXES it): an 8-files-per-partition lineitem lake is compacted with
+    a target that collapses each partition to one file, then read back
+    row-for-row against the source table. Every row carries its
+    partition's post-compaction file count (from the distributed
+    binaryFile listing), so the hash certifies BOTH that no row was
+    lost/duplicated/mutated by the salted-fan rewrite AND that the
+    rewrite actually happened (part_files == 1, not 8). Cost model at
+    100 TB: listing is a parallel directory walk projecting (path,
+    length) only; the rewrite scans just the fragmented partitions and
+    dynamic overwrite swaps them atomically."""
+    from bridgedownstream_spark.pipeline.compact import partition_file_stats
+
+    base = _build_compacted_lake(spark, sf_dir)
+    stats = partition_file_stats(spark, base).select(
+        F.regexp_replace("partition", "^l_returnflag=", "").alias(
+            "l_returnflag"
+        ),
+        F.col("n_files").cast("bigint").alias("part_files"),
+    )
+    return (
+        _read_table(spark, base)
+        .join(F.broadcast(stats), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_returnflag",
+            "part_files",
+        )
+    )
+
+
+#: (sf_dir) -> upsert-sequence lake path
+_UPSERTED: dict[str, str] = {}
+
+
+def _build_upserted_lake(spark: SparkSession, sf_dir: str) -> str:
+    """An orders lake driven through a realistic merge sequence
+    (pipeline/upsert.py): v0 full write, v1 re-export of every %5 key,
+    v2 re-export of every %7 key (overlapping %35 keys end at v2 —
+    last-writer-wins), then a delete-only merge removing every %11 key.
+    Updated rows get integer-derived prices (exact in doubles at any
+    engine) and a version stamp."""
+    if sf_dir in _UPSERTED:
+        return _UPSERTED[sf_dir]
+    import shutil
+
+    from bridgedownstream_spark.pipeline.upsert import upsert_dataset
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bds_upsertlake_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    v0 = o.withColumn("version", F.lit(0))
+    v0.write.partitionBy("o_orderstatus").parquet(base)
+    for version, mod in ((1, 5), (2, 7)):
+        upd = (
+            o.where(F.col("o_orderkey") % mod == 0)
+            .withColumn(
+                "o_totalprice",
+                (F.col("o_orderkey") % 1000 + version).cast("double"),
+            )
+            .withColumn("version", F.lit(version))
+        )
+        upsert_dataset(
+            spark, base, upd, ["o_orderkey"], ["o_orderstatus"]
+        )
+    dk = o.where(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
+    upsert_dataset(
+        spark, base, None, ["o_orderkey"], ["o_orderstatus"], delete_keys=dk
+    )
+    _UPSERTED[sf_dir] = base
+    return base
+
+
+@q(
+    "upsert_merge_equiv",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN CAST(o_orderkey % 1000 + 2 AS DOUBLE)
+                WHEN o_orderkey % 5 = 0 THEN CAST(o_orderkey % 1000 + 1 AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice,
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN 2
+                     WHEN o_orderkey % 5 = 0 THEN 1
+                     ELSE 0 END AS INT) AS version
+    FROM orders
+    WHERE o_orderkey % 11 <> 0
+    """,
+)
+def upsert_merge_equiv(spark, sf_dir):
+    """Partition-scoped merge-into equivalence (pipeline/upsert.py —
+    the reference's overwrite-by-recordid idempotency contract,
+    s3_to_json_s3.py:592-648, re-expressed as a lake merge): after a
+    v0 write, two overlapping re-export waves, and a delete-only merge,
+    the lake must equal a from-scratch recompute of latest-version
+    survivors — which is exactly what the oracle states in SQL
+    (last-writer-wins CASE + the delete predicate). Certifies replace
+    semantics, append-of-new-keys, key overlap across waves, delete
+    without replacement, and that untouched rows/partitions survive
+    every wave byte-identically. Merge cost scales with TOUCHED
+    partitions only (broadcast key sets, partition-pruned lake scan,
+    dynamic overwrite) — one day of re-exports into a years-deep lake
+    reads and rewrites one day."""
+    base = _build_upserted_lake(spark, sf_dir)
+    return _read_table(spark, base).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "version"
+    )
