@@ -77,6 +77,52 @@ def _edge_parts(fact: DataFrame) -> int:
     return max(8, 4 * fact.rdd.getNumPartitions())
 
 
+#: conservative serialized bytes per node-frame row inside a broadcast
+#: hash map (two longs + map entry overhead) — deliberately generous so
+#: the fallback engages BEFORE the 8 GB broadcast hard ceiling is near
+_NODE_ROW_BYTES = 48
+
+
+def _bytes_conf(spark: SparkSession, key: str, default: str) -> int:
+    """Parse a Spark size conf ('10485760', '10m', '10MB', '-1') to bytes."""
+    import re as _re
+
+    raw = str(spark.conf.get(key, default) or default).strip().lower()
+    m = _re.match(r"^(-?\d+)\s*([kmgt]?)b?$", raw)
+    if not m:
+        return int(default)
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    return int(m.group(1)) * mult[m.group(2)]
+
+
+def _pin_node_side(spark: SparkSession, df: DataFrame, n_nodes: int) -> DataFrame:
+    """Pin the join strategy for a NODE-cardinality frame used inside an
+    iterative graph loop (frontier / visited / distance / survivor /
+    share tables) instead of leaving it to per-round AQE estimates:
+
+    - under the session broadcast threshold (sized at a generous
+      ``_NODE_ROW_BYTES`` per row) → explicit ``broadcast()``: the edge
+      state never moves and keeps its dst-clustering, so per-round
+      aggregates stay exchange-free. Pinning matters even when AQE would
+      usually pick the same plan — measured at 100x, bfs_hops swung
+      141-295 s run-to-run as drifting frontier estimates flipped the
+      visited anti-join's strategy mid-loop.
+    - above it (the node table outgrew the driver/executor broadcast
+      budget — think billion-node graphs at 100 TB) → explicit
+      ``SHUFFLE_HASH`` build on the node side: correct at any size, at
+      the honest cost of re-shuffling the edge stream on the join key
+      each round. Never sort-merge (per-round edge sorts) and never a
+      silent 8 GB broadcast failure three hours into a run.
+
+    ``n_nodes`` is an UPPER BOUND (the dimension-table count) — cheap to
+    obtain and stable across rounds, unlike per-round frontier sizes.
+    """
+    thr = _bytes_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "10485760")
+    if thr > 0 and n_nodes * _NODE_ROW_BYTES <= thr:
+        return F.broadcast(df)
+    return df.hint("shuffle_hash")
+
+
 # ---------------------------------------------------------------------------
 # Sessionization — gaps-and-islands over event time
 # ---------------------------------------------------------------------------
@@ -2512,11 +2558,11 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # connected set (every connected node has out-edges by symmetry).
     rank = deg.select("node").withColumn("pr", F.lit(init).cast("long"))
     for _ in range(_PR_ITERS):
-        share = rank.join(F.broadcast(deg), "node").select(
+        share = rank.join(_pin_node_side(spark, deg, n), "node").select(
             "node", F.expr("pr div outdeg").alias("share")
         )
         rank = (
-            edges.join(F.broadcast(share), share.node == edges.src)
+            edges.join(_pin_node_side(spark, share, n), share.node == edges.src)
             .groupBy("dst")
             .agg(F.sum("share").cast("long").alias("contrib"))
             .select(
@@ -2924,10 +2970,10 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False, storageLevel=_FACT_STATE)
     )
-    seeds = (
-        tbl(spark, sf_dir, "part")
-        .where(F.col("p_partkey") % 500 == 7)
-        .select(F.col("p_partkey").alias("node"))
+    part = tbl(spark, sf_dir, "part")
+    n_nodes = part.count()  # node-frame upper bound for _pin_node_side
+    seeds = part.where(F.col("p_partkey") % 500 == 7).select(
+        F.col("p_partkey").alias("node")
     )
     visited = seeds.withColumn("hop", F.lit(0).cast("long"))
     # The visited accumulator is referenced TWICE per round (anti-join +
@@ -2937,15 +2983,24 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accumulator each round (except the last, which keeps one round's
     # join shape visible to plan inspection) computes every round once;
     # the frontier reads back out of the checkpoint as a hop filter.
+    # Both node-frame join sides are strategy-PINNED (_pin_node_side):
+    # leaving the visited anti-join to AQE made 100x wall clock swing
+    # 141-295 s run-to-run as frontier estimates drifted.
     for k in range(1, _BFS_HOPS + 1):
         frontier = visited.where(F.col("hop") == k - 1).select("node")
         new = (
             edges.join(
-                F.broadcast(frontier), edges.src == frontier.node, "left_semi"
+                _pin_node_side(spark, frontier, n_nodes),
+                edges.src == frontier.node,
+                "left_semi",
             )
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(
+                _pin_node_side(spark, visited.select("node"), n_nodes),
+                "node",
+                "left_anti",
+            )
             .withColumn("hop", F.lit(k).cast("long"))
         )
         visited = visited.unionByName(new)
@@ -4041,18 +4096,18 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("1000000 div count(*)").alias("w"))
         .localCheckpoint(eager=False, storageLevel=_FACT_STATE)
     )
-    dist = (
-        tbl(spark, sf_dir, "part")
-        .where(F.col("p_partkey") % 500 == 7)
-        .select(
-            F.col("p_partkey").alias("node"),
-            F.lit(0).cast("long").alias("dist"),
-        )
+    part = tbl(spark, sf_dir, "part")
+    n_nodes = part.count()  # node-frame upper bound for _pin_node_side
+    dist = part.where(F.col("p_partkey") % 500 == 7).select(
+        F.col("p_partkey").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
     )
     for _ in range(_SSSP_HOPS):
         relaxed = (
             edges.join(
-                F.broadcast(dist), edges.src == F.col("node"), "inner"
+                _pin_node_side(spark, dist, n_nodes),
+                edges.src == F.col("node"),
+                "inner",
             )
             .select(
                 F.col("dst").alias("node"),
@@ -4153,6 +4208,7 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     core).
     """
     raw = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    n_nodes = tbl(spark, sf_dir, "part").count()  # _pin_node_side bound
     # same part twice in one order must count ONE order
     li = raw.distinct().localCheckpoint(eager=False, storageLevel=_FACT_STATE)
     a, b = li.alias("a"), li.alias("b")
@@ -4186,11 +4242,15 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("node")
         )
         kept = edges.join(
-            F.broadcast(surv.withColumnRenamed("node", "src")),
+            _pin_node_side(
+                spark, surv.withColumnRenamed("node", "src"), n_nodes
+            ),
             "src",
             "left_semi",
         ).join(
-            F.broadcast(surv.withColumnRenamed("node", "dst")),
+            _pin_node_side(
+                spark, surv.withColumnRenamed("node", "dst"), n_nodes
+            ),
             "dst",
             "left_semi",
         )

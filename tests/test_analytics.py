@@ -1092,3 +1092,59 @@ def test_edge_parts_rejects_shuffle_derived_frames(spark):
     assert _edge_parts(raw) >= 8  # scan + narrow project: accepted
     with pytest.raises(ValueError, match="pre-shuffle SCAN frame"):
         _edge_parts(raw.distinct())
+
+
+def test_graph_loop_degrades_to_shuffle_hash_above_broadcast_ceiling(spark):
+    """_pin_node_side: when the node frame cannot broadcast
+    (autoBroadcastJoinThreshold forced to -1, the
+    node-table-outgrew-the-ceiling stand-in), every loop join must
+    degrade to an explicit SHUFFLE_HASH build — visible in the final
+    round's physical plan — and the result must be IDENTICAL to the
+    broadcast path."""
+    sf = "/root/testdata/sf0.001"
+    base = sorted(
+        tuple(r) for r in advanced.bfs_hops(spark, sf).collect()
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = advanced.bfs_hops(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan  # the pinned fallback build
+        assert "BroadcastHashJoin" not in plan
+        got = sorted(tuple(r) for r in df.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert got == base
+
+
+def test_pin_node_side_threshold_logic(spark):
+    """Broadcast under the sized threshold, shuffle-hash above it or when
+    auto-broadcast is disabled; size confs parse with unit suffixes."""
+    from bridgedownstream_spark.queries.advanced import (
+        _NODE_ROW_BYTES,
+        _bytes_conf,
+        _pin_node_side,
+    )
+
+    df = spark.range(4).withColumnRenamed("id", "node")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
+        assert (
+            _bytes_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "0")
+            == 10 << 20
+        )
+        small = _pin_node_side(spark, df, 1000)
+        big = _pin_node_side(spark, df, (10 << 20) // _NODE_ROW_BYTES + 1)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        disabled = _pin_node_side(spark, df, 1)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    probe = spark.range(4).withColumnRenamed("id", "node")
+    assert "BroadcastHashJoin" in probe.join(
+        small, "node"
+    )._jdf.queryExecution().executedPlan().toString()
+    for fallback in (big, disabled):
+        p = probe.join(fallback, "node")._jdf.queryExecution()
+        assert "ShuffledHashJoin" in p.executedPlan().toString()
