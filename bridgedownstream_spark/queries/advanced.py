@@ -82,15 +82,29 @@ def _edge_parts(fact: DataFrame) -> int:
 #: the fallback engages BEFORE the 8 GB broadcast hard ceiling is near
 _NODE_ROW_BYTES = 48
 
+#: conf key (this package's own knob) overriding the node-frame broadcast
+#: ceiling — settable per session; tests force the fallback with "0"
+_CEILING_CONF = "spark.bds.graph.broadcastCeilingBytes"
 
-def _bytes_conf(spark: SparkSession, key: str, default: str) -> int:
+#: default ceiling: 2 GB of estimated node-frame bytes. This is a
+#: fraction of Spark's 8 GB broadcast HARD limit (and of a typical
+#: executor's memory budget), NOT spark.sql.autoBroadcastJoinThreshold:
+#: the auto threshold (default 10 MB) governs when AQE volunteers a
+#: broadcast, while an explicit broadcast() hint is honored far beyond
+#: it — conflating the two would demote a 2M-node frontier (~100 MB,
+#: cheap to broadcast) to per-round edge re-shuffles, measured 247 s vs
+#: 141 s at 100x.
+_CEILING_DEFAULT = 2 << 30
+
+
+def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
     """Parse a Spark size conf ('10485760', '10m', '10MB', '-1') to bytes."""
     import re as _re
 
-    raw = str(spark.conf.get(key, default) or default).strip().lower()
+    raw = str(spark.conf.get(key, str(default)) or default).strip().lower()
     m = _re.match(r"^(-?\d+)\s*([kmgt]?)b?$", raw)
     if not m:
-        return int(default)
+        return default
     mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     return int(m.group(1)) * mult[m.group(2)]
 
@@ -100,13 +114,13 @@ def _pin_node_side(spark: SparkSession, df: DataFrame, n_nodes: int) -> DataFram
     iterative graph loop (frontier / visited / distance / survivor /
     share tables) instead of leaving it to per-round AQE estimates:
 
-    - under the session broadcast threshold (sized at a generous
-      ``_NODE_ROW_BYTES`` per row) → explicit ``broadcast()``: the edge
-      state never moves and keeps its dst-clustering, so per-round
-      aggregates stay exchange-free. Pinning matters even when AQE would
-      usually pick the same plan — measured at 100x, bfs_hops swung
-      141-295 s run-to-run as drifting frontier estimates flipped the
-      visited anti-join's strategy mid-loop.
+    - under the broadcast ceiling (``_CEILING_CONF`` bytes, sized at a
+      generous ``_NODE_ROW_BYTES`` per row) → explicit ``broadcast()``:
+      the edge state never moves and keeps its dst-clustering, so
+      per-round aggregates stay exchange-free. Pinning matters even when
+      AQE would usually pick the same plan — measured at 100x, bfs_hops
+      swung 141-295 s run-to-run as drifting frontier estimates flipped
+      the visited anti-join's strategy mid-loop.
     - above it (the node table outgrew the driver/executor broadcast
       budget — think billion-node graphs at 100 TB) → explicit
       ``SHUFFLE_HASH`` build on the node side: correct at any size, at
@@ -117,8 +131,8 @@ def _pin_node_side(spark: SparkSession, df: DataFrame, n_nodes: int) -> DataFram
     ``n_nodes`` is an UPPER BOUND (the dimension-table count) — cheap to
     obtain and stable across rounds, unlike per-round frontier sizes.
     """
-    thr = _bytes_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "10485760")
-    if thr > 0 and n_nodes * _NODE_ROW_BYTES <= thr:
+    ceiling = _bytes_conf(spark, _CEILING_CONF, _CEILING_DEFAULT)
+    if ceiling > 0 and n_nodes * _NODE_ROW_BYTES <= ceiling:
         return F.broadcast(df)
     return df.hint("shuffle_hash")
 

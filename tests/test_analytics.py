@@ -1095,18 +1095,18 @@ def test_edge_parts_rejects_shuffle_derived_frames(spark):
 
 
 def test_graph_loop_degrades_to_shuffle_hash_above_broadcast_ceiling(spark):
-    """_pin_node_side: when the node frame cannot broadcast
-    (autoBroadcastJoinThreshold forced to -1, the
-    node-table-outgrew-the-ceiling stand-in), every loop join must
-    degrade to an explicit SHUFFLE_HASH build — visible in the final
-    round's physical plan — and the result must be IDENTICAL to the
-    broadcast path."""
+    """_pin_node_side: when the node frame cannot broadcast (the ceiling
+    conf forced to 0, the node-table-outgrew-the-ceiling stand-in),
+    every loop join must degrade to an explicit SHUFFLE_HASH build —
+    visible in the final round's physical plan — and the result must be
+    IDENTICAL to the broadcast path."""
+    from bridgedownstream_spark.queries.advanced import _CEILING_CONF
+
     sf = "/root/testdata/sf0.001"
     base = sorted(
         tuple(r) for r in advanced.bfs_hops(spark, sf).collect()
     )
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(_CEILING_CONF, "0")
     try:
         df = advanced.bfs_hops(spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -1114,37 +1114,43 @@ def test_graph_loop_degrades_to_shuffle_hash_above_broadcast_ceiling(spark):
         assert "BroadcastHashJoin" not in plan
         got = sorted(tuple(r) for r in df.collect())
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset(_CEILING_CONF)
     assert got == base
 
 
 def test_pin_node_side_threshold_logic(spark):
-    """Broadcast under the sized threshold, shuffle-hash above it or when
-    auto-broadcast is disabled; size confs parse with unit suffixes."""
+    """Broadcast under the sized ceiling, shuffle-hash above it or when
+    broadcasting is disabled; size confs parse with unit suffixes. The
+    knob is the package's own ceiling conf, NOT
+    autoBroadcastJoinThreshold — explicit broadcast hints are honored
+    far beyond the 10 MB auto threshold, and demoting a ~100 MB frontier
+    to per-round edge re-shuffles measured 247 s vs 141 s at 100x."""
     from bridgedownstream_spark.queries.advanced import (
+        _CEILING_CONF,
         _NODE_ROW_BYTES,
         _bytes_conf,
         _pin_node_side,
     )
 
     df = spark.range(4).withColumnRenamed("id", "node")
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
-        assert (
-            _bytes_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "0")
-            == 10 << 20
-        )
+        spark.conf.set(_CEILING_CONF, "10m")
+        assert _bytes_conf(spark, _CEILING_CONF, 0) == 10 << 20
         small = _pin_node_side(spark, df, 1000)
+        # a 2M-node frontier (the 100x corpus) exceeds 10m but must
+        # broadcast under the DEFAULT ceiling
+        spark.conf.unset(_CEILING_CONF)
+        frontier_100x = _pin_node_side(spark, df, 2_000_000)
+        spark.conf.set(_CEILING_CONF, "10m")
         big = _pin_node_side(spark, df, (10 << 20) // _NODE_ROW_BYTES + 1)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(_CEILING_CONF, "0")
         disabled = _pin_node_side(spark, df, 1)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset(_CEILING_CONF)
     probe = spark.range(4).withColumnRenamed("id", "node")
-    assert "BroadcastHashJoin" in probe.join(
-        small, "node"
-    )._jdf.queryExecution().executedPlan().toString()
+    for bcast in (small, frontier_100x):
+        p = probe.join(bcast, "node")._jdf.queryExecution()
+        assert "BroadcastHashJoin" in p.executedPlan().toString()
     for fallback in (big, disabled):
         p = probe.join(fallback, "node")._jdf.queryExecution()
         assert "ShuffledHashJoin" in p.executedPlan().toString()

@@ -1158,6 +1158,27 @@ HEADLINERS = {
         "isolates healthy partitions; the oracle recomputes the full "
         "aggregate — pass proves refresh-by-diff ≡ recompute."
     ),
+    # ---- r7 additions ----
+    "multimodal_real_codec": (
+        "REAL vendored-codec row (r7): PPM payloads are synthesized by "
+        "native binary concat inside the scan stage, then three chained "
+        "Arrow-batched mapInPandas stages (decode, aHash, features) — "
+        "scan-shaped, ZERO exchanges; the codec is resolved once on the "
+        "driver, never per-task."
+    ),
+    "pipeline_compaction_equiv": (
+        "Compaction equivalence (r7): the compacted-lake read is a "
+        "partition-pruned parquet scan joined to the broadcast "
+        "partition-stats listing (binaryFile metadata only, no content "
+        "read) — the row-for-row compare costs one scan + one broadcast "
+        "join, no shuffle of the data rows."
+    ),
+    "upsert_merge_equiv": (
+        "Merge-into equivalence (r7): the query side is a plain "
+        "partitioned-lake scan — all merge work happened at write time "
+        "via broadcast key anti-joins + dynamic partition overwrite; "
+        "reading the merged state costs exactly a scan."
+    ),
 }
 
 

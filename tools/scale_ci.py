@@ -144,7 +144,7 @@ def main() -> int:
 
     replica = build(args.copies, tables)
 
-    mins: dict[str, dict[str, float]] = {"base": {}, "scaled": {}}
+    runs: dict[str, dict[str, list[float]]] = {"base": {}, "scaled": {}}
     for label, sf_dir, shuf in (
         ("base", BASE, None),
         ("scaled", replica, args.scaled_shuffle),
@@ -153,13 +153,12 @@ def main() -> int:
             print(f"[scale_ci] {label} run {i + 1}/{args.runs}", file=sys.stderr)
             got = bench_once(sf_dir, names, args.driver_mem, shuf)
             for q in names:
-                sec = got[q]
-                cur = mins[label].get(q)
-                mins[label][q] = sec if cur is None else min(cur, sec)
+                runs[label].setdefault(q, []).append(got[q])
 
     report, breached = {}, []
     for q in names:
-        b, s = mins["base"][q], mins["scaled"][q]
+        b, ss = min(runs["base"][q]), runs["scaled"][q]
+        s = min(ss)
         ratio = s / b if b > 0 else float("inf")
         budget = GATE[q][0]
         ok = ratio <= budget
@@ -171,6 +170,12 @@ def main() -> int:
             "ratio": round(ratio, 2),
             "budget": budget,
             "ok": ok,
+            # run-to-run stability of the scaled config (max/min over the
+            # N fresh JVMs): a pinned plan should sit near 1.0 — variance
+            # >1.3x flags a strategy decision still drifting (the r6
+            # bfs_hops visited-anti-join symptom). Informational: run 1
+            # of a cold replica pays the first gigabyte-scale read.
+            f"spread_{args.copies}x": round(max(ss) / s, 2) if s > 0 else None,
         }
     print(json.dumps({"copies": args.copies, "runs": args.runs,
                       "queries": report, "breached": breached}))
