@@ -137,6 +137,17 @@ def _pin_node_side(spark: SparkSession, df: DataFrame, n_nodes: int) -> DataFram
     return df.hint("shuffle_hash")
 
 
+def _graph_node_bound(spark: SparkSession, sf_dir: str, fact: DataFrame) -> int:
+    """Node-count upper bound for ``_pin_node_side``: the part DIMENSION
+    count (one metadata-cheap scan) when the corpus has one; hand-built
+    graph fixtures that carry only the fact table fall back to an exact
+    distinct-node count (node-sized, paid once per query)."""
+    try:
+        return tbl(spark, sf_dir, "part").count()
+    except Exception:  # noqa: BLE001 — fixture without a part table
+        return fact.select("l_partkey").distinct().count()
+
+
 # ---------------------------------------------------------------------------
 # Sessionization — gaps-and-islands over event time
 # ---------------------------------------------------------------------------
@@ -4222,7 +4233,7 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     core).
     """
     raw = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    n_nodes = tbl(spark, sf_dir, "part").count()  # _pin_node_side bound
+    n_nodes = _graph_node_bound(spark, sf_dir, raw)  # _pin_node_side bound
     # same part twice in one order must count ONE order
     li = raw.distinct().localCheckpoint(eager=False, storageLevel=_FACT_STATE)
     a, b = li.alias("a"), li.alias("b")

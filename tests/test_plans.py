@@ -443,20 +443,20 @@ def test_certifying_prefix_is_stable():
         "expected_error_suppression",
         # one representative per extension family the grader names
         "near_dup_keep_best", "ivfpq_residual_search",
-        "adaptive_skew_join", "curation_funnel", "conversion_latency",
-        # r6 rotation (VERDICT r5 #1): the full 14-query backlog promoted;
-        # every rotated-out r5-green query's component keeps a survivor —
+        "adaptive_skew_join", "curation_funnel", "merkle_snapshot_diff",
+        # r7 rotation (VERDICT r6 #1): the never-certified backlog promoted;
+        # every rotated-out r6-green query's component keeps a survivor —
         # mapping inline in queries/__init__.py
-        "debounce_events", "bfs_hops", "sssp_weighted",
-        "jaccard_prefix_join", "containment_prefix_join",
-        "kmv_set_cardinality", "hll_rollup_hierarchy",
-        "merkle_snapshot_diff", "stream_full_join_e2e",
-        "train_val_test_split", "dpp_pruned_join",
-        "bucketed_join_no_shuffle", "schema_evolution_read",
-        "multimodal_audio_features",
-        # TPC-H shape reps (survivors of the r5 session-3 promotion)
-        "q16_supplier_part_counts", "q12_priority_lines",
-        "q9_product_type_profit",
+        "kmeans_refine_centroids", "kcore_peeling", "domain_mix_kl",
+        "chi_square_independence", "array_hof_suite", "pareto_frontier",
+        "copurchase_lift", "event_pattern_match",
+        "stream_interval_join_e2e", "stream_sessionize_e2e",
+        "stream_enrich_e2e", "portable_cms_heavy_hitters",
+        "sssp_weighted", "containment_prefix_join",
+        "bucketed_join_no_shuffle", "multimodal_real_codec",
+        # TPC-H shape reps
+        "q16_supplier_part_counts", "q21_suppliers_kept_waiting",
+        "q6_forecast_revenue",
     }
     missing = must_have - set(_CERTIFYING)
     assert not missing, f"certifying window lost: {missing}"

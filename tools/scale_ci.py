@@ -176,6 +176,7 @@ def main() -> int:
             # bfs_hops visited-anti-join symptom). Informational: run 1
             # of a cold replica pays the first gigabyte-scale read.
             f"spread_{args.copies}x": round(max(ss) / s, 2) if s > 0 else None,
+            f"runs_{args.copies}x": [round(v, 1) for v in ss],
         }
     print(json.dumps({"copies": args.copies, "runs": args.runs,
                       "queries": report, "breached": breached}))
