@@ -49,13 +49,16 @@ GATE: dict[str, tuple[float, str]] = {
     "lm_perplexity": (25.0, "documents"),  # genuinely data-bound: linear
     "kmeans_refine_centroids": (6.0, "embeddings"),
     "pipeline_incremental_idempotent": (5.0, "lineitem,orders"),
-    # graph quartet: measured r6 (min-of-2, warm cache, dst-clustered
-    # edges, serialized checkpoints): pagerank 23x, sssp 17x, bfs ~33x,
+    # graph quartet: measured r6/r7 (min-of-N, warm cache, dst-clustered
+    # edges, serialized checkpoints, r7 strategy-pinned node joins):
+    # pagerank 23x, sssp 17x, bfs 25-33x (min-ratio across sessions),
     # kcore ~9x for 100x data — edge-bound iterative ops run at
     # saturation, so the honest floor is linear-in-|E| divided by the
-    # idle-core absorption the 1x baseline enjoys
+    # idle-core absorption the 1x baseline enjoys. bfs tightened 60->45
+    # after the r7 pin (VERDICT r6 #3): warm minima now reproduce within
+    # 1.4%, so a breach at this margin is structural.
     "pagerank_copurchase": (45.0, "lineitem,part"),
-    "bfs_hops": (60.0, "lineitem,part"),
+    "bfs_hops": (45.0, "lineitem,part"),
     "sssp_weighted": (35.0, "lineitem,part"),
     "kcore_peeling": (20.0, "lineitem,part"),
 }
