@@ -742,3 +742,30 @@ def test_copurchase_lift_is_takeordered_with_broadcast_dims(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_multimodal_real_codec_is_scan_shaped(spark):
+    # payload synthesis is native binary concat inside the scan stage;
+    # decode/aHash/features are three chained Arrow-batched MapInPandas
+    # stages; NOTHING shuffles
+    plan = plan_of(spark, "multimodal_real_codec")
+    assert plan.count("MapInPandas") == 3
+    assert "Exchange" not in plan
+
+
+def test_compaction_equiv_never_shuffles_data_rows(spark):
+    # the only hash exchange belongs to the file-count-scale stats
+    # listing aggregate; the data rows meet the stats via a broadcast
+    # join and are never repartitioned
+    import re as _re
+
+    plan = plan_of(spark, "pipeline_compaction_equiv")
+    hash_exchanges = _re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    # the listing groupBy key is the computed partition-dir expression,
+    # rendered as `_groupingexpression`; data columns never appear
+    assert all(
+        k.startswith(("partition", "_groupingexpression"))
+        for k in hash_exchanges
+    ), hash_exchanges
+    assert len(hash_exchanges) == 1
+    assert "BroadcastExchange" in plan
