@@ -54,7 +54,10 @@ from bridgedownstream_spark.queries import (
 #: conversion_latency, debounce_events, json_extract.
 #: Round-8 rotation backlog (never driver-certified after r7, rough
 #: priority order): pipeline_compaction_equiv + upsert_merge_equiv (lake
-#: maintenance — promote FIRST, r7-new), event_paths_topk,
+#: maintenance — promote FIRST, r7-new), semdedup_prune +
+#: bpe_vocab_induction + attribution_position (r7-session-2 additions:
+#: SemDeDup cluster-prune, the 5th iterative class, multi-touch credit),
+#: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +
 #: incremental_join_view, multimodal_decode/features/frame_sample/resize,

@@ -4937,3 +4937,97 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@q(
+    "attribution_position",
+    """
+    WITH touches AS (
+      SELECT user_id, ts, event_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    conv AS (
+      SELECT user_id, ts AS conv_ts, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT c.event_id, t.event_type AS channel,
+             row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY t.ts, t.event_type) AS rn,
+             count(*) OVER (PARTITION BY c.event_id) AS n
+      FROM conv c JOIN touches t
+        ON t.user_id = c.user_id
+       AND t.ts <= c.conv_ts
+       AND t.ts >= c.conv_ts - INTERVAL 7 DAY
+    ),
+    credited AS (
+      SELECT channel,
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN rn = 1 OR rn = n THEN 400000
+                  ELSE 200000 // (n - 2)
+                       + (CASE WHEN rn - 1 <= 200000 % (n - 2)
+                               THEN 1 ELSE 0 END)
+             END AS ppm
+      FROM pairs
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS touches,
+           CAST(sum(ppm) AS BIGINT) AS credit_ppm
+    FROM credited GROUP BY channel
+    """,
+)
+def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each purchase
+    splits credit 40% / 20% / 40% across its first, middle, and last
+    qualifying touches in the 7-day lookback — the multi-touch sibling of
+    attribution_last_touch (single-touch paths get 100%, two-touch 50/50).
+
+    Credit is integer parts-per-million, never a float: the middle pool
+    divides as 200000 div (n-2) with the remainder going to the earliest
+    middles one ppm each, so every conversion's credits sum to exactly
+    1,000,000 and the channel totals are engine-exact integers. Position
+    ties (same ts, same channel) permute credit only among rows of the
+    SAME channel, so the grouped sums are deterministic even though the
+    row_number itself is not total.
+
+    Spark shape: same user-key equi-join + residual lookback range as
+    last-touch (never a time cross join), then two windows per conversion
+    (position + path length) — one shuffle on user_id, one on event_id.
+    At 100 TB both sides cluster on user_id and a user's 7-day touch
+    block bounds every window partition."""
+    ev = tbl(spark, sf_dir, "events")
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts").alias("t_ts"), F.col("event_type").alias("channel")
+    )
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("conv_ts"), "event_id"
+    )
+    pairs = conv.join(touches, "user_id").where(
+        (F.col("t_ts") <= F.col("conv_ts"))
+        & (F.col("t_ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAY"))
+    )
+    wp = W.partitionBy("event_id")
+    pos = pairs.select(
+        "channel",
+        F.row_number().over(wp.orderBy("t_ts", "channel")).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    ppm = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(400000))
+        .otherwise(
+            F.expr("200000 div (n - 2)")
+            + F.when(F.col("rn") - 1 <= F.expr("200000 % (n - 2)"), 1).otherwise(0)
+        )
+    )
+    return (
+        pos.select("channel", ppm.alias("ppm"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("touches"),
+            F.sum("ppm").cast("bigint").alias("credit_ppm"),
+        )
+    )

@@ -812,3 +812,173 @@ def domain_mix_kl(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# -- BPE vocabulary induction -------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_duck(r: int) -> str:
+    """One unrolled BPE merge round for the DuckDB oracle.
+
+    DuckDB has no fold-with-state over lists, so the greedy left-to-right
+    non-overlapping merge is stated relationally: candidate positions
+    (pair match) group into runs of consecutive indices (gaps-and-islands)
+    and a merge fires at every EVEN offset within its run — exactly the
+    positions a left-to-right scanner consumes. The Spark side implements
+    the same spec as a row-local aggregate() fold; two different
+    algorithms, one answer (the near_dup_components pattern)."""
+    return f"""
+    s{r} AS (SELECT word, cnt, string_split(trim(repr), ' ') AS syms FROM w{r - 1}),
+    p{r} AS (
+        SELECT ls, rs, CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM (
+            SELECT syms[i.i] AS ls, syms[i.i + 1] AS rs, cnt
+            FROM s{r}, unnest(generate_series(1, len(syms) - 1)) AS i(i))
+        GROUP BY ls, rs),
+    win{r} AS (SELECT ls, rs, pair_cnt FROM p{r}
+               ORDER BY pair_cnt DESC, ls, rs LIMIT 1),
+    pos{r} AS (
+        SELECT word, cnt, i.i AS i, syms[i.i] AS sym,
+               lead(syms[i.i]) OVER (PARTITION BY word ORDER BY i.i) AS nxt
+        FROM s{r}, unnest(generate_series(1, len(syms))) AS i(i)),
+    cand{r} AS (
+        SELECT p.word, p.i FROM pos{r} p, win{r} w
+        WHERE p.sym = w.ls AND p.nxt = w.rs),
+    mrg{r} AS (
+        SELECT word, i FROM (
+            SELECT word, i, min(i) OVER (PARTITION BY word, g) AS i0
+            FROM (SELECT word, i,
+                         i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+                  FROM cand{r}))
+        WHERE (i - i0) % 2 = 0),
+    w{r} AS (
+        SELECT p.word, max(p.cnt) AS cnt,
+               ' ' || string_agg(
+                   CASE WHEN m.i IS NOT NULL THEN w.ls || w.rs ELSE p.sym END,
+                   ' ' ORDER BY p.i) || ' ' AS repr
+        FROM pos{r} p
+        CROSS JOIN win{r} w
+        LEFT JOIN mrg{r} m  ON m.word = p.word AND m.i = p.i
+        LEFT JOIN mrg{r} sk ON sk.word = p.word AND sk.i = p.i - 1
+        WHERE sk.i IS NULL
+        GROUP BY p.word)
+    """
+
+
+_BPE_DUCK = (
+    """
+    WITH w0 AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+               ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS repr
+        FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY word),
+    """
+    + ",".join(_bpe_round_duck(r) for r in range(1, _BPE_ROUNDS + 1))
+    + """
+    SELECT * FROM (
+        SELECT CAST(1 AS INT) AS merge_round, ls AS left_sym, rs AS right_sym,
+               ls || rs AS merged, pair_cnt FROM win1
+        UNION ALL
+        SELECT CAST(2 AS INT), ls, rs, ls || rs, pair_cnt FROM win2
+        UNION ALL
+        SELECT CAST(3 AS INT), ls, rs, ls || rs, pair_cnt FROM win3)
+    ORDER BY merge_round
+    """
+)
+
+#: adjacent symbol pairs of a word, row-local (no join): transform with the
+#: index lambda, CASE-without-ELSE nulls the last slot, filter drops it.
+_BPE_PAIRS_SPARK = (
+    "filter(transform(syms, (s, i) -> CASE WHEN i < size(syms) - 1 THEN "
+    "named_struct('ls', syms[i], 'rs', syms[i + 1]) END), x -> x IS NOT NULL)"
+)
+
+#: greedy left-to-right non-overlapping merge of (ls, rs) in one row-local
+#: fold: the accumulator carries the rebuilt symbol list plus a skip bit
+#: covering the element the previous merge consumed.
+_BPE_MERGE_SPARK = """
+    aggregate(
+      sequence(0, size(syms) - 1),
+      named_struct('out', CAST(array() AS ARRAY<STRING>), 'skip', false),
+      (acc, i) -> CASE
+          WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)
+          WHEN i < size(syms) - 1 AND syms[i] = ls AND syms[i + 1] = rs
+              THEN named_struct('out', array_append(acc.out, concat(ls, rs)),
+                                'skip', true)
+          ELSE named_struct('out', array_append(acc.out, syms[i]), 'skip', false)
+      END,
+      acc -> concat(' ', array_join(acc.out, ' '), ' '))
+"""
+
+
+@q("bpe_vocab_induction", _BPE_DUCK)
+def bpe_vocab_induction(spark, sf_dir):
+    """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016,
+    arXiv:1508.07909) — the tokenizer-training half that bpe_token_count's
+    segmenter presupposes: 3 merge rounds, each electing the corpus-wide
+    most frequent adjacent symbol pair (ties break lexicographically) and
+    merging its non-overlapping occurrences greedily left to right.
+    Output: (merge_round, left_sym, right_sym, merged, pair_count).
+
+    A FIFTH iterative mechanism class beside frontier-BFS,
+    relaxation-SSSP, fixed-point PageRank and peeling-k-core: the loop
+    state is the corpus VOCABULARY (distinct word × count × symbol
+    string), not the corpus — the only corpus-sized work is the initial
+    word count, which map-side combines on the word key. Each round is
+    (a) a row-local pair explode + one vocab-keyed partial aggregation,
+    (b) a 1-row winner elected by TakeOrdered — kept distributed as a
+    broadcast cross join, never collected — and (c) a row-local
+    aggregate() fold applying the merge; the round's vocab frame
+    localCheckpoints so iteration lineage stays O(1) (the kmeans/
+    components pattern). At 100 TB the vocab is ~10^7 rows against a
+    corpus of ~10^11 — rounds cost vocab-scan, not corpus-scan.
+
+    Counting uses the standard zip-adjacent convention (overlapping pairs
+    count each occurrence) while application merges non-overlapping
+    greedily — both engines implement the identical spec, DuckDB stating
+    the greedy scan relationally (see _bpe_round_duck) and Spark folding
+    it row-locally."""
+    docs = tbl(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn(
+            "repr", F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 "))
+        )
+        .localCheckpoint(eager=False)
+    )
+    rounds = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        with_syms = words.withColumn("syms", F.expr("split(trim(repr), ' ')"))
+        winner = (
+            with_syms.select("cnt", F.explode(F.expr(_BPE_PAIRS_SPARK)).alias("p"))
+            .select("cnt", "p.ls", "p.rs")
+            .groupBy("ls", "rs")
+            .agg(F.sum("cnt").cast("bigint").alias("pair_cnt"))
+            .orderBy(F.desc("pair_cnt"), "ls", "rs")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(
+            winner.select(
+                F.lit(r).cast("int").alias("merge_round"),
+                F.col("ls").alias("left_sym"),
+                F.col("rs").alias("right_sym"),
+                F.concat("ls", "rs").alias("merged"),
+                "pair_cnt",
+            )
+        )
+        if r < _BPE_ROUNDS:
+            words = (
+                with_syms.crossJoin(F.broadcast(winner.select("ls", "rs")))
+                .select("word", "cnt", F.expr(_BPE_MERGE_SPARK).alias("repr"))
+                .localCheckpoint(eager=True)
+            )
+    out = rounds[0]
+    for fr in rounds[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("merge_round")

@@ -2022,3 +2022,121 @@ def ivfpq_residual_search(spark, sf_dir):
         "approx_dist",
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+# -- SemDeDup: cluster-then-prune semantic dedup ------------------------------
+
+#: cosine threshold above which two same-cell members are semantic
+#: duplicates (tuned to the synthetic corpus like embedding_near_dup's 0.4;
+#: within-cell pairs are MORE similar than random, so the same floor prunes
+#: a visible fraction without collapsing whole cells).
+_SEMDEDUP_TAU = 0.4
+
+_SEMDEDUP_DUCK = _EMB_CTE_DUCK + f"""
+    , cent AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm FROM n
+               WHERE vec_id % 250 = 0 AND vec_id < {250 * _N_CELLS}),
+    assign AS (
+        SELECT vec_id, emb, nrm, cent_id, ccos FROM (
+            SELECT v.vec_id, v.emb, v.nrm, c.cent_id,
+                   round({_DOT_DUCK.format(a='v.emb', b='c.c_emb')} / (v.nrm * c.c_nrm), 6) AS ccos,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round({_DOT_DUCK.format(a='v.emb', b='c.c_emb')} / (v.nrm * c.c_nrm), 6) DESC,
+                                c.cent_id
+                   ) AS rc
+            FROM n v CROSS JOIN cent c
+        ) WHERE rc = 1
+    ),
+    ranked AS (
+        SELECT vec_id, emb, nrm, cent_id, ccos,
+               row_number() OVER (
+                   PARTITION BY cent_id ORDER BY ccos DESC, vec_id) AS rnk
+        FROM assign
+    ),
+    pruned AS (
+        SELECT DISTINCT b.vec_id
+        FROM ranked a JOIN ranked b
+          ON a.cent_id = b.cent_id AND a.rnk < b.rnk
+        WHERE round({_DOT_DUCK.format(a='a.emb', b='b.emb')} / (a.nrm * b.nrm), 4)
+              >= {_SEMDEDUP_TAU}
+    )
+    SELECT r.vec_id, r.cent_id AS cell, CAST(r.rnk AS INT) AS typicality_rank,
+           p.vec_id IS NULL AS kept
+    FROM ranked r LEFT JOIN pruned p ON r.vec_id = p.vec_id
+    """
+
+
+@q("semdedup_prune", _SEMDEDUP_DUCK)
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the corpus with a coarse quantizer, then WITHIN each cluster
+    prune every member that is >= tau cosine-similar to a more
+    cluster-typical member (typicality = cosine to the member's own
+    centroid; ties break on vec_id). Output is the per-vector dedup
+    decision: (vec_id, cell, typicality_rank, kept).
+
+    This composes the repo's existing primitives into the published
+    algorithm's shape: the centroid table broadcasts (Theta(cells)),
+    assignment is one corpus pass, and the pair scoring is an equi-join on
+    cell id — never all-pairs; pair volume is sum(cell_size^2), bounded by
+    keeping cells ~O(corpus/cells), the same throttle as the IVF index.
+    At 100 TB the cells come from the trained quantizer
+    (kmeans_refine_centroids) and each cell's pair block is independent —
+    embarrassingly parallel after one shuffle on cell id.
+
+    Oracle parity: distances round to 6 and pair cosines to 4 before any
+    comparison (the ann_* discipline), so the keep/prune bit is identical
+    across engines; Spark elects prune via a same-cell rank-ordered join +
+    left-anti marker, DuckDB states the rule directly as NOT EXISTS."""
+    from pyspark.sql import Window as W
+
+    e, cent = _ivf_cent(spark, sf_dir)
+    wa = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    assign = (
+        e.crossJoin(cent)
+        .withColumn("ccos", _ivf_ccos())
+        .withColumn("rc", F.row_number().over(wa))
+        .where(F.col("rc") == 1)
+        .select("vec_id", "emb", "nrm", F.col("cent_id").alias("cell"), "ccos")
+    )
+    wr = W.partitionBy("cell").orderBy(F.col("ccos").desc(), "vec_id")
+    # ranked feeds three consumers (both sides of the pair join + the
+    # kept-marker join); checkpoint so assignment + both windows run ONCE,
+    # not three times (same as copurchase_lift's order-pair base).
+    ranked = (
+        assign.withColumn("rnk", F.row_number().over(wr))
+        .select("vec_id", "emb", "nrm", "cell", "rnk")
+        .localCheckpoint(eager=False)
+    )
+    a = ranked.select(
+        F.col("cell"),
+        F.col("rnk").alias("a_rnk"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = ranked.select(
+        F.col("cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("rnk").alias("b_rnk"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = F.round(
+        F.expr(_DOT_SPARK.format(a="a_emb", b="b_emb"))
+        / (F.col("a_nrm") * F.col("b_nrm")),
+        4,
+    )
+    pruned = (
+        a.join(b, "cell")
+        .where(F.col("a_rnk") < F.col("b_rnk"))
+        .where(cos >= _SEMDEDUP_TAU)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("pruned", F.lit(True))
+    )
+    return ranked.join(pruned, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.col("rnk").cast("int").alias("typicality_rank"),
+        F.col("pruned").isNull().alias("kept"),
+    )

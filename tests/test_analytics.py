@@ -1154,3 +1154,40 @@ def test_pin_node_side_threshold_logic(spark):
     for fallback in (big, disabled):
         p = probe.join(fallback, "node")._jdf.queryExecution()
         assert "ShuffledHashJoin" in p.executedPlan().toString()
+
+
+def test_attribution_position_credits_sum_to_one_million(spark, tmp_path_factory):
+    """Position-based credit: 100% single-touch, 50/50 two-touch, 40/20/40
+    with the middle remainder going to the EARLIEST middles — every
+    conversion's ppm sums to exactly 1,000,000."""
+    path = str(tmp_path_factory.mktemp("attr_pos") / "lake")
+    d = lambda day, h=0: datetime(2024, 1, day, h)  # noqa: E731
+    rows = [
+        # u1: single view -> 1,000,000 to view
+        (1, d(2), 1, "view", 1.0, "{}"),
+        (2, d(3), 1, "purchase", 1.0, "{}"),
+        # u2: view then click -> 500,000 each
+        (3, d(2), 2, "view", 1.0, "{}"),
+        (4, d(3), 2, "click", 1.0, "{}"),
+        (5, d(4), 2, "purchase", 1.0, "{}"),
+        # u3: view,click,view,click,view -> n=5: first/last view 400k each;
+        # middles click,view,click share 200k as 66667,66667,66666
+        (6, d(1), 3, "view", 1.0, "{}"),
+        (7, d(2), 3, "click", 1.0, "{}"),
+        (8, d(3), 3, "view", 1.0, "{}"),
+        (9, d(4), 3, "click", 1.0, "{}"),
+        (10, d(5), 3, "view", 1.0, "{}"),
+        (11, d(6), 3, "purchase", 1.0, "{}"),
+        # u4: only touch 8 days out -> no attribution rows at all
+        (12, d(1), 4, "click", 1.0, "{}"),
+        (13, d(9, 1), 4, "purchase", 1.0, "{}"),
+    ]
+    _write_events(spark, path, rows)
+    out = {
+        r.channel: (r.touches, r.credit_ppm)
+        for r in advanced.attribution_position(spark, path).collect()
+    }
+    # view: 1000000 (u1) + 500000 (u2) + 400000+400000+66667 (u3) = 2366667
+    # click: 500000 (u2) + 66667+66666 (u3) = 633333
+    assert out == {"view": (5, 2366667), "click": (3, 633333)}
+    assert sum(v[1] for v in out.values()) == 3 * 1000000

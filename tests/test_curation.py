@@ -161,3 +161,29 @@ def test_domain_mix_kl_terms_and_absent_source(spark, tmp_path_factory):
     assert out["sB"].cur_toks == 20 and out["sB"].ref_toks == 20
     assert out["sA"].kl_term > 0      # over-represented vs reference
     assert out["sB"].kl_term < 0      # starved vs reference
+
+
+def test_bpe_merges_are_greedy_and_reuse_merged_symbols(spark, tmp_path_factory):
+    """The merge fold must be greedy left-to-right NON-overlapping
+    ('aaaa' -> [aa, aa]; 'aaa' -> [aa, a]) and later rounds must see
+    earlier rounds' merged symbols as single units (round 2 merges
+    (aa, aa) -> 'aaaa') — the corner the synthetic corpus (no doubled
+    letters) never exercises."""
+    path = str(tmp_path_factory.mktemp("bpe") / "lake")
+    rows = [(1, "aaaa aaaa aaaa aaa xyz xyz", "en", "src0", 26)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    out = [
+        (r.merge_round, r.left_sym, r.right_sym, r.merged, r.pair_cnt)
+        for r in curation.bpe_vocab_induction(spark, path).collect()
+    ]
+    # r1: (a,a) counts 3 per 'aaaa' (x3) + 2 per 'aaa' (x1) = 11
+    # r2: after greedy merge 'aaaa'->' aa aa ', 'aaa'->' aa a ':
+    #     (aa,aa)=3 beats (x,y)=(y,z)=2 and (aa,a)=1
+    # r3: (x,y)=2 ties (y,z)=2, lexicographic tiebreak elects (x,y)
+    assert out == [
+        (1, "a", "a", "aa", 11),
+        (2, "aa", "aa", "aaaa", 3),
+        (3, "x", "y", "xy", 2),
+    ]

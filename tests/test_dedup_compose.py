@@ -110,3 +110,41 @@ def test_prefix_filter_prunes_but_loses_no_pair(spark):
     # sanity: the brute-force candidate space is non-trivial, so the
     # exact-match above actually exercised pruning decisions
     assert n_brute > len(got)
+
+
+def test_semdedup_rank_one_always_kept_and_prunes_are_justified(spark):
+    """SemDeDup invariants on the real sf0.001 embeddings: (a) every
+    cell's most-typical member (rank 1) is kept — pruning is strictly
+    toward earlier ranks, so a cell can never empty itself; (b) at least
+    one prune fires (the corpus has same-label near-dups); (c) output
+    covers every vector exactly once."""
+    out = similarity.semdedup_prune(spark, "/root/testdata/sf0.001").collect()
+    n_emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).count()
+    assert len(out) == n_emb
+    assert len({r.vec_id for r in out}) == n_emb
+    assert all(r.kept for r in out if r.typicality_rank == 1)
+    assert any(not r.kept for r in out)
+
+
+def test_semdedup_plan_pairs_on_cell_never_all_pairs(spark):
+    """The pair stage must be an equi-join on cell id (hash join), never a
+    cartesian: the ONLY nested-loop allowed is the Theta(cells) centroid
+    assignment broadcast."""
+    from bridgedownstream_spark.queries import REGISTRY
+
+    df = REGISTRY["semdedup_prune"][0](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the pair stage keys on cell id — any equi strategy is fine, a
+    # nested-loop over vector pairs is not
+    assert (
+        "SortMergeJoin [cell" in plan
+        or "BroadcastHashJoin [cell" in plan
+        or "ShuffledHashJoin [cell" in plan
+    )
+    # zero nested-loops in the search plan: the Theta(cells) centroid
+    # assignment broadcast lives INSIDE the checkpointed ranked frame and
+    # runs once — if it reappears here, a consumer is recomputing it
+    assert plan.count("BroadcastNestedLoopJoin") == 0
