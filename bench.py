@@ -186,8 +186,14 @@ def main() -> int:
     }
     if failures:
         full["failures"] = failures
+    # BENCH_FULL.json is the committed full-registry artifact — a subset
+    # run must never clobber it (it did, twice, before this guard).
+    # Subset runs land in BENCH_LAST.json, which tools/scale_ci.py reads.
+    artifact = "BENCH_FULL.json" if len(per_query) + len(failures) == len(
+        REGISTRY
+    ) else "BENCH_LAST.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as fh:
+                           artifact), "w") as fh:
         json.dump(full, fh, indent=1)
 
     print(build_report_line(per_query, failures, sf))

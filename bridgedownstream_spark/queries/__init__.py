@@ -55,8 +55,10 @@ from bridgedownstream_spark.queries import (
 #: Round-8 rotation backlog (never driver-certified after r7, rough
 #: priority order): pipeline_compaction_equiv + upsert_merge_equiv (lake
 #: maintenance — promote FIRST, r7-new), semdedup_prune +
-#: bpe_vocab_induction + attribution_position (r7-session-2 additions:
-#: SemDeDup cluster-prune, the 5th iterative class, multi-touch credit),
+#: bpe_vocab_induction + bpe_learned_segmentation + attribution_position
+#: + ann_matryoshka_recall (r7-session-2 additions: SemDeDup
+#: cluster-prune, the 5th iterative class + its induce→segment round
+#: trip, multi-touch credit, truncated-dim funnel recall),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +

@@ -4699,6 +4699,14 @@ _PARETO_SQL_FAST = """
 """
 
 
+#: price-domain buckets per return flag: the strict-prefix min is a
+#: parallel prefix scan — each (flag, bucket) computes its local running
+#: min independently, then a flags×buckets summary supplies the min over
+#: all EARLIER buckets (every price there is strictly cheaper, since
+#: bucketing is monotone in price).
+_PARETO_BUCKETS = 64
+
+
 @q("pareto_frontier", _PARETO_SQL)
 def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline / Pareto frontier per return flag: the line items no
@@ -4706,19 +4714,25 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "best offers" — the operator behind price/latency trade-off
     reports). The oracle states the SEMANTICS as the quadratic NOT
     EXISTS dominance test; the Spark plan is the O(n log n) rewrite —
-    sort each group by price, then a row survives iff (a) it carries
-    its price group's minimum date and (b) that date is strictly below
-    the running minimum over all strictly-cheaper rows (cumulative min
-    + lag shifts the running min to EXCLUDE the current price group, so
-    equal-price peers can't shadow each other and exact (price, date)
-    duplicates all survive — the same tie algebra the oracle encodes).
+    a row survives iff (a) it carries its price group's minimum date
+    and (b) that date is strictly below the running minimum over all
+    strictly-cheaper price groups (equal-price peers can't shadow each
+    other, so exact (price, date) duplicates all survive — the same
+    tie algebra the oracle encodes).
 
-    Plan/scale: every window keys on l_returnflag, so ONE exchange
-    feeds the per-price-group min, the cumulative min, and the lag —
-    the quadratic self-join exists only DuckDB-side at oracle scale.
-    Frontier output is O(distinct prices on the hull), tiny by
-    construction."""
-    wp = W.partitionBy("l_returnflag", "l_extendedprice")
+    Plan/scale: the r5-r7a form keyed every window on l_returnflag —
+    3 distinct values, so THREE tasks sorted the whole table no matter
+    the cluster size. This form decomposes the prefix scan: (1) one
+    full-parallelism groupBy (flag, price) → per-group min date; (2)
+    bucket each flag's price DOMAIN into 64 monotone ranges, so the
+    strict-prefix running min splits into a per-(flag, bucket) local
+    window (flags×64-way parallel) plus a flags×64-row bucket summary
+    whose own prefix min supplies the cross-bucket term — the classic
+    parallel prefix-sum shape; (3) the surviving frontier groups (hull-
+    sized, tiny by construction) BROADCAST back onto the scan, so the
+    fact table itself never shuffles at all. At 100× the old plan's
+    per-task sort grows 100×; here it grows 100×/64 and the bucket
+    count scales with the cluster."""
     li = tbl(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_orderkey",
@@ -4726,38 +4740,63 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         "l_shipdate",
     )
-    # per-price-group min date, and the group's DISTINCT-price rank (the
-    # strict-prefix min must exclude the current price group, so it is
-    # keyed on rank-1 rather than a RANGE frame over raw rows)
-    t = li.select(
-        "*",
-        F.min("l_shipdate").over(wp).alias("grp_min"),
-        F.dense_rank()
-        .over(W.partitionBy("l_returnflag").orderBy("l_extendedprice"))
-        .alias("price_rank"),
+    # (1) collapse to distinct price groups first — full shuffle
+    # parallelism, map-side partial min
+    g = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.min("l_shipdate").alias("gmin")
     )
-    prev = (
-        t.groupBy("l_returnflag", "price_rank")
-        .agg(F.min("grp_min").alias("gmin"))
-        .withColumn(
-            "prev_min",
-            F.min("gmin").over(
-                W.partitionBy("l_returnflag")
-                .orderBy("price_rank")
-                .rowsBetween(W.unboundedPreceding, -1)
-            ),
-        )
-        .select("l_returnflag", "price_rank", "prev_min")
+    rng = g.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("pmin"),
+        F.max("l_extendedprice").alias("pmax"),
     )
-    return (
-        t.join(prev, ["l_returnflag", "price_rank"])
-        .where(
-            (F.col("l_shipdate") == F.col("grp_min"))
-            & (
-                F.col("prev_min").isNull()
-                | (F.col("l_shipdate") < F.col("prev_min"))
+    # (2) monotone domain bucketing: earlier bucket => strictly cheaper
+    bkt = (
+        F.when(F.col("pmax") == F.col("pmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("l_extendedprice") - F.col("pmin"))
+                    * _PARETO_BUCKETS
+                    / (F.col("pmax") - F.col("pmin"))
+                ),
+                F.lit(_PARETO_BUCKETS - 1),
             )
         )
+        .cast("int")
+    )
+    # two consumers (local window + bucket summary): checkpoint so the
+    # (flag, price) groupBy shuffle runs once
+    gb = (
+        g.join(F.broadcast(rng), "l_returnflag")
+        .select("l_returnflag", "l_extendedprice", "gmin", bkt.alias("bkt"))
+        .localCheckpoint(eager=False)
+    )
+    wl = (
+        W.partitionBy("l_returnflag", "bkt")
+        .orderBy("l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    loc = gb.withColumn("local_prev", F.min("gmin").over(wl))
+    bs = gb.groupBy("l_returnflag", "bkt").agg(F.min("gmin").alias("bmin"))
+    wb = (
+        W.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ext = bs.select(
+        "l_returnflag", "bkt", F.min("bmin").over(wb).alias("ext_prev")
+    )
+    # least() skips nulls (first bucket / first row in bucket)
+    winners = (
+        loc.join(F.broadcast(ext), ["l_returnflag", "bkt"])
+        .withColumn("prev_min", F.least("local_prev", "ext_prev"))
+        .where(F.col("prev_min").isNull() | (F.col("gmin") < F.col("prev_min")))
+        .select("l_returnflag", "l_extendedprice", "gmin")
+    )
+    # (3) hull-sized winner set broadcasts; the fact scan never shuffles
+    return (
+        li.join(F.broadcast(winners), ["l_returnflag", "l_extendedprice"])
+        .where(F.col("l_shipdate") == F.col("gmin"))
         .select(
             "l_returnflag",
             "l_orderkey",

@@ -866,7 +866,11 @@ def _bpe_round_duck(r: int) -> str:
     """
 
 
-_BPE_DUCK = (
+#: shared CTE chain: initial character-split vocabulary w0 through the
+#: merge-applied vocabularies w1..w3 (each round's winner in win1..win3) —
+#: bpe_vocab_induction reads the winners, bpe_learned_segmentation reads
+#: the final vocabulary.
+_BPE_DUCK_CTES = (
     """
     WITH w0 AS (
         SELECT word, CAST(count(*) AS BIGINT) AS cnt,
@@ -876,6 +880,10 @@ _BPE_DUCK = (
         WHERE word <> '' GROUP BY word),
     """
     + ",".join(_bpe_round_duck(r) for r in range(1, _BPE_ROUNDS + 1))
+)
+
+_BPE_DUCK = (
+    _BPE_DUCK_CTES
     + """
     SELECT * FROM (
         SELECT CAST(1 AS INT) AS merge_round, ls AS left_sym, rs AS right_sym,
@@ -913,33 +921,11 @@ _BPE_MERGE_SPARK = """
 """
 
 
-@q("bpe_vocab_induction", _BPE_DUCK)
-def bpe_vocab_induction(spark, sf_dir):
-    """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016,
-    arXiv:1508.07909) — the tokenizer-training half that bpe_token_count's
-    segmenter presupposes: 3 merge rounds, each electing the corpus-wide
-    most frequent adjacent symbol pair (ties break lexicographically) and
-    merging its non-overlapping occurrences greedily left to right.
-    Output: (merge_round, left_sym, right_sym, merged, pair_count).
-
-    A FIFTH iterative mechanism class beside frontier-BFS,
-    relaxation-SSSP, fixed-point PageRank and peeling-k-core: the loop
-    state is the corpus VOCABULARY (distinct word × count × symbol
-    string), not the corpus — the only corpus-sized work is the initial
-    word count, which map-side combines on the word key. Each round is
-    (a) a row-local pair explode + one vocab-keyed partial aggregation,
-    (b) a 1-row winner elected by TakeOrdered — kept distributed as a
-    broadcast cross join, never collected — and (c) a row-local
-    aggregate() fold applying the merge; the round's vocab frame
-    localCheckpoints so iteration lineage stays O(1) (the kmeans/
-    components pattern). At 100 TB the vocab is ~10^7 rows against a
-    corpus of ~10^11 — rounds cost vocab-scan, not corpus-scan.
-
-    Counting uses the standard zip-adjacent convention (overlapping pairs
-    count each occurrence) while application merges non-overlapping
-    greedily — both engines implement the identical spec, DuckDB stating
-    the greedy scan relationally (see _bpe_round_duck) and Spark folding
-    it row-locally."""
+def _bpe_train(spark, sf_dir):
+    """Shared BPE trainer: returns (final vocabulary frame after ALL
+    merge rounds applied, list of per-round 1-row winner frames). The
+    loop state is vocab-sized; see bpe_vocab_induction for the scale
+    argument."""
     docs = tbl(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
@@ -972,13 +958,86 @@ def bpe_vocab_induction(spark, sf_dir):
                 "pair_cnt",
             )
         )
-        if r < _BPE_ROUNDS:
-            words = (
-                with_syms.crossJoin(F.broadcast(winner.select("ls", "rs")))
-                .select("word", "cnt", F.expr(_BPE_MERGE_SPARK).alias("repr"))
-                .localCheckpoint(eager=True)
-            )
+        words = (
+            with_syms.crossJoin(F.broadcast(winner.select("ls", "rs")))
+            .select("word", "cnt", F.expr(_BPE_MERGE_SPARK).alias("repr"))
+            .localCheckpoint(eager=True)
+        )
+    return words, rounds
+
+
+@q("bpe_vocab_induction", _BPE_DUCK)
+def bpe_vocab_induction(spark, sf_dir):
+    """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016,
+    arXiv:1508.07909) — the tokenizer-training half that bpe_token_count's
+    segmenter presupposes: 3 merge rounds, each electing the corpus-wide
+    most frequent adjacent symbol pair (ties break lexicographically) and
+    merging its non-overlapping occurrences greedily left to right.
+    Output: (merge_round, left_sym, right_sym, merged, pair_count).
+
+    A FIFTH iterative mechanism class beside frontier-BFS,
+    relaxation-SSSP, fixed-point PageRank and peeling-k-core: the loop
+    state is the corpus VOCABULARY (distinct word × count × symbol
+    string), not the corpus — the only corpus-sized work is the initial
+    word count, which map-side combines on the word key. Each round is
+    (a) a row-local pair explode + one vocab-keyed partial aggregation,
+    (b) a 1-row winner elected by TakeOrdered — kept distributed as a
+    broadcast cross join, never collected — and (c) a row-local
+    aggregate() fold applying the merge; the round's vocab frame
+    localCheckpoints so iteration lineage stays O(1) (the kmeans/
+    components pattern). At 100 TB the vocab is ~10^7 rows against a
+    corpus of ~10^11 — rounds cost vocab-scan, not corpus-scan.
+
+    Counting uses the standard zip-adjacent convention (overlapping pairs
+    count each occurrence) while application merges non-overlapping
+    greedily — both engines implement the identical spec, DuckDB stating
+    the greedy scan relationally (see _bpe_round_duck) and Spark folding
+    it row-locally."""
+    _, rounds = _bpe_train(spark, sf_dir)
     out = rounds[0]
     for fr in rounds[1:]:
         out = out.unionByName(fr)
     return out.orderBy("merge_round")
+
+
+@q(
+    "bpe_learned_segmentation",
+    _BPE_DUCK_CTES + f"""
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * length(word)) AS BIGINT) AS char_tokens,
+           CAST(sum(cnt * len(string_split(trim(repr), ' '))) AS BIGINT)
+               AS bpe_tokens,
+           CAST(sum(cnt * len(string_split(trim(repr), ' '))) * 1000000
+                // sum(cnt * length(word)) AS BIGINT) AS compression_ppm
+    FROM w{_BPE_ROUNDS}
+    """,
+)
+def bpe_learned_segmentation(spark, sf_dir):
+    """Close the tokenizer loop: apply the vocabulary bpe_vocab_induction
+    just learned back to the corpus and certify the achieved compression —
+    total corpus tokens under the merged vocabulary vs the character
+    baseline (exact integer ppm). This is the induce→segment round trip a
+    tokenizer-training pipeline runs end to end; a bug in EITHER half
+    (wrong winner, wrong greedy application) shifts the token totals and
+    fails the hash.
+
+    Same scale shape as the trainer: segmentation statistics come from
+    the vocab-sized frame (token count per distinct word × corpus count),
+    so the corpus is scanned once and everything downstream is
+    vocab-sized."""
+    words, _ = _bpe_train(spark, sf_dir)
+    toks = F.col("cnt") * F.size(F.expr("split(trim(repr), ' ')"))
+    chars = F.col("cnt") * F.length("word")
+    return words.agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(chars).cast("bigint").alias("char_tokens"),
+        F.sum(toks).cast("bigint").alias("bpe_tokens"),
+        (F.sum(toks) * 1000000)
+        .cast("bigint")
+        .alias("_t"),
+    ).select(
+        "n_words",
+        "char_tokens",
+        "bpe_tokens",
+        F.expr("_t div char_tokens").cast("bigint").alias("compression_ppm"),
+    )

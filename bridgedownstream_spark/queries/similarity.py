@@ -2140,3 +2140,152 @@ def semdedup_prune(spark, sf_dir):
         F.col("rnk").cast("int").alias("typicality_rank"),
         F.col("pruned").isNull().alias("kept"),
     )
+
+
+# -- Matryoshka truncated-dimension retrieval ---------------------------------
+
+_MRL_DIMS = 32     # prefix dimensions used for the coarse ranking
+_MRL_SHORTLIST = 10  # coarse candidates re-ranked with full vectors
+
+_MRL_DUCK = _EMB_CTE_DUCK + f"""
+    , t AS (SELECT vec_id, emb, nrm,
+                   list_slice(emb, 1, {_MRL_DIMS}) AS temb,
+                   sqrt(list_sum(list_transform(list_slice(emb, 1, {_MRL_DIMS}),
+                                                x -> x * x))) AS tnrm
+            FROM n),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DOT_DUCK.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 4) DESC,
+                                c.vec_id
+                   ) AS rnk
+            FROM n q JOIN n c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+        ) WHERE rnk <= {_TOP_K}
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id, full_cos FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round({_DOT_DUCK.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 4) AS full_cos,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DOT_DUCK.format(a='q.temb', b='c.temb')} / (q.tnrm * c.tnrm), 4) DESC,
+                                c.vec_id
+                   ) AS crnk
+            FROM t q JOIN t c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+        ) WHERE crnk <= {_MRL_SHORTLIST}
+    ),
+    rerank AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY full_cos DESC, neighbor_id) AS rnk
+            FROM shortlist
+        ) WHERE rnk <= {_TOP_K}
+    )
+    SELECT bf.query_id,
+           CAST(count(rr.neighbor_id) AS INT) AS n_hits,
+           round(count(rr.neighbor_id) / {_TOP_K}.0, 3) AS recall
+    FROM brute bf LEFT JOIN rerank rr
+      ON bf.query_id = rr.query_id AND bf.neighbor_id = rr.neighbor_id
+    GROUP BY bf.query_id
+    """
+
+
+@q("ann_matryoshka_recall", _MRL_DUCK)
+def ann_matryoshka_recall(spark, sf_dir):
+    """Matryoshka adaptive retrieval (Kusupati et al. 2022,
+    arXiv:2205.13147) evaluated as recall@k: rank the corpus with only
+    the first 32 of 64 dimensions (half the flops and half the bytes a
+    prefix-column layout would read), keep a 10-deep shortlist, re-rank
+    the SHORTLIST with full vectors, and score the top-3 against the
+    full-dimension brute-force truth — the funnel every
+    truncation-tolerant embedding deployment runs.
+
+    Spark shape: the query side (5 vectors, both full and truncated)
+    broadcasts; the coarse pass is one corpus scan of prefix dots; the
+    full-precision re-rank touches only queries × shortlist rows; truth
+    and funnel results are queries × k — the final recall join is
+    broadcast. At 100 TB the prefix columns come from a separate parquet
+    column (or the leading PQ subspaces), so the coarse scan reads half
+    the bytes — here both live in one array column, which only
+    understates the saving. Recall is whatever the corpus's truncation
+    tolerance earns — these synthetic vectors are not MRL-trained, and
+    the METRIC is what the oracle certifies, hash-exact either way."""
+    from pyspark.sql import Window as W
+
+    e = _emb_norms(spark, sf_dir).withColumn(
+        "temb", F.expr(f"slice(emb, 1, {_MRL_DIMS})")
+    ).withColumn(
+        "tnrm",
+        F.expr("sqrt(aggregate(temb, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"),
+    )
+    qs = F.broadcast(
+        e.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("temb").alias("q_temb"),
+            F.col("tnrm").alias("q_tnrm"),
+        )
+    )
+    pairs = qs.crossJoin(e).where(F.col("vec_id") != F.col("query_id"))
+    tcos = F.round(
+        F.expr(_DOT_SPARK.format(a="q_temb", b="temb"))
+        / (F.col("q_tnrm") * F.col("tnrm")),
+        4,
+    )
+    # coarse pass: prefix dots only; nothing but (ids, tcos) scalars
+    # crosses the ranking shuffle — full vectors are NOT evaluated here
+    wc = W.partitionBy("query_id").orderBy(F.col("tcos").desc(), "neighbor_id")
+    shortlist = (
+        pairs.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), tcos.alias("tcos")
+        )
+        .withColumn("crnk", F.row_number().over(wc))
+        .where(F.col("crnk") <= _MRL_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # full-precision re-rank: fetch vectors for the queries × shortlist
+    # rows ONLY (the funnel's whole point) — the shortlist broadcasts
+    # into the corpus scan, then the query side broadcasts again
+    fcos = F.round(
+        F.expr(_DOT_SPARK.format(a="q_emb", b="emb"))
+        / (F.col("q_nrm") * F.col("nrm")),
+        4,
+    )
+    cand = F.broadcast(shortlist).join(
+        e.select(F.col("vec_id").alias("neighbor_id"), "emb", "nrm"),
+        "neighbor_id",
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("full_cos").desc(), "neighbor_id")
+    rerank = (
+        cand.join(
+            qs.select("query_id", "q_emb", "q_nrm"), "query_id"
+        )
+        .select("query_id", "neighbor_id", fcos.alias("full_cos"))
+        .withColumn("rnk", F.row_number().over(wf))
+        .where(F.col("rnk") <= _TOP_K)
+        .select(
+            F.col("query_id").alias("a_query_id"),
+            F.col("neighbor_id").alias("a_neighbor_id"),
+        )
+    )
+    truth = QUERIES["ann_topk_cosine"][0](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        truth.join(
+            F.broadcast(rerank),
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_neighbor_id").cast("int").alias("n_hits"),
+            F.round(F.count("a_neighbor_id") / _TOP_K, 3).alias("recall"),
+        )
+    )

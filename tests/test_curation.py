@@ -187,3 +187,18 @@ def test_bpe_merges_are_greedy_and_reuse_merged_symbols(spark, tmp_path_factory)
         (2, "aa", "aa", "aaaa", 3),
         (3, "x", "y", "xy", 2),
     ]
+
+
+def test_bpe_segmentation_round_trip_compression(spark, tmp_path_factory):
+    """Induce on the overlap corpus, segment with the learned vocab:
+    'aaaa'x3 -> 1 token each, 'aaa' -> [aa, a], 'xyz'x2 -> [xy, z];
+    compression is exact integer ppm."""
+    path = str(tmp_path_factory.mktemp("bpe_seg") / "lake")
+    rows = [(1, "aaaa aaaa aaaa aaa xyz xyz", "en", "src0", 26)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    r = curation.bpe_learned_segmentation(spark, path).collect()[0]
+    # chars: 3*4 + 1*3 + 2*3 = 21; tokens: 3*1 + 1*2 + 2*2 = 9
+    assert (r.n_words, r.char_tokens, r.bpe_tokens) == (6, 21, 9)
+    assert r.compression_ppm == 9 * 1000000 // 21

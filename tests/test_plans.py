@@ -769,3 +769,17 @@ def test_compaction_equiv_never_shuffles_data_rows(spark):
     ), hash_exchanges
     assert len(hash_exchanges) == 1
     assert "BroadcastExchange" in plan
+
+
+def test_matryoshka_funnel_fetches_vectors_only_for_shortlist(spark):
+    """The coarse ranking shuffle must carry scalars only: no exchange in
+    the plan may partition on a column produced with the full embedding
+    arrays attached, and the re-rank side reaches the corpus through a
+    broadcast join (shortlist ids), never a second corpus-wide ranking."""
+    plan = plan_of(spark, "ann_matryoshka_recall")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the Theta(queries) broadcasts
+    # (query side onto the corpus scan); the shortlist and truth joins
+    # must be broadcast HASH joins
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -658,9 +658,14 @@ HEADLINERS = {
         "per-source rank window; all pair math on sources²×k rows."
     ),
     "pareto_frontier": (
-        "Skyline (r5): every window keys on l_returnflag — ONE exchange "
-        "feeds group-min, distinct-price rank, and the strict-prefix "
-        "min; the quadratic dominance self-join exists only as the "
+        "Skyline (rewritten r7): one full-parallelism groupBy "
+        "(flag, price), then the strict-prefix min decomposes as a "
+        "parallel prefix scan — per-(flag, bucket) local window (flags"
+        "×64-way) + a flags×64-row bucket-summary prefix — and the "
+        "hull-sized winner set BROADCASTS back onto the scan, so the "
+        "fact table never shuffles. The r5 form keyed every window on "
+        "l_returnflag alone: 3 tasks sorted everything at any cluster "
+        "size. The quadratic dominance self-join exists only as the "
         "oracle."
     ),
     "groupingsets_revenue": (
@@ -1178,6 +1183,45 @@ HEADLINERS = {
         "partitioned-lake scan — all merge work happened at write time "
         "via broadcast key anti-joins + dynamic partition overwrite; "
         "reading the merged state costs exactly a scan."
+    ),
+    "semdedup_prune": (
+        "SemDeDup (r7): Theta(cells) centroid table broadcasts into a "
+        "one-pass assignment; the pair stage is an equi-join keyed on "
+        "cell id (sum of cell_size² pairs, NEVER corpus²); the ranked "
+        "frame localCheckpoints so assignment + both windows run once "
+        "for its three consumers."
+    ),
+    "bpe_vocab_induction": (
+        "BPE induction (r7): the ONLY corpus-sized work is the initial "
+        "word count (map-side combine on the word key); every round "
+        "operates on the vocab-sized frame — row-local pair explode, "
+        "one pair-keyed aggregation, a 1-row winner kept distributed "
+        "as a broadcast cross join (never collected), and a row-local "
+        "aggregate() merge fold; per-round localCheckpoint keeps "
+        "iteration lineage O(1)."
+    ),
+    "bpe_learned_segmentation": (
+        "BPE round trip (r7): identical plan family to the trainer — "
+        "corpus scanned once into the vocab-sized word-count frame, all "
+        "three merge rounds run vocab-sized, and the compression "
+        "statistics are one aggregate over the final vocabulary (exact "
+        "integer ppm)."
+    ),
+    "attribution_position": (
+        "Position-based attribution (r7): touch⋈conversion is an "
+        "equi-join on user_id with the 7-day lookback as a residual "
+        "range predicate (never a time cross join); both per-conversion "
+        "windows (position, path length) share one event_id exchange; "
+        "credit is exact integer ppm so the aggregate is a plain "
+        "bigint sum."
+    ),
+    "ann_matryoshka_recall": (
+        "Matryoshka funnel (r7): the coarse pass ranks with PREFIX dots "
+        "and ships scalars only through the ranking shuffle; full "
+        "vectors are fetched for the queries×shortlist rows via "
+        "broadcast hash joins (plan-pinned: zero SortMergeJoin); truth "
+        "and funnel results are queries×k, so the recall join is "
+        "broadcast too."
     ),
 }
 

@@ -61,6 +61,15 @@ GATE: dict[str, tuple[float, str]] = {
     "bfs_hops": (45.0, "lineitem,part"),
     "sssp_weighted": (35.0, "lineitem,part"),
     "kcore_peeling": (20.0, "lineitem,part"),
+    # r7 session 2: bucketed parallel-prefix skyline — measured 25.6 s
+    # warm steady-state at 100x vs 1.7 s warm 1x (15x warm-to-warm;
+    # ~7x vs the fresh-JVM 1x bench min). The groupBy(flag, price)
+    # shuffle is the linear floor; budget leaves IO-cache headroom.
+    "pareto_frontier": (16.0, "lineitem"),
+    # BPE trainer: loop state is the VOCABULARY, not the corpus —
+    # measured 4.1 s warm at 100x docs vs ~2.1 s at 1x (2.0x for 100x
+    # data; the corpus appears only in the initial word count).
+    "bpe_vocab_induction": (5.0, "documents"),
 }
 
 
@@ -75,10 +84,12 @@ def bench_once(
     )
     if shuffle:  # scaled config: shuffle width sized to data, not cores
         env["SPARK_GRAFT_SHUFFLE"] = shuffle
-    # a stale BENCH_FULL.json from a previous run would mask a crashed
+    # a stale BENCH_LAST.json from a previous run would mask a crashed
     # subprocess as a green result — remove it up front so the only file
-    # read back is the one THIS invocation wrote
-    full = os.path.join(REPO, "BENCH_FULL.json")
+    # read back is the one THIS invocation wrote (bench.py writes subset
+    # runs there; BENCH_FULL.json is reserved for full-registry runs and
+    # stays a committed artifact)
+    full = os.path.join(REPO, "BENCH_LAST.json")
     if os.path.exists(full):
         os.remove(full)
     out = subprocess.run(
@@ -104,7 +115,7 @@ def bench_once(
         missing = [q for q in queries if q not in fullrep.get("queries", {})]
         if missing:
             raise RuntimeError(
-                f"BENCH_FULL.json missing gated queries {missing} — "
+                f"BENCH_LAST.json missing gated queries {missing} — "
                 "partial run, not a valid sample"
             )
         return fullrep["queries"]
