@@ -52,13 +52,19 @@ from bridgedownstream_spark.queries import (
 #: schema_evolution_read, stream_full_join_e2e,
 #: multimodal_audio_features, q9_product_type_profit, q12_priority_lines,
 #: conversion_latency, debounce_events, json_extract.
+#: Round-7 SESSION-2 mid-round promotion: pipeline_compaction_equiv +
+#: upsert_merge_equiv (lake maintenance — the only family with zero
+#: driver rows gets its certification THIS round) + bpe_vocab_induction
+#: (5th iterative class) + semdedup_prune entered the window; rotated out
+#: (ALL r6-driver-green, family history noted inline):
+#: merkle_snapshot_diff, containment_prefix_join, curation_funnel,
+#: near_dup_keep_best. Window re-verified 50/50 bit-exact at sf0.01
+#: after the swap.
 #: Round-8 rotation backlog (never driver-certified after r7, rough
-#: priority order): pipeline_compaction_equiv + upsert_merge_equiv (lake
-#: maintenance — promote FIRST, r7-new), semdedup_prune +
-#: bpe_vocab_induction + bpe_learned_segmentation + attribution_position
-#: + ann_matryoshka_recall (r7-session-2 additions: SemDeDup
-#: cluster-prune, the 5th iterative class + its induce→segment round
-#: trip, multi-touch credit, truncated-dim funnel recall),
+#: priority order): bpe_learned_segmentation + attribution_position
+#: + ann_matryoshka_recall + bootstrap_ci_revenue (r7-session-2
+#: additions: induce→segment round trip, multi-touch credit,
+#: truncated-dim funnel recall, Poisson-bootstrap CI),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +
@@ -183,12 +189,19 @@ _CERTIFYING: tuple[str, ...] = (
                                 # window rewrite vs quadratic NOT-EXISTS
                                 # oracle
     "copurchase_lift",          # A-priori level-2 market-basket lift
-    "merkle_snapshot_diff",     # hash-tree CDC diff — O(changed) compare
-                                # (snapshot_diff r5-green, rotated out)
-    # curation / text (train_val_test_split r6-green, rotated out; split
-    # machinery shares the md5-ppb gate certified via curation_funnel +
+    # lake maintenance (r7 session 2 mid-round promotion: the ONLY family
+    # with zero driver rows gets its certification THIS round;
+    # merkle_snapshot_diff r6-green rotated out — CDC-diff keeps that row
+    # + snapshot_diff r5-green as history)
+    "pipeline_compaction_equiv",  # compacted lake ≡ source row-for-row,
+                                  # rows carry post-compaction file counts
+    "upsert_merge_equiv",       # merge-wave sequence ≡ last-writer-wins
+                                # recompute stated in SQL
+    # curation / text (train_val_test_split + curation_funnel r6-green,
+    # rotated out; split machinery shares the md5-ppb gate certified via
     # domain_mix_kl)
-    "curation_funnel",          # multi-stage filter funnel w/ attrition
+    "bpe_vocab_induction",      # BPE merge rounds — 5th iterative class,
+                                # vocab-sized loop state (r7s2, NEW)
     "domain_mix_kl",            # per-domain KL(p||q) mix-drift terms,
                                 # exact-integer inputs
     # iterative graph (pagerank r5-green + bfs_hops r6-green rotated out)
@@ -199,9 +212,11 @@ _CERTIFYING: tuple[str, ...] = (
     # r6-green, rotated out; sketch-merge algebra stays via CMS)
     "portable_cms_heavy_hitters",  # count-min heavy hitters, exact-integer
                                    # counters, <=768-row shuffle
-    # exact set-similarity (jaccard_prefix_join r6-green, rotated out;
-    # PPJoin prefix machinery stays via the directed variant)
-    "containment_prefix_join",  # directed containment, B-side posting lists
+    # exact set-similarity: jaccard + containment BOTH r6-green, so the
+    # PPJoin family rests on those rows; the slot goes to the embedding
+    # side of dedup
+    "semdedup_prune",           # SemDeDup cluster-then-prune semantic
+                                # dedup, cell-blocked pairs (r7s2, NEW)
     # multimodal family (multimodal_audio_features r6-green, rotated out;
     # debounce_events r6-green, rotated out — the Arrow-batched imperative
     # path stays certified via this real-codec mapInPandas chain + the
@@ -209,8 +224,8 @@ _CERTIFYING: tuple[str, ...] = (
     "multimodal_real_codec",    # REAL vendored-codec decode/aHash/features
                                 # with a from-bytes SQL oracle (r7, NEW)
     # LLM-pipeline extension families, one representative each
-    "near_dup_keep_best",       # clustering family (components + election,
-                                # consumes the LSH candidate pipeline)
+    # (near_dup_keep_best r6-green, rotated out — LSH clustering rests on
+    # that row; the embedding-dedup rep is semdedup_prune above)
     "ivfpq_residual_search",    # ANN family — the IVF-PQ residual
                                 # composition subsumes the coarse-quantizer
                                 # AND the ADC path (pq_adc_search r5-green,

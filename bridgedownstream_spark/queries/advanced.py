@@ -5070,3 +5070,149 @@ def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ppm").cast("bigint").alias("credit_ppm"),
         )
     )
+
+
+# -- Poisson-bootstrap confidence intervals -----------------------------------
+
+_BOOT_B = 32  # resamples
+
+#: Poisson(1) CDF thresholds scaled to 2^60 — EXACT integer literals,
+#: precomputed once (math.exp on the driver) and baked identically into
+#: both engines, so the per-row draw w = #{k : u >= t_k} involves no
+#: float at query time. P(X > 7) ~ 1e-5 truncates to weight 8.
+_POIS_T = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+)
+
+
+def _pois_case_duck(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {cases} ELSE 8 END"
+
+
+@q(
+    "bootstrap_ci_revenue",
+    f"""
+    WITH draws AS (
+      SELECT l_returnflag, b.b AS b,
+             {_pois_case_duck("(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)), 1, 15))::BIGINT)")} AS w,
+             l_extendedprice AS v
+      FROM lineitem, unnest(generate_series(0, {_BOOT_B - 1})) AS b(b)
+    ),
+    rs AS (
+      SELECT l_returnflag, b,
+             round(CAST(sum(CAST(w * v AS DECIMAL(24,10))) AS DOUBLE)
+                   / nullif(sum(w), 0), 4) AS m
+      FROM draws GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT l_returnflag, m,
+             row_number() OVER (
+               PARTITION BY l_returnflag ORDER BY m, b) AS rn
+      FROM rs
+    ),
+    fm AS (
+      SELECT l_returnflag,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,10))) AS DOUBLE)
+                   / count(*), 4) AS est
+      FROM lineitem GROUP BY 1
+    )
+    SELECT r.l_returnflag,
+           round(min(f.est), 4) AS est,
+           round(max(CASE WHEN rn = 2 THEN m END), 4) AS ci_low,
+           round(max(CASE WHEN rn = {_BOOT_B - 1} THEN m END), 4) AS ci_high
+    FROM ranked r JOIN fm f USING (l_returnflag)
+    GROUP BY r.l_returnflag
+    """,
+)
+def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson bootstrap (Chamandy et al., Google 2012:
+    "Estimating uncertainty for massive data streams"): a confidence
+    interval for per-flag mean price WITHOUT resampling-by-index — each
+    row draws its own Poisson(1) multiplicity per resample, so resampling
+    becomes a row-local weight and the bootstrap reduces to ONE weighted
+    aggregation pass. The classic bootstrap's "sample n rows with
+    replacement, B times" is undistributable (global index); this is the
+    published scale-out form.
+
+    Engine-exact randomness: the b-th draw for a row is a 60-bit md5 of
+    (orderkey:linenumber:b) compared against Poisson(1) CDF thresholds
+    pre-scaled to EXACT 2^60 integers — no RNG, no float in the draw, so
+    both engines materialize the identical resample multiset (the
+    md5-ppb gate discipline of train_val_test_split). CI bounds are the
+    2nd/31st order statistics of the 32 resample means (~94% interval),
+    exact-decimal means rounded to 4.
+
+    Scale shape: the ×32 explode is row-local and partial-aggregates
+    map-side, so the ONLY shuffle carries groups × 32 aggregate states —
+    the wire cost is independent of row count; the order-statistic window
+    runs on groups × 32 rows. At 100 TB that is still a few kilobytes."""
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber",
+        F.col("l_extendedprice").alias("v"),
+    )
+    # the x32 explode + md5 draws run INSIDE the scan stage, whose width
+    # is the parquet split count — 3 row groups at local test scale, so
+    # the md5 work would run 3-wide on 32 cores. One narrow repartition
+    # widens it; on a real cluster the scan already has thousands of
+    # splits and this exchange coalesces to a no-op under AQE.
+    draws = li.repartition(
+        spark.sparkContext.defaultParallelism, "l_orderkey"
+    ).select(
+        "l_returnflag", "v", "l_orderkey", "l_linenumber",
+        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"),
+    )
+    u = portable_hash60(
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("b").cast("string"),
+        )
+    )
+    w = F.lit(8)
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        w = F.when(F.col("u") < _POIS_T[k], F.lit(k)).otherwise(w)
+    rs = (
+        draws.withColumn("u", u)
+        .withColumn("w", w)
+        .groupBy("l_returnflag", "b")
+        .agg(
+            F.sum((F.col("w") * F.col("v")).cast("decimal(24,10)")).alias("swv"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            "l_returnflag", "b",
+            F.round(
+                F.col("swv").cast("double") / F.nullif(F.col("sw"), F.lit(0)), 4
+            ).alias("m"),
+        )
+    )
+    rn = F.row_number().over(W.partitionBy("l_returnflag").orderBy("m", "b"))
+    ranked = rs.withColumn("rn", rn)
+    fm = li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(24,10)")).cast("double") / F.count("*"),
+            4,
+        ).alias("est")
+    )
+    return (
+        ranked.join(F.broadcast(fm), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("est"), 4).alias("est"),
+            F.round(F.max(F.when(F.col("rn") == 2, F.col("m"))), 4).alias("ci_low"),
+            F.round(
+                F.max(F.when(F.col("rn") == _BOOT_B - 1, F.col("m"))), 4
+            ).alias("ci_high"),
+        )
+    )

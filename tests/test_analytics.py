@@ -1191,3 +1191,18 @@ def test_attribution_position_credits_sum_to_one_million(spark, tmp_path_factory
     # click: 500000 (u2) + 66667+66666 (u3) = 633333
     assert out == {"view": (5, 2366667), "click": (3, 633333)}
     assert sum(v[1] for v in out.values()) == 3 * 1000000
+
+
+def test_bootstrap_ci_brackets_estimate_and_is_deterministic(spark):
+    """Poisson-bootstrap invariants on real sf0.001 data: every group's
+    CI strictly brackets the point estimate, and the md5-derived draws
+    make two runs bit-identical (no RNG anywhere)."""
+    a = {r.l_returnflag: r for r in
+         advanced.bootstrap_ci_revenue(spark, "/root/testdata/sf0.001").collect()}
+    b = {r.l_returnflag: r for r in
+         advanced.bootstrap_ci_revenue(spark, "/root/testdata/sf0.001").collect()}
+    assert len(a) == 3
+    for fl, r in a.items():
+        assert r.ci_low < r.ci_high
+        assert r.ci_low <= r.est <= r.ci_high
+        assert b[fl] == r

@@ -442,8 +442,14 @@ def test_certifying_prefix_is_stable():
         "projection_pushdown", "stream_sync_e2e",
         "expected_error_suppression",
         # one representative per extension family the grader names
-        "near_dup_keep_best", "ivfpq_residual_search",
-        "adaptive_skew_join", "curation_funnel", "merkle_snapshot_diff",
+        # (r7s2: near_dup_keep_best / curation_funnel / merkle_snapshot_diff
+        # / containment_prefix_join rotated out on their r6 driver rows;
+        # semdedup_prune is the embedding-dedup rep, bpe_vocab_induction
+        # the curation/iterative rep, and the lake-maintenance pair gets
+        # its first driver certification)
+        "semdedup_prune", "ivfpq_residual_search",
+        "adaptive_skew_join", "bpe_vocab_induction",
+        "pipeline_compaction_equiv", "upsert_merge_equiv",
         # r7 rotation (VERDICT r6 #1): the never-certified backlog promoted;
         # every rotated-out r6-green query's component keeps a survivor —
         # mapping inline in queries/__init__.py
@@ -452,7 +458,7 @@ def test_certifying_prefix_is_stable():
         "copurchase_lift", "event_pattern_match",
         "stream_interval_join_e2e", "stream_sessionize_e2e",
         "stream_enrich_e2e", "portable_cms_heavy_hitters",
-        "sssp_weighted", "containment_prefix_join",
+        "sssp_weighted",
         "bucketed_join_no_shuffle", "multimodal_real_codec",
         # TPC-H shape reps
         "q16_supplier_part_counts", "q21_suppliers_kept_waiting",

@@ -1215,6 +1215,15 @@ HEADLINERS = {
         "credit is exact integer ppm so the aggregate is a plain "
         "bigint sum."
     ),
+    "bootstrap_ci_revenue": (
+        "Poisson bootstrap (r7): resampling is a row-local md5-derived "
+        "Poisson(1) weight, so B=32 bootstrap replicas cost ONE weighted "
+        "aggregation pass — the only shuffle carries groups x 32 "
+        "aggregate states (wire cost independent of row count); the "
+        "order-statistic CI window runs on groups x 32 rows. The "
+        "repartition before the explode exists to widen the md5 stage "
+        "past the local 3-split scan; at cluster scale AQE coalesces it."
+    ),
     "ann_matryoshka_recall": (
         "Matryoshka funnel (r7): the coarse pass ranks with PREFIX dots "
         "and ships scalars only through the ranking shuffle; full "
