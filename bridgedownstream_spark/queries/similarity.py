@@ -2086,8 +2086,10 @@ def semdedup_prune(spark, sf_dir):
 
     Oracle parity: distances round to 6 and pair cosines to 4 before any
     comparison (the ann_* discipline), so the keep/prune bit is identical
-    across engines; Spark elects prune via a same-cell rank-ordered join +
-    left-anti marker, DuckDB states the rule directly as NOT EXISTS."""
+    across engines; both sides elect prunes via a same-cell rank-ordered
+    self-join + left-join marker (DuckDB cannot correlate an outer row's
+    list column into an EXISTS lambda, so the stated-rule form is the
+    join)."""
     from pyspark.sql import Window as W
 
     e, cent = _ivf_cent(spark, sf_dir)

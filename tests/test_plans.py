@@ -789,3 +789,23 @@ def test_matryoshka_funnel_fetches_vectors_only_for_shortlist(spark):
     # must be broadcast HASH joins
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bootstrap_wire_carries_resample_states_not_draws(spark):
+    """The x32 draw explode must partial-aggregate map-side so the only
+    wide shuffle carries (flag, b) aggregate states — if the partial
+    vanishes, 32x the corpus crosses the wire. The full-mean side joins
+    broadcast; the width-fix repartition is the plan's only
+    REPARTITION_BY_NUM."""
+    plan = plan_of(spark, "bootstrap_ci_revenue")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("REPARTITION_BY_NUM") == 1
+    # anchor on the (flag, b) resample exchange specifically (NOT the
+    # window/final-agg exchange on flag alone), then require a partial
+    # sum of the draw weight column w in its subtree (printed below it);
+    # w is ours, so the pattern is not codegen-format coupled, and fm's
+    # branch has no w column to fake a match
+    m = re.search(r"Exchange hashpartitioning\(l_returnflag#\d+, b#\d+", plan)
+    assert m, plan
+    assert re.search(r"partial_sum\(w#\d+", plan[m.end():]), plan

