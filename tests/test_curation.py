@@ -202,3 +202,93 @@ def test_bpe_segmentation_round_trip_compression(spark, tmp_path_factory):
     # chars: 3*4 + 1*3 + 2*3 = 21; tokens: 3*1 + 1*2 + 2*2 = 9
     assert (r.n_words, r.char_tokens, r.bpe_tokens) == (6, 21, 9)
     assert r.compression_ppm == 9 * 1000000 // 21
+
+
+def test_bpe_merge_fold_exhaustive_against_reference(spark):
+    """The greedy left-to-right non-overlapping merge fold, exhaustively:
+    every symbol string over {a, b} of length 1..6 (126 words) under all
+    four single-char merge pairs, against a literal Python scanner.
+    Overlap chains ('a a a a' under (a, a)), interleavings and no-match
+    words are all in the enumeration — if the accumulator's skip logic
+    mishandles ANY case, this finds it."""
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    from bridgedownstream_spark.queries.curation import _BPE_MERGE_SPARK
+
+    def ref_merge(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return " " + " ".join(out) + " "
+
+    words = [
+        list(w) for n in range(1, 7) for w in product("ab", repeat=n)
+    ]
+    rows = [(" " + " ".join(w) + " ",) for w in words]
+    df = spark.createDataFrame(rows, "repr string")
+    for l, r in product("ab", repeat=2):
+        got = (
+            df.withColumn("syms", F.expr("split(trim(repr), ' ')"))
+            .withColumn("ls", F.lit(l))
+            .withColumn("rs", F.lit(r))
+            .select("repr", F.expr(_BPE_MERGE_SPARK).alias("merged"))
+            .collect()
+        )
+        for row in got:
+            syms = row.repr.strip().split(" ")
+            assert row.merged == ref_merge(syms, l, r), (row.repr, l, r)
+
+
+def test_bpe_relational_merge_exhaustive_against_reference():
+    """The ORACLE's gaps-and-islands merge (even-offset-within-run rule),
+    exhaustively against the same Python scanner — pure DuckDB, no Spark.
+    A 100000-count pin word forces each round-1 winner, then every
+    enumerated word's merged repr must equal the greedy scan. This is the
+    other half of the two-algorithms-one-answer claim: the fold test
+    covers Spark, this covers the relational formulation."""
+    from itertools import product
+
+    import duckdb
+
+    from bridgedownstream_spark.queries.curation import _bpe_round_duck
+
+    def ref_merge(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return " " + " ".join(out) + " "
+
+    words = [list(w) for n in range(1, 7) for w in product("ab", repeat=n)]
+    for l, r in product("ab", repeat=2):
+        con = duckdb.connect()
+        vals = [("".join(w), 1, " " + " ".join(w) + " ") for w in words]
+        pin = (f"pin{l}{r}", 100000, f" {l} {r} ")
+        rows = ", ".join(
+            f"('{w}', {c}, '{rep}')" for w, c, rep in vals + [pin]
+        )
+        sql = (
+            f"WITH w0 (word, cnt, repr) AS (VALUES {rows}), "
+            + _bpe_round_duck(1)
+            + " SELECT word, repr FROM w1"
+        )
+        got = dict(con.execute(sql).fetchall())
+        win = con.execute(
+            f"WITH w0 (word, cnt, repr) AS (VALUES {rows}), "
+            + _bpe_round_duck(1)
+            + " SELECT ls, rs FROM win1"
+        ).fetchone()
+        assert win == (l, r), win  # the pin actually forced the winner
+        for w in words:
+            assert got["".join(w)] == ref_merge(w, l, r), ("".join(w), l, r)
