@@ -62,8 +62,9 @@ from bridgedownstream_spark.queries import (
 #: after the swap.
 #: Round-8 rotation backlog (never driver-certified after r7, rough
 #: priority order): bpe_learned_segmentation + attribution_position
-#: + ann_matryoshka_recall + bootstrap_ci_revenue (r7-session-2
-#: additions: induce→segment round trip, multi-touch credit,
+#: + ann_matryoshka_recall + bootstrap_ci_revenue + fixed_width_roundtrip
+#: (r7-session-2 additions: induce→segment round trip, multi-touch
+#: credit, the fixed-width mainframe-feed source,
 #: truncated-dim funnel recall, Poisson-bootstrap CI),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,

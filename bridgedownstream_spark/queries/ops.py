@@ -670,3 +670,54 @@ def adaptive_skew_join(spark, sf_dir):
         min_share_bp=1000,
         tag_col="took_salted_path",
     )
+
+
+@q(
+    "fixed_width_roundtrip",
+    """
+    SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM supplier
+    """,
+)
+def fixed_width_roundtrip(spark, sf_dir):
+    """Fixed-width text round trip — the mainframe/SAS-feed sibling of
+    csv_export_roundtrip: supplier exported as constant-width lines
+    (zero-padded keys, space-padded names, sign+digits account balance in
+    integer CENTS — no float ever touches the wire) and read back through
+    the declared field spec. The oracle states the lossless contract
+    directly from the source table, so a padding, slicing, or sign bug
+    anywhere in sources/fixed_width.py breaks the hash.
+
+    Both directions are pure whole-stage-codegen projections (concat/
+    lpad/rpad out, substring/trim/cast back): zero shuffles, and the text
+    files split by line at any scale. Overflow raises at write time
+    rather than truncating (pytest pins this)."""
+    import os
+    import tempfile
+
+    from bridgedownstream_spark.sources.fixed_width import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    spec = [
+        ("s_suppkey", 8, "int"),
+        ("s_name", 20, "str"),
+        ("s_nationkey", 4, "int"),
+        ("acctbal_cents", 12, "sint"),
+    ]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bds_fw_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+    )
+    sup = tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.col("s_nationkey").cast("bigint").alias("s_nationkey"),
+        F.round(F.col("s_acctbal") * 100)
+        .cast("bigint")
+        .alias("acctbal_cents"),
+    )
+    write_fixed_width(sup, base, spec)
+    return read_fixed_width(spark, base, spec)

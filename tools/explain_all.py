@@ -1224,6 +1224,14 @@ HEADLINERS = {
         "repartition before the explode exists to widen the md5 stage "
         "past the local 3-split scan; at cluster scale AQE coalesces it."
     ),
+    "fixed_width_roundtrip": (
+        "Fixed-width text round trip (r7): both directions are pure "
+        "whole-stage-codegen projections (concat/lpad/rpad out, "
+        "substring/trim/cast back) — zero exchanges; the account "
+        "balance travels as sign+digits integer cents, so no float "
+        "touches the wire; overflow raises in the write projection "
+        "rather than truncating."
+    ),
     "ann_matryoshka_recall": (
         "Matryoshka funnel (r7): the coarse pass ranks with PREFIX dots "
         "and ships scalars only through the ranking shuffle; full "
