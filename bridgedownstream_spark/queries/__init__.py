@@ -63,6 +63,7 @@ from bridgedownstream_spark.queries import (
 #: Round-8 rotation backlog (never driver-certified after r7, rough
 #: priority order): bpe_learned_segmentation + attribution_position
 #: + ann_matryoshka_recall + bootstrap_ci_revenue + fixed_width_roundtrip
+#: + kfold_assign
 #: (r7-session-2 additions: induce→segment round trip, multi-touch
 #: credit, the fixed-width mainframe-feed source,
 #: truncated-dim funnel recall, Poisson-bootstrap CI),

@@ -1041,3 +1041,51 @@ def bpe_learned_segmentation(spark, sf_dir):
         "bpe_tokens",
         F.expr("_t div char_tokens").cast("bigint").alias("compression_ppm"),
     )
+
+
+_KFOLD_K = 5
+
+
+@q(
+    "kfold_assign",
+    f"""
+    WITH f AS (
+      SELECT source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cv-v1'),
+                                  1, 15))::BIGINT % {_KFOLD_K} AS INT) AS fold,
+             n_chars
+      FROM documents
+    )
+    SELECT fold, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM f GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def kfold_assign(spark, sf_dir):
+    """Deterministic k-fold cross-validation assignment (k=5) — the CV
+    sibling of train_val_test_split, sharing its md5 gate discipline:
+    fold = portable 60-bit md5 of (doc_id, salt) mod k, so the folds are
+    RNG-free, merge-order-free, and reproducible from the id alone (a
+    re-ingested doc lands in the same fold forever — the property that
+    keeps fold membership stable across corpus versions, which seeded
+    RNG splits cannot give). Output is the per-(fold, source) stratum
+    audit (doc and char counts) a CV pipeline checks before training.
+
+    One scan → one tiny grouped aggregate (k × sources rows); the fold
+    gate is a row-local projection, so the operator is scan-bound at any
+    corpus size."""
+    d = tbl(spark, sf_dir, "documents")
+    fold = (
+        portable_hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":cv-v1")))
+        % _KFOLD_K
+    ).cast("int")
+    return (
+        d.select(fold.alias("fold"), "source", "n_chars")
+        .groupBy("fold", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("fold", "source")
+    )

@@ -1232,6 +1232,12 @@ HEADLINERS = {
         "touches the wire; overflow raises in the write projection "
         "rather than truncating."
     ),
+    "kfold_assign": (
+        "k-fold CV assignment (r7): the fold gate is a row-local "
+        "portable-md5 projection (RNG-free, stable across corpus "
+        "versions); one scan -> one k x sources aggregate — scan-bound "
+        "at any size."
+    ),
     "ann_matryoshka_recall": (
         "Matryoshka funnel (r7): the coarse pass ranks with PREFIX dots "
         "and ships scalars only through the ranking shuffle; full "
