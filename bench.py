@@ -63,6 +63,11 @@ def materialize(df: DataFrame) -> None:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Full-run status is keyed on the INVOCATION (no subset args), not on
+    # result cardinality: a subset invocation that happens to enumerate
+    # every registry name must still land in BENCH_LAST.json, and a full
+    # run with failures must still own BENCH_FULL.json.
+    full_run = not sys.argv[1:]
     names = sys.argv[1:] or list(REGISTRY)
     unknown = [n for n in names if n not in REGISTRY]
     if unknown:  # fail BEFORE the multi-minute warmup, with the bad names
@@ -189,9 +194,7 @@ def main() -> int:
     # BENCH_FULL.json is the committed full-registry artifact — a subset
     # run must never clobber it (it did, twice, before this guard).
     # Subset runs land in BENCH_LAST.json, which tools/scale_ci.py reads.
-    artifact = "BENCH_FULL.json" if len(per_query) + len(failures) == len(
-        REGISTRY
-    ) else "BENCH_LAST.json"
+    artifact = "BENCH_FULL.json" if full_run else "BENCH_LAST.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            artifact), "w") as fh:
         json.dump(full, fh, indent=1)

@@ -845,6 +845,10 @@ def _bpe_round_duck(r: int) -> str:
     cand{r} AS (
         SELECT p.word, p.i FROM pos{r} p, win{r} w
         WHERE p.sym = w.ls AND p.nxt = w.rs),
+    -- w{r} LEFT-joins win{r} ON TRUE (not CROSS JOIN): if a round finds
+    -- no adjacent pairs (all words collapsed to single symbols), the
+    -- empty winner must keep the vocabulary unchanged, not empty it —
+    -- mirroring the Spark trainer's empty-winner early stop.
     mrg{r} AS (
         SELECT word, i FROM (
             SELECT word, i, min(i) OVER (PARTITION BY word, g) AS i0
@@ -858,7 +862,7 @@ def _bpe_round_duck(r: int) -> str:
                    CASE WHEN m.i IS NOT NULL THEN w.ls || w.rs ELSE p.sym END,
                    ' ' ORDER BY p.i) || ' ' AS repr
         FROM pos{r} p
-        CROSS JOIN win{r} w
+        LEFT JOIN win{r} w ON TRUE
         LEFT JOIN mrg{r} m  ON m.word = p.word AND m.i = p.i
         LEFT JOIN mrg{r} sk ON sk.word = p.word AND sk.i = p.i - 1
         WHERE sk.i IS NULL
@@ -958,6 +962,16 @@ def _bpe_train(spark, sf_dir):
                 "pair_cnt",
             )
         )
+        if not winner.take(1):
+            # Degenerate corpus: no adjacent pairs remain (every word
+            # already a single symbol). Without this stop the broadcast
+            # cross join below would silently EMPTY the vocabulary and
+            # every downstream aggregate would go NULL. Keep the current
+            # vocabulary; the oracle's LEFT JOIN win{r} ON TRUE mirrors
+            # this exactly (empty winner => repr unchanged, empty round
+            # rows). winner is a checkpointed 1-row frame, so take(1)
+            # costs one driver fetch per round, never a corpus scan.
+            break
         words = (
             with_syms.crossJoin(F.broadcast(winner.select("ls", "rs")))
             .select("word", "cnt", F.expr(_BPE_MERGE_SPARK).alias("repr"))

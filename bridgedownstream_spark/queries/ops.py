@@ -317,7 +317,11 @@ def csv_export_roundtrip(spark, sf_dir):
 
     base = os.path.join(
         tempfile.gettempdir(),
-        f"bds_csv_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+        # PID-suffixed: concurrent processes at the same sf must not race
+        # on each other's files (a lazily-read DataFrame scans at action
+        # time); PID keeps the dir stable within a process so repeated
+        # builds overwrite rather than accumulate.
+        f"bds_csv_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}_{os.getpid()}",
     )
     nation = tbl(spark, sf_dir, "nation").select(
         "n_nationkey",
@@ -709,7 +713,9 @@ def fixed_width_roundtrip(spark, sf_dir):
     ]
     base = os.path.join(
         tempfile.gettempdir(),
-        f"bds_fw_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+        # PID-suffixed for the same concurrent-process-race reason as the
+        # CSV round trip above.
+        f"bds_fw_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}_{os.getpid()}",
     )
     sup = tbl(spark, sf_dir, "supplier").select(
         "s_suppkey",

@@ -17,7 +17,9 @@ A dataset is lines of constant byte width; each field owns a declared
 **Overflow is an error, never a truncation**: a value wider than its
 field raises at write time (``raise_error`` inside the projection — the
 check rides the same codegen pass, no extra scan). Silent truncation is
-data corruption in this format's native habitat.
+data corruption in this format's native habitat. **NULL is likewise an
+explicit write-time error** — the format has no null representation, so
+callers filter or fill upstream.
 
 Scale: both directions are pure projections (concat/lpad/rpad out,
 substring/trim/cast back) — zero shuffles, whole-stage codegen, and the
@@ -53,15 +55,35 @@ def _fmt(name: str, width: int, kind: str):
         too_wide = F.length(digits) > width - 1
     else:
         raise ValueError(f"unknown fixed-width kind {kind!r} for {name!r}")
-    return F.when(
-        too_wide,
-        F.raise_error(
-            F.concat(
-                F.lit(f"fixed-width overflow: field {name!r} width {width}, value "),
-                c.cast("string"),
-            )
-        ),
-    ).otherwise(body)
+    # NULL must be an explicit error, not a fall-through: a NULL value
+    # makes too_wide NULL (F.when treats it as false) and would propagate
+    # a NULL line into the text writer, which dies with an opaque
+    # "null value in value column" error. The format has no NULL
+    # representation — reject with the same raise_error discipline as
+    # overflow so the message names the field.
+    return (
+        F.when(
+            c.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"fixed-width null: field {name!r} is NULL and the format "
+                    "has no null representation; filter or fill upstream"
+                )
+            ),
+        )
+        .when(
+            too_wide,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"fixed-width overflow: field {name!r} width {width}, value "
+                    ),
+                    c.cast("string"),
+                )
+            ),
+        )
+        .otherwise(body)
+    )
 
 
 def write_fixed_width(df: DataFrame, path: str, fields: list[FieldSpec]) -> str:

@@ -292,3 +292,62 @@ def test_bpe_relational_merge_exhaustive_against_reference():
         assert win == (l, r), win  # the pin actually forced the winner
         for w in words:
             assert got["".join(w)] == ref_merge(w, l, r), ("".join(w), l, r)
+
+
+def _duck_on(parquet_dir, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"parquet_scan('{parquet_dir}/documents.parquet/*.parquet')"
+    )
+    return con.execute(sql).fetchall()
+
+
+def test_bpe_degenerate_corpus_keeps_vocabulary(spark, tmp_path_factory):
+    """A corpus whose words collapse to single symbols before _BPE_ROUNDS
+    merges must NOT empty the vocabulary (the pre-guard behavior: an
+    empty winner cross-joined the vocab away and every downstream
+    aggregate went NULL). 'ab ab ab' merges once, then no pairs remain:
+    induction reports only round 1 and segmentation stays real — and the
+    DuckDB oracle (LEFT JOIN win ON TRUE) agrees on BOTH engines."""
+    path = str(tmp_path_factory.mktemp("bpe_degen") / "lake")
+    rows = [(1, "ab ab ab", "en", "src0", 8)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+    induct = [
+        (r.merge_round, r.left_sym, r.right_sym, r.merged, r.pair_cnt)
+        for r in curation.bpe_vocab_induction(spark, path).collect()
+    ]
+    assert induct == [(1, "a", "b", "ab", 3)]
+    seg = curation.bpe_learned_segmentation(spark, path).collect()[0]
+    # 3 words, 6 chars, 3 one-token words after the single merge
+    assert (seg.n_words, seg.char_tokens, seg.bpe_tokens) == (3, 6, 3)
+    assert seg.compression_ppm == 3 * 1000000 // 6
+
+    # oracle parity on the degenerate corpus (the driver only runs the
+    # oracle on the synthetic corpus, which always achieves _BPE_ROUNDS)
+    oracle_induct = _duck_on(path, curation.QUERIES["bpe_vocab_induction"][1])
+    assert [tuple(r) for r in oracle_induct] == induct
+    oracle_seg = _duck_on(path, curation.QUERIES["bpe_learned_segmentation"][1])
+    assert oracle_seg[0][:3] == (3, 6, 3)
+
+
+def test_bpe_no_pairs_at_all_is_identity(spark, tmp_path_factory):
+    """All-single-char corpus: zero merge rounds fire; induction is empty
+    and segmentation is the identity tokenization on both engines."""
+    path = str(tmp_path_factory.mktemp("bpe_single") / "lake")
+    rows = [(1, "a b c a b", "en", "src0", 9)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    assert curation.bpe_vocab_induction(spark, path).count() == 0
+    seg = curation.bpe_learned_segmentation(spark, path).collect()[0]
+    assert (seg.n_words, seg.char_tokens, seg.bpe_tokens) == (5, 5, 5)
+    assert seg.compression_ppm == 1000000
+    assert _duck_on(path, curation.QUERIES["bpe_vocab_induction"][1]) == []
+    oracle_seg = _duck_on(path, curation.QUERIES["bpe_learned_segmentation"][1])
+    assert oracle_seg[0][:3] == (5, 5, 5)

@@ -46,3 +46,14 @@ def test_overflow_raises_never_truncates(spark, tmp_path, row):
     df = spark.createDataFrame([row], "k long, name string, bal long")
     with pytest.raises(Exception, match="fixed-width overflow"):
         write_fixed_width(df, str(tmp_path / "fw_bad"), SPEC)
+
+
+def test_null_raises_with_field_name(spark, tmp_path):
+    """NULL has no fixed-width representation; it must raise a named
+    error at write time, not propagate a NULL line into the text writer
+    (whose own failure message names no field)."""
+    df = spark.createDataFrame(
+        [(1, None, 0)], "k long, name string, bal long"
+    )
+    with pytest.raises(Exception, match="fixed-width null.*'name'"):
+        write_fixed_width(df, str(tmp_path / "fw_null"), SPEC)
