@@ -159,6 +159,8 @@ def main() -> int:
         _pq_mod._build_bucketed,
         _pq_mod._build_compacted_lake,
         _pq_mod._build_upserted_lake,
+        _pq_mod._build_archived_lake,
+        _pq_mod._build_workflow_lake,
     ):
         # per-builder: one failing fixture must neither skip the remaining
         # builds nor hide its error — the affected queries would silently

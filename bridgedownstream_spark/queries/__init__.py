@@ -60,13 +60,23 @@ from bridgedownstream_spark.queries import (
 #: merkle_snapshot_diff, containment_prefix_join, curation_funnel,
 #: near_dup_keep_best. Window re-verified 50/50 bit-exact at sf0.01
 #: after the swap.
-#: Round-8 rotation backlog (never driver-certified after r7, rough
-#: priority order): bpe_learned_segmentation + attribution_position
-#: + ann_matryoshka_recall + bootstrap_ci_revenue + fixed_width_roundtrip
-#: + kfold_assign
-#: (r7-session-2 additions: induce→segment round trip, multi-touch
-#: credit, the fixed-width mainframe-feed source,
-#: truncated-dim funnel recall, Poisson-bootstrap CI),
+#: Round-8 rotation EXECUTED (VERDICT r7 #1/#2/#6): promoted the six
+#: never-driver-certified r7 tail operators (bootstrap_ci_revenue,
+#: fixed_width_roundtrip, kfold_assign, bpe_learned_segmentation,
+#: attribution_position, ann_matryoshka_recall), five TPC-H remainder
+#: entries (q2_min_cost_supplier, q15_top_supplier,
+#: q17_small_quantity_revenue, q19_disjunctive_revenue,
+#: q20_potential_promotion), the layout rep zorder_box_query (r4-green
+#: history), and the TWO NEW r8 lifecycle oracles — archive_restore_equiv
+#: (schema-change protocol loop, the last zero-oracle reference family)
+#: and workflow_e2e_equiv (concurrent two-dataset orchestrator run-twice
+#: idempotency). Rotated out (ALL r7-driver-green; survivor noted inline
+#: in the tuple): kmeans_refine_centroids, sssp_weighted,
+#: bpe_vocab_induction, chi_square_independence, array_hof_suite,
+#: pareto_frontier, copurchase_lift, event_pattern_match,
+#: stream_interval_join_e2e, stream_sessionize_e2e, stream_enrich_e2e,
+#: upsert_merge_equiv, q21_suppliers_kept_waiting, semdedup_prune.
+#: Round-9 rotation backlog (never driver-certified, rough priority):
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +
@@ -115,12 +125,19 @@ _CERTIFYING: tuple[str, ...] = (
     "prefix_filter",            # P6, F8, F10
     "sql_view_query",           # S7 SQL surface
     # joins (J1-J4)
-    "q21_suppliers_kept_waiting",  # J1 broadcast dims + EXISTS/NOT-EXISTS
-                                   # lineitem self-joins, O1 ordered top
-                                   # (TPC-H Q21; q9_product_type_profit
-                                   # r6-green, rotated out — J1's 3-dim
-                                   # broadcast star stays via this + the
-                                   # ingest/pipeline joins)
+    "q2_min_cost_supplier",     # J1 multi-dim star + correlated scalar
+                                # min subquery as a broadcast join
+                                # (TPC-H Q2; q21 r7-green, rotated out —
+                                # J1's broadcast star stays via this +
+                                # the ingest/pipeline joins)
+    "q15_top_supplier",         # revenue-view scalar max as broadcast
+                                # 1-row filter (TPC-H Q15)
+    "q17_small_quantity_revenue",  # correlated AVG subquery as per-part
+                                   # aggregate (TPC-H Q17)
+    "q19_disjunctive_revenue",  # OR-of-ANDs spanning join sides with
+                                # side-local pushdown factoring (TPC-H
+                                # Q19, plan-pinned)
+    "q20_potential_promotion",  # nested IN/EXISTS reduction (TPC-H Q20)
     "anti_join_missing",        # J2
     "anti_join_union",          # J3, §2.7 union
     "relationalize_child",      # N3/N4 key inheritance, N5/F4 naming
@@ -128,10 +145,10 @@ _CERTIFYING: tuple[str, ...] = (
     "dedup_latest",             # A2 + §2.5 row_number window
     "sample_per_group",         # A3
     "reconcile_counts",         # A4/A7
-    "kmeans_refine_centroids",  # iterative centroid refinement — the last
-                                # uncertified iterative mechanism class
-                                # (bfs_hops r6-green, rotated out;
-                                # iterative family → this + sssp + kcore)
+    "bootstrap_ci_revenue",     # distributed Poisson bootstrap CI, B=32
+                                # replicas in ONE weighted agg (kmeans
+                                # r7-green, rotated out; iterative family
+                                # → kcore_peeling + the BPE trainer)
     "group_collect",            # A8
     "config_cache_dedup",       # A9
     "asof_join_events",         # P3 closest-match as the single-exchange
@@ -141,15 +158,18 @@ _CERTIFYING: tuple[str, ...] = (
     "batched_submit",           # O3
     # scalar functions (F1-F11)
     "scalar_functions",         # F1/F3/F5/F11
-    "chi_square_independence",  # integer-exact contingency DQ test
-                                # (q12_priority_lines r6-green, rotated
-                                # out; F6 conditional rewrite stays via
+    "kfold_assign",             # RNG-free stratified k-fold CV gates
+                                # (chi_square_independence r7-green,
+                                # rotated out; stats-test family → the
+                                # bootstrap row; F6 stays via
                                 # ingest_e2e_events' microphone rename)
-    "array_hof_suite",          # higher-order lambda surface: transform/
-                                # filter/aggregate/zip_with scalar folds
-                                # (json_extract r6-green, rotated out; F9
-                                # stays via ingest_e2e_events' JSON body
-                                # parse + rewrite)
+    "ann_matryoshka_recall",    # truncated-dim coarse rank → shortlist
+                                # → full-precision re-rank → recall@3
+                                # (array_hof_suite r7-green, rotated out;
+                                # the HOF lambda surface stays exercised
+                                # by this query's aggregate/zip_with dot
+                                # products; F9 stays via
+                                # ingest_e2e_events)
     "basename_extract",         # F7
     # skew: diagnose-then-salt auto-remediating join (covers the salted-agg
     # machinery skew_salted_agg certified r4)
@@ -157,6 +177,8 @@ _CERTIFYING: tuple[str, ...] = (
     # format round-trips (the reference's "export to Parquet/CSV" surface;
     # ORC twin driver-green r4)
     "csv_export_roundtrip",     # RFC-4180 quoting survives write→read
+    "fixed_width_roundtrip",    # mainframe/SAS fixed-width source/sink,
+                                # integer-cents money, overflow raises
     # pipeline / ingest e2e (S1-S5, S8-S10, J5, F2, N1/N2/N6, V1-V4, §2.11, P7)
     "listing_scan",             # S9 listing source
     "workflow_properties",      # S10 manifest-from-messages source
@@ -165,15 +187,8 @@ _CERTIFYING: tuple[str, ...] = (
     "expected_error_suppression",  # P8/V3 whitelist subtraction
     "stream_sync_e2e",          # streaming family + §2.11 incremental
                                 # (checkpointed availableNow = bookmarks)
-    # streaming matrix remainder (stream_full_join_e2e r6-green, rotated
-    # out — stateful interval joins stay certified via interval_join;
-    # stream_dedup_e2e r5-green)
-    "stream_interval_join_e2e",  # stream-stream interval join, two-sided
-                                 # watermarks, bounded state
-    "stream_sessionize_e2e",    # session_window + watermark finalization
-                                # (APPEND-mode drain == batch
-                                # gaps-and-islands)
-    "stream_enrich_e2e",        # stream-static broadcast-dim enrichment
+    # (streaming matrix: interval-join/sessionize/enrich ALL r7-green,
+    # rotated out — streaming family survivor is stream_sync_e2e above)
     "pipeline_e2e_root",        # S2/S5/N1/N2 (schema_evolution_read
                                 # r6-green, rotated out — N2
                                 # cast-to-declared stays via this)
@@ -182,43 +197,54 @@ _CERTIFYING: tuple[str, ...] = (
                                         # via this + bucketed)
     "bucketed_join_no_shuffle",  # SMB fact⋈fact with zero pre-join
                                  # exchanges (bucketed catalog layout)
+    "zorder_box_query",         # Morton-key layout + measured file
+                                # skipping (r4-green history, re-certified)
     # analytics / sequence mining over events (conversion_latency
     # r6-green, rotated out; §2.5 lag windows stay via dedup_latest,
     # funnel semantics via event_pattern_match)
-    "event_pattern_match",      # MATCH_RECOGNIZE-style journey patterns,
-                                # non-overlapping counts
-    "pareto_frontier",          # skyline dominance via the O(n log n)
-                                # window rewrite vs quadratic NOT-EXISTS
-                                # oracle
-    "copurchase_lift",          # A-priori level-2 market-basket lift
+    "attribution_position",     # U-shaped multi-touch credit, exact
+                                # integer ppm (event_pattern_match
+                                # r7-green, rotated out — sequence
+                                # analytics survivor is this row)
+    # (pareto_frontier + copurchase_lift r7-green, rotated out — window
+    # analytics stays via dedup_latest/asof_join_events)
     # lake maintenance (r7 session 2 mid-round promotion: the ONLY family
     # with zero driver rows gets its certification THIS round;
     # merkle_snapshot_diff r6-green rotated out — CDC-diff keeps that row
     # + snapshot_diff r5-green as history)
     "pipeline_compaction_equiv",  # compacted lake ≡ source row-for-row,
                                   # rows carry post-compaction file counts
-    "upsert_merge_equiv",       # merge-wave sequence ≡ last-writer-wins
-                                # recompute stated in SQL
+                                  # (upsert_merge_equiv r7-green, rotated
+                                  # out — lake maintenance survivor)
+    "archive_restore_equiv",    # NEW r8: schema-change protocol loop —
+                                # archive → evolve → rebuild → archive →
+                                # prune; restored newest archive ≡
+                                # from-source recompute (the last
+                                # reference-lifecycle family with zero
+                                # oracle rows)
+    "workflow_e2e_equiv",       # NEW r8: one-call orchestrator — two
+                                # datasets, concurrent stage-2, run twice
+                                # ≡ single sequential recompute
     # curation / text (train_val_test_split + curation_funnel r6-green,
     # rotated out; split machinery shares the md5-ppb gate certified via
     # domain_mix_kl)
-    "bpe_vocab_induction",      # BPE merge rounds — 5th iterative class,
-                                # vocab-sized loop state (r7s2, NEW)
+    "bpe_learned_segmentation",  # BPE induce→segment round trip, exact
+                                 # integer-ppm compression (runs the same
+                                 # merge-round trainer bpe_vocab_induction
+                                 # certified r7 — iterative class survives
+                                 # here)
     "domain_mix_kl",            # per-domain KL(p||q) mix-drift terms,
                                 # exact-integer inputs
     # iterative graph (pagerank r5-green + bfs_hops r6-green rotated out)
-    "sssp_weighted",            # Bellman-Ford weighted shortest paths
     "kcore_peeling",            # iterative subgraph peeling, residual
-                                # degrees
+                                # degrees (sssp_weighted r7-green, rotated
+                                # out — graph-iterative family survivor)
     # portable-sketch rep (kmv_set_cardinality + hll_rollup_hierarchy
     # r6-green, rotated out; sketch-merge algebra stays via CMS)
     "portable_cms_heavy_hitters",  # count-min heavy hitters, exact-integer
                                    # counters, <=768-row shuffle
-    # exact set-similarity: jaccard + containment BOTH r6-green, so the
-    # PPJoin family rests on those rows; the slot goes to the embedding
-    # side of dedup
-    "semdedup_prune",           # SemDeDup cluster-then-prune semantic
-                                # dedup, cell-blocked pairs (r7s2, NEW)
+    # (semdedup_prune r7-green, rotated out — embedding-dedup rests on
+    # that row; the ANN side stays via ivfpq + matryoshka)
     # multimodal family (multimodal_audio_features r6-green, rotated out;
     # debounce_events r6-green, rotated out — the Arrow-batched imperative
     # path stays certified via this real-codec mapInPandas chain + the

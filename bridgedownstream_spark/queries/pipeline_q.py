@@ -2064,3 +2064,357 @@ def upsert_merge_equiv(spark, sf_dir):
     return _read_table(spark, base).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "version"
     )
+
+
+#: (sf_dir) -> archived-protocol lake base (built once per process)
+_ARCHIVED: dict[str, str] = {}
+
+
+def _build_archived_lake(spark: SparkSession, sf_dir: str) -> str:
+    """The FULL schema-change protocol loop (reference
+    archive_dataset.py:60-160 + docs/schema_change_protocol.md §3) over a
+    private stage-2 lake: v1 build → archive (update 1) → compatible
+    additive evolution → bookmark reset → in-place rebuild → archive
+    again (update 2) → retention prune to the newest update. Reuses the
+    shared e2e lake's NDJSON export (stage 1 runs once per process); the
+    protocol's own artifacts live under their own base dir."""
+    if sf_dir in _ARCHIVED:
+        return _ARCHIVED[sf_dir]
+    import shutil
+
+    from bridgedownstream_spark.pipeline.archive import (
+        archive_dataset,
+        descendant_tables,
+        prune_archives,
+    )
+    from bridgedownstream_spark.pipeline.ledger import FileLedger
+    from bridgedownstream_spark.pipeline.registry import is_compatible_evolution
+
+    json_root = _build_lake(spark, sf_dir)["__json_root__"]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bds_archlake_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    pq = os.path.join(base, "parquet")
+    key_cols = ("assessmentid", "year", "month", "day", "recordid")
+
+    # v1 build through a bookmark ledger (the protocol resets it later)
+    ledger = FileLedger(spark, os.path.join(base, "ledger"))
+    run_json_to_parquet(
+        spark, json_root, pq, "rec_v1", _REGISTRY, key_cols=key_cols,
+        ledger=ledger,
+    )
+    # archive update 1 (pre-evolution state)
+    archive_dataset(pq, "rec_v1")
+
+    # additive evolution: one new declared column — MUST be compatible
+    # (the incompatible fork mandates a new _v{n+1} dataset instead)
+    evolved = DatasetRegistry(
+        {
+            "tables": {
+                "rec_v1": {
+                    "columns": [
+                        {"Name": n, "Type": t}
+                        for n, t in _REGISTRY["rec_v1"].columns
+                    ]
+                    + [{"Name": "extra_score", "Type": "double"}]
+                }
+            }
+        }
+    )
+    if not is_compatible_evolution(_REGISTRY["rec_v1"], evolved["rec_v1"]):
+        raise AssertionError("additive column evolution must be compatible")
+
+    # reset bookmark + drop live tables + rebuild in place (protocol §3)
+    ledger.reset("rec_v1")
+    for t in descendant_tables(pq, "rec_v1"):
+        shutil.rmtree(os.path.join(pq, t))
+    run_json_to_parquet(
+        spark, json_root, pq, "rec_v1", evolved, key_cols=key_cols,
+        ledger=ledger,
+    )
+    # archive update 2 (post-evolution state), then retention: keep only
+    # the newest whole update set — exact table-name matching, never glob
+    archive_dataset(pq, "rec_v1")
+    prune_archives(
+        os.path.join(pq, "archive"),
+        "rec_v1",
+        keep_last=1,
+        tables=[t for t in descendant_tables(pq, "rec_v1") if t != "archive"],
+    )
+    _ARCHIVED[sf_dir] = base
+    return base
+
+
+@q(
+    "archive_restore_equiv",
+    f"""
+    SELECT CAST(o_orderkey AS VARCHAR) AS recordid,
+           o_orderstatus   AS meta_o_orderstatus,
+           o_orderpriority AS meta_o_orderpriority,
+           CAST(NULL AS DOUBLE) AS extra_score,
+           o_orderstatus   AS assessmentid,
+           strftime(o_orderdate, '%Y') AS year,
+           '01' AS month,
+           '01' AS day,
+           CAST(2 AS INT) AS archived_update,
+           CAST(1 AS INT) AS updates_remaining,
+           CAST(2 AS INT) AS tables_per_update
+    {_ORACLE_SOURCE}
+    """,
+)
+def archive_restore_equiv(spark, sf_dir):
+    """Dataset-archiving equivalence — the last reference-lifecycle stage
+    to get an oracle row (pipeline/archive.py; reference
+    archive_dataset.py:90-152, docs/schema_change_protocol.md §3): after
+    the FULL protocol loop (archive update 1 → compatible evolution →
+    bookmark reset → rebuild → archive update 2 → prune to keep_last=1),
+    the RESTORED newest archive must equal a from-source recompute
+    row-for-row — including the evolved column as declared-NULL (old data
+    under an additive evolution) — which is exactly what the oracle
+    states. Three filesystem-derived certification columns ride every
+    row: archived_update (monotonic numbering reached 2), updates_remaining
+    (retention pruned update 1 as a WHOLE set), tables_per_update (root +
+    child archived together). A numbering, copy, retention, or rebuild
+    bug flips the hash.
+
+    Scale shape: archiving is a directory copy (distributed copy on
+    object storage — metadata-parallel, no row processing); the protocol
+    rebuild scans only the dataset being evolved; the certification
+    listing is an archive-directory walk (dozens of entries), never a
+    data scan."""
+    import re as _re
+
+    from bridgedownstream_spark.pipeline.archive import next_update_number
+
+    base = _build_archived_lake(spark, sf_dir)
+    arch = os.path.join(base, "parquet", "archive")
+    # FS-derived certification values (driver-side listing of an archive
+    # directory with O(updates × tables) entries — config-scale)
+    newest = next_update_number(arch, "rec_v1") - 1
+    names = os.listdir(arch)
+    updates = {m.group(1) for n in names if (m := _re.match(r".*_(\d+)$", n))}
+    tables_newest = sum(1 for n in names if n.endswith(f"_{newest}"))
+    restored = _read_table(spark, os.path.join(arch, f"rec_v1_{newest}"))
+    return restored.select(
+        "recordid",
+        "meta_o_orderstatus",
+        "meta_o_orderpriority",
+        "extra_score",
+        "assessmentid",
+        "year",
+        "month",
+        "day",
+        F.lit(newest).cast("int").alias("archived_update"),
+        F.lit(len(updates)).cast("int").alias("updates_remaining"),
+        F.lit(tables_newest).cast("int").alias("tables_per_update"),
+    )
+
+
+#: (sf_dir) -> workflow work_root (built once per process)
+_WORKFLOWED: dict[str, str] = {}
+
+_TAPS_SCHEMA = {
+    "$id": "schemas/v1/TapList",
+    "type": "array",
+    "items": {
+        "type": "object",
+        "required": ["tap_id"],
+        "properties": {
+            "tap_id": {"type": "integer"},
+            "value": {"type": "number"},
+        },
+    },
+}
+
+
+def _build_workflow_lake(spark: SparkSession, sf_dir: str) -> str:
+    """One-call study-workflow fixture: zip archives from the real events
+    table routed to TWO datasets (even user ids → the 'events'
+    assessment → eventlist_v1, odd → 'taps' → taplist_v1), pushed through
+    run_study_workflow TWICE — the second call must be a no-op (stage-1
+    checkpoint + stage-2 ledger), or every row doubles and the oracle
+    row count fails."""
+    if sf_dir in _WORKFLOWED:
+        return _WORKFLOWED[sf_dir]
+    import json
+    import shutil
+    import zipfile
+
+    from bridgedownstream_spark.pipeline.workflow import run_study_workflow
+
+    rows = (
+        tbl(spark, sf_dir, "events")
+        .where(F.col("user_id") < 10)
+        .select(
+            "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
+        )
+        .collect()  # fixture-builder only: ~10 users of events
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bds_wflake_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    arch_dir = os.path.join(base, "archives")
+    os.makedirs(arch_dir, exist_ok=True)
+    manifest_rows = []
+    for uid, evs in sorted(by_user.items()):
+        evs = sorted(evs, key=lambda r: r["event_id"])
+        path = os.path.join(arch_dir, f"user{uid}.zip")
+        if uid % 2 == 0:
+            member, assess = "events.json", "events"
+            body = [
+                {
+                    "event_id": r["event_id"],
+                    "event_type": r["event_type"],
+                    "value": r["value"],
+                }
+                for r in evs
+            ]
+        else:
+            member, assess = "taps.json", "taps"
+            body = [
+                {"tap_id": r["event_id"], "value": r["value"]} for r in evs
+            ]
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr(member, json.dumps(body))
+        manifest_rows.append(
+            (path, str(uid), assess, "1", "2024-01-02T00:00:00.000Z", "iPhone 13")
+        )
+    manifest = spark.createDataFrame(
+        manifest_rows,
+        "path string, recordid string, assessmentid string, "
+        "assessmentrevision string, uploadedon string, clientinfo string",
+    )
+    archive_map = {
+        "assessments": [
+            {
+                "assessmentIdentifier": "events",
+                "assessmentRevision": 1,
+                "files": [
+                    {
+                        "filename": "events.json",
+                        "jsonSchema": "https://example.org/events",
+                    }
+                ],
+            },
+            {
+                "assessmentIdentifier": "taps",
+                "assessmentRevision": 1,
+                "files": [
+                    {
+                        "filename": "taps.json",
+                        "jsonSchema": "https://example.org/taps",
+                    }
+                ],
+            },
+        ],
+        "apps": [],
+        "anyOf": [],
+    }
+    registry = DatasetRegistry(
+        {
+            "tables": {
+                "eventlist_v1": {
+                    "columns": [
+                        {"Name": "event_id", "Type": "bigint"},
+                        {"Name": "event_type", "Type": "string"},
+                        {"Name": "value", "Type": "double"},
+                        {"Name": "recordid", "Type": "string"},
+                    ]
+                },
+                "taplist_v1": {
+                    "columns": [
+                        {"Name": "tap_id", "Type": "bigint"},
+                        {"Name": "value", "Type": "double"},
+                        {"Name": "recordid", "Type": "string"},
+                    ]
+                },
+            }
+        }
+    )
+    work = os.path.join(base, "work")
+    for _run in range(2):  # second run must be an incremental no-op
+        run_study_workflow(
+            spark,
+            archive_path=os.path.join(arch_dir, "*.zip"),
+            manifest=manifest,
+            archive_map=archive_map,
+            schema_store={
+                "https://example.org/events": _EVENTS_SCHEMA,
+                "https://example.org/taps": _TAPS_SCHEMA,
+            },
+            schema_mapping={
+                "schemas/v1/EventList": "eventlist_v1",
+                "schemas/v1/TapList": "taplist_v1",
+            },
+            registry=registry,
+            work_root=work,
+            max_concurrency=4,
+        )
+    _WORKFLOWED[sf_dir] = work
+    return work
+
+
+@q(
+    "workflow_e2e_equiv",
+    """
+    SELECT 'eventlist_v1' AS dataset,
+           CAST(user_id AS VARCHAR) AS recordid,
+           event_id AS item_id,
+           event_type,
+           round(value, 2) AS value
+    FROM events WHERE user_id < 10 AND user_id % 2 = 0
+    UNION ALL
+    SELECT 'taplist_v1',
+           CAST(user_id AS VARCHAR),
+           event_id,
+           CAST(NULL AS VARCHAR),
+           round(value, 2)
+    FROM events WHERE user_id < 10 AND user_id % 2 = 1
+    """,
+)
+def workflow_e2e_equiv(spark, sf_dir):
+    """One-call workflow-orchestrator equivalence (pipeline/workflow.py —
+    the reference's SNS→SQS→Lambda→Glue-workflow trigger chain,
+    templates/study-pipeline-infra.j2:245-298, as one function): archives
+    carrying TWO assessment types run through checkpointed stage-1
+    ingest, layout-based dataset discovery (no crawler — the dataset=
+    dirs ARE the catalog), and CONCURRENT per-dataset stage-2 jobs
+    (driver threads + Spark job groups, the reference's
+    one-Glue-job-per-dataset parallelism) — TWICE, so the second run's
+    no-op contract (stream checkpoint + file ledger) is certified by the
+    oracle's single-run row count. The union of both parquet tables must
+    equal a from-source sequential recompute stated directly in SQL:
+    routing, validation, injection, discovery, concurrency, and
+    incrementality all sit inside the hash.
+
+    Scale shape: per-dataset stage-2 jobs scan disjoint dataset=
+    prefixes (partition-pruned), discovery is one first-level directory
+    listing, and concurrency is driver-thread-cheap (jobs share the
+    cluster via scheduler pools)."""
+    work = _build_workflow_lake(spark, sf_dir)
+    ev = _read_table(
+        spark, os.path.join(work, "parquet", "eventlist_v1")
+    ).select(
+        F.lit("eventlist_v1").alias("dataset"),
+        "recordid",
+        F.col("event_id").alias("item_id"),
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
+    taps = _read_table(
+        spark, os.path.join(work, "parquet", "taplist_v1")
+    ).select(
+        F.lit("taplist_v1").alias("dataset"),
+        "recordid",
+        F.col("tap_id").alias("item_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.round("value", 2).alias("value"),
+    )
+    return ev.unionByName(taps)
