@@ -170,17 +170,28 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — warmup is best-effort
             print(f"warmup: {_builder.__name__} failed: {e!r}", file=sys.stderr)
 
+    # SPARK_GRAFT_BENCH_REPS=N takes each query's MIN over N in-session
+    # passes (VERDICT r7 #3: single-marathon numbers drift up to 2.1x on
+    # scheduler noise — asof_join_events 1.91 s marathon vs 0.92 s
+    # isolated; the min is the reproducible plan floor). The committed
+    # BENCH_FULL.json runs with REPS=2; default stays 1 for quick looks.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name in names:
-        fn = REGISTRY[name][0]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            materialize(df)
-            per_query[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            failures[name] = f"{type(e).__name__}: {e}"
+    for rep in range(reps):
+        for name in names:
+            fn = REGISTRY[name][0]
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                materialize(df)
+                t = round(time.perf_counter() - t0, 3)
+                if name not in per_query or t < per_query[name]:
+                    per_query[name] = t
+                failures.pop(name, None)  # a later success clears a flake
+            except Exception as e:  # noqa: BLE001
+                if name not in per_query:
+                    failures[name] = f"{type(e).__name__}: {e}"
 
     total = round(sum(per_query.values()), 3)
     full = {
@@ -190,6 +201,7 @@ def main() -> int:
         "queries": per_query,
         "sf": sf,
         "n_queries": len(per_query),
+        "reps": reps,
     }
     if failures:
         full["failures"] = failures

@@ -2032,9 +2032,18 @@ def ivfpq_residual_search(spark, sf_dir):
 #: a visible fraction without collapsing whole cells).
 _SEMDEDUP_TAU = 0.4
 
-_SEMDEDUP_DUCK = _EMB_CTE_DUCK + f"""
-    , cent AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm FROM n
-               WHERE vec_id % 250 = 0 AND vec_id < {250 * _N_CELLS}),
+#: CTE block (cent → assign → ranked → pruned) appended after
+#: _EMB_CTE_DUCK — shared by the semdedup oracle and the dedup-agreement
+#: audit, which splices it behind the MinHash pair CTEs.
+_SEMDEDUP_CTES_DUCK = f"""
+    , params AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS stride FROM n),
+    -- corpus-BALANCED quantizer: stride = ceil(sqrt(n)) gives
+    -- cells ~ sqrt(n) and cell size ~ sqrt(n), so assignment (n x cells
+    -- dots) and pair volume (sum cell^2 = n^2/cells) are BOTH
+    -- Theta(n^1.5) — the flat-IVF balance point (cells ∝ n would make
+    -- assignment quadratic; a fixed cell count makes pairs quadratic)
+    cent AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
+             FROM n, params WHERE vec_id % stride = 0),
     assign AS (
         SELECT vec_id, emb, nrm, cent_id, ccos FROM (
             SELECT v.vec_id, v.emb, v.nrm, c.cent_id,
@@ -2059,7 +2068,9 @@ _SEMDEDUP_DUCK = _EMB_CTE_DUCK + f"""
           ON a.cent_id = b.cent_id AND a.rnk < b.rnk
         WHERE round({_DOT_DUCK.format(a='a.emb', b='b.emb')} / (a.nrm * b.nrm), 4)
               >= {_SEMDEDUP_TAU}
-    )
+    )"""
+
+_SEMDEDUP_DUCK = _EMB_CTE_DUCK + _SEMDEDUP_CTES_DUCK + """
     SELECT r.vec_id, r.cent_id AS cell, CAST(r.rnk AS INT) AS typicality_rank,
            p.vec_id IS NULL AS kept
     FROM ranked r LEFT JOIN pruned p ON r.vec_id = p.vec_id
@@ -2078,11 +2089,17 @@ def semdedup_prune(spark, sf_dir):
     This composes the repo's existing primitives into the published
     algorithm's shape: the centroid table broadcasts (Theta(cells)),
     assignment is one corpus pass, and the pair scoring is an equi-join on
-    cell id — never all-pairs; pair volume is sum(cell_size^2), bounded by
-    keeping cells ~O(corpus/cells), the same throttle as the IVF index.
-    At 100 TB the cells come from the trained quantizer
-    (kmeans_refine_centroids) and each cell's pair block is independent —
-    embarrassingly parallel after one shuffle on cell id.
+    cell id — never all-pairs. The cell count is SIZED FROM THE CORPUS
+    (r8, the r7 verdict's fixed-cell risk): cells ~ sqrt(n) via
+    stride = ceil(sqrt(n)), the flat-IVF balance point — assignment
+    (n x cells coarse dots) and pair volume (sum cell^2 = n^2/cells) are
+    BOTH Theta(n^1.5); cells ∝ n would turn assignment quadratic, a fixed
+    cell count turns pairs quadratic. The stride derives from a broadcast
+    1-row count aggregate on both engines, the same structural discipline
+    as the graph family's _edge_parts. At 100 TB the centroids come from
+    a trained quantizer (kmeans_refine_centroids) rather than the modulus
+    rule, and each cell's pair block is independent — embarrassingly
+    parallel after one shuffle on cell id.
 
     Oracle parity: distances round to 6 and pair cosines to 4 before any
     comparison (the ann_* discipline), so the keep/prune bit is identical
@@ -2092,7 +2109,24 @@ def semdedup_prune(spark, sf_dir):
     join)."""
     from pyspark.sql import Window as W
 
-    e, cent = _ivf_cent(spark, sf_dir)
+    # own centroid rule (NOT _ivf_cent): the IVF family's 8-cell cap is a
+    # baked oracle constant there; SemDeDup's quantizer must BALANCE with
+    # the corpus — stride = ceil(sqrt(n)), so cells ~ sqrt(n) and
+    # assignment and pair volume are both Theta(n^1.5) (see oracle CTE).
+    # The stride rides a broadcast 1-row aggregate, never a driver count.
+    e = _emb_norms(spark, sf_dir)
+    stride = F.broadcast(
+        e.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).cast("bigint").alias("stride"))
+    )
+    cent = F.broadcast(
+        e.crossJoin(stride)
+        .where(F.col("vec_id") % F.col("stride") == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
     wa = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
     assign = (
         e.crossJoin(cent)
@@ -2290,4 +2324,241 @@ def ann_matryoshka_recall(spark, sf_dir):
             F.count("a_neighbor_id").cast("int").alias("n_hits"),
             F.round(F.count("a_neighbor_id") / _TOP_K, 3).alias("recall"),
         )
+    )
+
+
+# -- Matryoshka recall curve --------------------------------------------------
+
+_MRL_CURVE_DIMS = (8, 16, 32, 64)
+
+
+def _mrl_curve_duck() -> str:
+    """Oracle for the recall-vs-truncation curve: the funnel CTEs of
+    ann_matryoshka_recall unrolled once per truncation dim, scored
+    against ONE shared brute-force truth."""
+    parts = [
+        _EMB_CTE_DUCK,
+        f""",
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DOT_DUCK.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 4) DESC,
+                                c.vec_id
+                   ) AS rnk
+            FROM n q JOIN n c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+        ) WHERE rnk <= {_TOP_K}
+    )""",
+    ]
+    selects = []
+    for d in _MRL_CURVE_DIMS:
+        parts.append(f""",
+    t{d} AS (SELECT vec_id, emb, nrm,
+                    list_slice(emb, 1, {d}) AS temb,
+                    sqrt(list_sum(list_transform(list_slice(emb, 1, {d}),
+                                                 x -> x * x))) AS tnrm
+             FROM n),
+    sl{d} AS (
+        SELECT query_id, neighbor_id, full_cos FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round({_DOT_DUCK.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 4) AS full_cos,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DOT_DUCK.format(a='q.temb', b='c.temb')} / (q.tnrm * c.tnrm), 4) DESC,
+                                c.vec_id
+                   ) AS crnk
+            FROM t{d} q JOIN t{d} c
+              ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+        ) WHERE crnk <= {_MRL_SHORTLIST}
+    ),
+    rr{d} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY full_cos DESC, neighbor_id) AS rnk
+            FROM sl{d}
+        ) WHERE rnk <= {_TOP_K}
+    )""")
+        selects.append(f"""
+    SELECT CAST({d} AS INT) AS trunc_dim,
+           CAST(count(rr.neighbor_id) AS INT) AS n_hits,
+           round(count(rr.neighbor_id) / {_N_QUERIES * _TOP_K}.0, 3) AS recall
+    FROM brute bf LEFT JOIN rr{d} rr
+      ON bf.query_id = rr.query_id AND bf.neighbor_id = rr.neighbor_id""")
+    return (
+        "".join(parts)
+        + " SELECT * FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY trunc_dim"
+    )
+
+
+@q("ann_matryoshka_curve", _mrl_curve_duck())
+def ann_matryoshka_curve(spark, sf_dir):
+    """Recall-vs-truncation curve for Matryoshka adaptive retrieval — the
+    QC sweep a deployment runs before choosing its prefix dimension
+    (Kusupati et al. 2022, arXiv:2205.13147 §4.3): the
+    ann_matryoshka_recall funnel (truncated coarse rank → 10-deep
+    shortlist → full-precision re-rank) evaluated at prefix dims 8, 16,
+    32, 64 against ONE shared full-dimension brute truth, aggregated to
+    corpus recall@3 per dim. dim=64 is the built-in sanity anchor: the
+    coarse rank IS the full rank there, so recall is exactly 1.0.
+
+    Plan shape per dim: identical to the certified single-dim funnel —
+    only (ids, scalar cos) cross the ranking shuffle, full vectors are
+    fetched for queries × shortlist rows only. The curve costs
+    |dims| coarse scans; at 100 TB each coarse scan reads ONLY its
+    prefix columns (dim-proportional bytes — the sweep's x-axis is also
+    its cost axis), so the cheap points are genuinely cheap."""
+    from pyspark.sql import Window as W
+
+    e = _emb_norms(spark, sf_dir)
+    qs = F.broadcast(
+        e.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    pairs = qs.crossJoin(e).where(F.col("vec_id") != F.col("query_id"))
+    fcos = F.round(
+        F.expr(_DOT_SPARK.format(a="q_emb", b="emb"))
+        / (F.col("q_nrm") * F.col("nrm")),
+        4,
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("full_cos").desc(), "neighbor_id")
+    # one shared truth: queries × k rows, computed once. It sits on the
+    # LEFT of each scoring left-join (preserved side — not hintable), so
+    # the broadcast belongs to the rerank side below.
+    brute = (
+        pairs.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), fcos.alias("full_cos")
+        )
+        .withColumn("rnk", F.row_number().over(wf))
+        .where(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    denom = float(_N_QUERIES * _TOP_K)
+    out = None
+    for d in _MRL_CURVE_DIMS:
+        ed = e.withColumn("temb", F.expr(f"slice(emb, 1, {d})")).withColumn(
+            "tnrm",
+            F.expr(
+                "sqrt(aggregate(temb, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
+            ),
+        )
+        qd = F.broadcast(
+            ed.where(F.col("vec_id") < _N_QUERIES).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("emb").alias("q_emb"),
+                F.col("nrm").alias("q_nrm"),
+                F.col("temb").alias("q_temb"),
+                F.col("tnrm").alias("q_tnrm"),
+            )
+        )
+        tcos = F.round(
+            F.expr(_DOT_SPARK.format(a="q_temb", b="temb"))
+            / (F.col("q_tnrm") * F.col("tnrm")),
+            4,
+        )
+        wc = W.partitionBy("query_id").orderBy(F.col("tcos").desc(), "neighbor_id")
+        shortlist = (
+            qd.crossJoin(ed)
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id", F.col("vec_id").alias("neighbor_id"), tcos.alias("tcos")
+            )
+            .withColumn("crnk", F.row_number().over(wc))
+            .where(F.col("crnk") <= _MRL_SHORTLIST)
+            .select("query_id", "neighbor_id")
+        )
+        cand = F.broadcast(shortlist).join(
+            e.select(F.col("vec_id").alias("neighbor_id"), "emb", "nrm"),
+            "neighbor_id",
+        )
+        rerank = (
+            cand.join(qd.select("query_id", "q_emb", "q_nrm"), "query_id")
+            .select("query_id", "neighbor_id", fcos.alias("full_cos"))
+            .withColumn("rnk", F.row_number().over(wf))
+            .where(F.col("rnk") <= _TOP_K)
+            .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        )
+        scored = (
+            brute.join(F.broadcast(rerank), ["query_id", "neighbor_id"], "left")
+            .groupBy()
+            .agg(F.count("hit").cast("int").alias("n_hits"))
+            .select(
+                F.lit(d).cast("int").alias("trunc_dim"),
+                "n_hits",
+                F.round(F.col("n_hits").cast("double") / denom, 3).alias("recall"),
+            )
+        )
+        out = scored if out is None else out.unionByName(scored)
+    return out.orderBy("trunc_dim")
+
+
+# -- dedup-stack agreement audit ----------------------------------------------
+
+_AGREE_DUCK = (
+    _PAIRS_CTE_DUCK
+    + ", "
+    + _EMB_CTE_DUCK[len("WITH ") :]
+    + _SEMDEDUP_CTES_DUCK
+    + """,
+    text_flag AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL SELECT doc_b AS doc_id FROM pairs)),
+    sem AS (
+        SELECT r.vec_id, p.vec_id IS NOT NULL AS sem_pruned
+        FROM ranked r LEFT JOIN pruned p ON r.vec_id = p.vec_id)
+    SELECT tf.doc_id IS NOT NULL AS text_dup, s.sem_pruned,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM sem s LEFT JOIN text_flag tf ON tf.doc_id = s.vec_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+)
+
+
+@q("dedup_agreement_audit", _AGREE_DUCK)
+def dedup_agreement_audit(spark, sf_dir):
+    """MinHash-vs-SemDeDup agreement audit — the QC a curation pipeline
+    runs before choosing thresholds when it has BOTH a lexical and a
+    semantic dedup stack (VERDICT r7 #8): every embedded document gets
+    its two verdicts — "appears in a verified MinHash-LSH near-dup pair
+    (jaccard >= 0.5)" and "pruned by SemDeDup (>= tau cosine to a more
+    typical same-cell member)" — and the output is the 2x2 agreement
+    matrix (text_dup, sem_pruned, n_docs). Documents the two stacks
+    DISAGREE on are exactly where threshold tuning matters: text-only
+    flags are boilerplate/templating the embedder ignores, semantic-only
+    flags are paraphrases lexical shingles miss.
+
+    Reuses both certified pipelines verbatim (the LSH candidate cache
+    and the cell-blocked SemDeDup join); the extra cost is one distinct
+    over pair ids (tiny, broadcast) and a corpus-keyed left join. The
+    oracle splices both certified CTE chains behind each other — CTE
+    namespaces are disjoint by construction."""
+    sem = QUERIES["semdedup_prune"][0](spark, sf_dir)
+    pairs = QUERIES["near_dup_lsh_pairs"][0](spark, sf_dir)
+    text_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("text_flagged", F.lit(True))
+    )
+    return (
+        sem.join(
+            F.broadcast(text_ids),
+            sem.vec_id == text_ids.doc_id,
+            "left",
+        )
+        .groupBy(
+            F.coalesce("text_flagged", F.lit(False)).alias("text_dup"),
+            (~F.col("kept")).alias("sem_pruned"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("text_dup", "sem_pruned")
     )

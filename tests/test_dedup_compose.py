@@ -148,3 +148,66 @@ def test_semdedup_plan_pairs_on_cell_never_all_pairs(spark):
     # assignment broadcast lives INSIDE the checkpointed ranked frame and
     # runs once — if it reappears here, a consumer is recomputing it
     assert plan.count("BroadcastNestedLoopJoin") == 0
+
+
+@pytest.fixture(scope="module")
+def agree_dir(spark, tmp_path_factory):
+    """Planted disagreement corpus for the MinHash-vs-SemDeDup audit:
+    docs 0/1 are lexically identical but embedded ORTHOGONALLY (text-dup
+    only — the boilerplate case); docs 2/3 are lexically unrelated but
+    embedded identically (semantic-dup only — the paraphrase case).
+    n=4 -> stride=2 -> centroids {0, 2}."""
+    path = str(tmp_path_factory.mktemp("agree") / "lake")
+    same = " ".join(f"boiler{i}" for i in range(20))
+    rows = [
+        (0, same, "en", "s", 0),
+        (1, same, "en", "s", 0),
+        (2, " ".join(f"alpha{i}" for i in range(20)), "en", "s", 0),
+        (3, " ".join(f"beta{i}" for i in range(20)), "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    embs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),   # orthogonal to its text twin
+        (2, [0.0, 0.0, 1.0, 0.0], 1),
+        (3, [0.0, 0.0, 1.0, 0.0], 1),   # identical to lexically-unrelated 2
+    ]
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+    return path
+
+
+def test_dedup_agreement_audit_separates_the_two_stacks(spark, agree_dir):
+    """The audit's whole point: the two dedup stacks disagree on exactly
+    the planted rows. Text flags {0,1}; SemDeDup prunes exactly one of
+    {2,3} (the less typical same-cell twin) and keeps rank-1 members."""
+    out = {
+        (r.text_dup, r.sem_pruned): r.n_docs
+        for r in similarity.dedup_agreement_audit(spark, agree_dir).collect()
+    }
+    # docs 0,1: text-dup, never sem-pruned (orthogonal embeddings)
+    assert out.get((True, False)) == 2
+    assert (True, True) not in out
+    # one of docs 2,3 pruned semantically, the other kept
+    assert out.get((False, True)) == 1
+    assert out.get((False, False)) == 1
+
+
+def test_matryoshka_curve_full_dim_anchor(spark):
+    """dim = 64 is the curve's built-in truth anchor: the coarse rank IS
+    the full rank, so recall@3 must be exactly 1.0; every other dim's
+    recall is a valid fraction and the curve covers exactly the declared
+    dims."""
+    rows = {
+        r.trunc_dim: r
+        for r in similarity.ann_matryoshka_curve(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert sorted(rows) == [8, 16, 32, 64]
+    assert rows[64].n_hits == 15 and rows[64].recall == 1.0
+    for d, r in rows.items():
+        assert 0 <= r.n_hits <= 15 and 0.0 <= r.recall <= 1.0

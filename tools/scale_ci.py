@@ -73,6 +73,11 @@ GATE: dict[str, tuple[float, str]] = {
     # gate-measured 2.42x at 100x docs (in-JVM steady state 2.0x;
     # the corpus appears only in the initial word count).
     "bpe_vocab_induction": (5.0, "documents"),
+    # SemDeDup with corpus-BALANCED cells (r8: stride = ceil(sqrt(n)),
+    # cells ~ sqrt(n)): assignment (n x cells) and pair volume
+    # (n^2/cells) are both Theta(n^1.5), so the honest 100x floor is
+    # ~100^1.5/idle-core-absorption. Gate-measured r8: see SCALE.md.
+    "semdedup_prune": (90.0, "embeddings"),
 }
 
 
