@@ -442,27 +442,30 @@ def test_certifying_prefix_is_stable():
         "projection_pushdown", "stream_sync_e2e",
         "expected_error_suppression",
         # one representative per extension family the grader names
-        # (r7s2: near_dup_keep_best / curation_funnel / merkle_snapshot_diff
-        # / containment_prefix_join rotated out on their r6 driver rows;
-        # semdedup_prune is the embedding-dedup rep, bpe_vocab_induction
-        # the curation/iterative rep, and the lake-maintenance pair gets
-        # its first driver certification)
-        "semdedup_prune", "ivfpq_residual_search",
-        "adaptive_skew_join", "bpe_vocab_induction",
-        "pipeline_compaction_equiv", "upsert_merge_equiv",
-        # r7 rotation (VERDICT r6 #1): the never-certified backlog promoted;
-        # every rotated-out r6-green query's component keeps a survivor —
-        # mapping inline in queries/__init__.py
-        "kmeans_refine_centroids", "kcore_peeling", "domain_mix_kl",
-        "chi_square_independence", "array_hof_suite", "pareto_frontier",
-        "copurchase_lift", "event_pattern_match",
-        "stream_interval_join_e2e", "stream_sessionize_e2e",
-        "stream_enrich_e2e", "portable_cms_heavy_hitters",
-        "sssp_weighted",
+        # (r8 rotation: semdedup_prune / bpe_vocab_induction /
+        # upsert_merge_equiv / sssp_weighted / the streaming matrix trio
+        # rotated out on their r7 driver rows; survivors and the promoted
+        # never-certified backlog below — mapping inline in
+        # queries/__init__.py)
+        "ivfpq_residual_search", "adaptive_skew_join",
+        "pipeline_compaction_equiv",
+        # r8 promotions: the six never-certified r7 tail operators
+        "bootstrap_ci_revenue", "fixed_width_roundtrip", "kfold_assign",
+        "bpe_learned_segmentation", "attribution_position",
+        "ann_matryoshka_recall",
+        # r8 NEW lifecycle oracles (the last zero-oracle families)
+        "archive_restore_equiv", "workflow_e2e_equiv",
+        # family survivors that must hold their window slot
+        "kcore_peeling", "domain_mix_kl",
+        "portable_cms_heavy_hitters",
         "bucketed_join_no_shuffle", "multimodal_real_codec",
-        # TPC-H shape reps
-        "q16_supplier_part_counts", "q21_suppliers_kept_waiting",
-        "q6_forecast_revenue",
+        "zorder_box_query",
+        # TPC-H shape reps (q21 rotated out r8; the Q2/Q15/Q17/Q19/Q20
+        # remainder promoted)
+        "q16_supplier_part_counts", "q6_forecast_revenue",
+        "q2_min_cost_supplier", "q15_top_supplier",
+        "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+        "q20_potential_promotion",
     }
     missing = must_have - set(_CERTIFYING)
     assert not missing, f"certifying window lost: {missing}"

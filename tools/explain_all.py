@@ -1246,6 +1246,33 @@ HEADLINERS = {
         "and funnel results are queries×k, so the recall join is "
         "broadcast too."
     ),
+    "archive_restore_equiv": (
+        "Schema-change protocol restore (r8): the output is ONE pruned "
+        "parquet scan of the newest archived table plus literal "
+        "certification columns — archiving work (directory copies, "
+        "rebuild) happened at build time; the restored read carries no "
+        "joins, no exchanges beyond the scan."
+    ),
+    "workflow_e2e_equiv": (
+        "One-call orchestrator equivalence (r8): two partition-pruned "
+        "parquet scans (one per discovered dataset) unioned — the "
+        "concurrent stage-2 jobs' outputs read back with zero joins; "
+        "discovery and ingest happened at build time behind the "
+        "stage-1 checkpoint and stage-2 ledger."
+    ),
+    "ann_matryoshka_curve": (
+        "Recall-vs-truncation sweep (r8): each dim's funnel keeps the "
+        "certified shape (prefix-dot coarse rank ships scalars only; "
+        "full vectors fetched for queries×shortlist via broadcast "
+        "joins); the per-dim scorings union queries×k rows against one "
+        "shared brute truth."
+    ),
+    "dedup_agreement_audit": (
+        "MinHash-vs-SemDeDup 2x2 agreement matrix (r8): both certified "
+        "dedup pipelines feed a corpus-keyed LEFT join against a "
+        "broadcast distinct of pair ids; the only new exchange is the "
+        "4-group final aggregate."
+    ),
 }
 
 
