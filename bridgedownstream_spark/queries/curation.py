@@ -1103,3 +1103,191 @@ def kfold_assign(spark, sf_dir):
         )
         .orderBy("fold", "source")
     )
+
+
+# -- DSIR importance resampling ------------------------------------------------
+
+_DSIR_B = 64        # hashed n-gram feature buckets
+_DSIR_K = 100       # documents selected
+#: 2^60 + 2: maps the 60-bit doc hash to u in (0, 1) exclusive — u = 1
+#: would send the Gumbel reparameterization -ln(-ln(u)) to +inf
+_DSIR_U_DEN = 1152921504606846978.0
+
+_DSIR_DUCK = f"""
+    WITH toks AS (SELECT doc_id, lang, {_NORM_TOKS_SQL} AS t FROM documents),
+    grams AS (
+        SELECT doc_id, lang, unnest(t || {_grams_sql('t', 2)}) AS g FROM toks
+    ),
+    bucketed AS (
+        SELECT doc_id, lang, {HASH60.format(x='g')} % {_DSIR_B} AS b FROM grams
+    ),
+    raw_c AS (SELECT b, count(*) AS c FROM bucketed GROUP BY b),
+    tgt_c AS (SELECT b, count(*) AS c FROM bucketed WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM bucketed) AS nr,
+                   (SELECT count(*) FROM bucketed WHERE lang = 'en') AS nt),
+    ratio AS (
+        SELECT bb.b,
+               CAST(round(ln(CAST((COALESCE(t.c, 0) + 1) * (tot.nr + {_DSIR_B}) AS DOUBLE)
+                             / CAST((COALESCE(r.c, 0) + 1) * (tot.nt + {_DSIR_B}) AS DOUBLE)),
+                          7) AS DECIMAL(18,7)) AS ratio
+        FROM range({_DSIR_B}) AS bb(b)
+        LEFT JOIN raw_c r ON r.b = bb.b
+        LEFT JOIN tgt_c t ON t.b = bb.b, tot
+    ),
+    logw AS (
+        SELECT doc_id, CAST(sum(ratio) AS DECIMAL(28,7)) AS logw
+        FROM bucketed JOIN ratio USING (b) GROUP BY doc_id
+    ),
+    scored AS (
+        -- score stays DECIMAL end to end: logw is a 7-decimal quantity
+        -- and the gumbel a 6-decimal one, so their double sum lands
+        -- EXACTLY on the round-6 half boundary whenever logw's 7th digit
+        -- is 5 (~10% of docs) — and Spark's round (shortest-repr
+        -- HALF_UP) disagrees with DuckDB's (binary) precisely there.
+        -- Exact decimal addition has no boundary to disagree on.
+        SELECT d.doc_id, d.lang,
+               round(CAST(l.logw AS DOUBLE), 4) AS logw,
+               CAST(l.logw + CAST(round(-ln(-ln(({HASH60.format(x='CAST(d.doc_id AS VARCHAR)')} + 1)
+                                             / {_DSIR_U_DEN})), 6)
+                                  AS DECIMAL(18,6))
+                    AS DECIMAL(28,7)) AS score_dec
+        FROM documents d JOIN logw l USING (doc_id)
+    )
+    SELECT doc_id, lang, logw, CAST(score_dec AS DOUBLE) AS score,
+           CAST(row_number() OVER (ORDER BY score_dec DESC, doc_id) AS INT) AS rnk
+    FROM scored ORDER BY score_dec DESC, doc_id LIMIT {_DSIR_K}
+    """
+
+
+@q("dsir_select", _DSIR_DUCK)
+def dsir_select(spark, sf_dir):
+    """DSIR data selection via importance resampling (Xie et al. 2023,
+    arXiv:2302.03169): documents are featurized as hashed uni+bigram
+    counts over {B} buckets, scored by the log importance ratio
+    log p_target(x) − log q_raw(x) under add-one-smoothed bucket
+    distributions (target = the 'en' slice, raw = the whole corpus), and
+    the top-K are selected by Gumbel-top-k — the paper's sampling-
+    without-replacement scheme, made RNG-free by reparameterizing the
+    Gumbel noise from each doc's md5 (u = (h60+1)/(2^60+2), g =
+    −ln(−ln(u))), so selection is deterministic, merge-order-free, and
+    re-ingest-stable like every sampling gate here.
+
+    Spark shape (the 100 TB argument): featurization and scoring are
+    ROW-LOCAL — each doc folds its own grams against the broadcast
+    64-element log-ratio array (built from two one-pass bucket counts
+    whose wire is (bucket, partial count) after map-side combine, then
+    collected into ONE row via array_sort(collect_list(struct))) — so
+    the corpus is scanned once with zero gram-string shuffles and zero
+    doc-keyed exchanges; the only data-sized movement is the final
+    TakeOrdered(K). The DuckDB oracle states the same spec relationally
+    (explode → bucket join → group-by-doc sum) — two formulations, one
+    decimal-exact answer. Log ratios round to 7 decimals into DECIMAL
+    before any summation (the lm_perplexity ln-parity discipline)."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.expr(_NORM_TOKS_EXPR).alias("t")
+    ).withColumn(
+        "grams", F.expr(f"concat(t, {_grams_expr('t', 2)})")
+    )
+    bucket_of = (
+        f"CAST(conv(substring(md5({{g}}), 1, 15), 16, 10) AS BIGINT) % {_DSIR_B}"
+    )
+    bucketed = toks.select(
+        "doc_id",
+        "lang",
+        F.explode("grams").alias("g"),
+    ).select("doc_id", "lang", F.expr(bucket_of.format(g="g")).alias("b"))
+    raw_c = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt_c = (
+        bucketed.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    grid = spark.range(_DSIR_B).select(F.col("id").cast("bigint").alias("b"))
+    totals = F.broadcast(
+        bucketed.agg(
+            F.count(F.lit(1)).alias("nr"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+        )
+    )
+    ratio = (
+        grid.join(F.broadcast(raw_c), "b", "left")
+        .join(F.broadcast(tgt_c), "b", "left")
+        .crossJoin(totals)
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce("tc", F.lit(0)) + 1)
+                        * (F.col("nr") + _DSIR_B)
+                    ).cast("double")
+                    / (
+                        (F.coalesce("rc", F.lit(0)) + 1)
+                        * (F.col("nt") + _DSIR_B)
+                    ).cast("double")
+                ),
+                7,
+            )
+            .cast("decimal(18,7)")
+            .alias("ratio"),
+        )
+    )
+    # ONE row holding the bucket-ordered ratio array — the broadcast model
+    ratios_row = F.broadcast(
+        ratio.agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(b, ratio))), x -> x.ratio)"
+            ).alias("ratios")
+        )
+    )
+    # row-local scoring fold: every doc dots its grams against the model
+    logw_expr = (
+        "aggregate(grams, CAST(0 AS DECIMAL(28,7)), "
+        # the merge re-casts to the accumulator type: decimal addition
+        # widens (28,7)+(18,7) -> (29,7) and aggregate() requires the
+        # lambda to return exactly the zero's type
+        "(acc, g) -> CAST(acc + element_at(ratios, "
+        f"CAST({bucket_of.format(g='g')} AS INT) + 1) AS DECIMAL(28,7)), "
+        "acc -> acc)"
+    )
+    u = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        )
+        + 1
+    ) / F.lit(_DSIR_U_DEN)
+    gumbel = F.round(-F.log(-F.log(u)), 6)
+    scored = (
+        toks.crossJoin(ratios_row)
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(logw_expr).alias("lw"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("lw").cast("double"), 4).alias("logw"),
+            # exact decimal sum — see the oracle's boundary note
+            (F.col("lw") + gumbel.cast("decimal(18,6)"))
+            .cast("decimal(28,7)")
+            .alias("score_dec"),
+        )
+    )
+    topk = scored.orderBy(F.col("score_dec").desc(), "doc_id").limit(_DSIR_K)
+    # rank over the K-row result only (post-limit — never a global window)
+    from pyspark.sql import Window as W
+
+    return topk.withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.orderBy(F.col("score_dec").desc(), "doc_id"))
+        .cast("int"),
+    ).select(
+        "doc_id",
+        "lang",
+        "logw",
+        F.col("score_dec").cast("double").alias("score"),
+        "rnk",
+    )

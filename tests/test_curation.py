@@ -351,3 +351,32 @@ def test_bpe_no_pairs_at_all_is_identity(spark, tmp_path_factory):
     assert _duck_on(path, curation.QUERIES["bpe_vocab_induction"][1]) == []
     oracle_seg = _duck_on(path, curation.QUERIES["bpe_learned_segmentation"][1])
     assert oracle_seg[0][:3] == (5, 5, 5)
+
+
+def test_dsir_selects_target_like_content_not_labels(spark, tmp_path_factory):
+    """DSIR's point: importance weights rank RAW docs by how target-like
+    their CONTENT is, regardless of label. Target slice = lang 'en'
+    (vocabulary A). A lang-'xx' doc written in vocabulary A must outscore
+    (in logw) every lang-'xx' doc written in vocabulary B; the en docs
+    themselves score high. Weights are deterministic decimals, so the
+    ordering is stable across runs."""
+    path = str(tmp_path_factory.mktemp("dsir") / "lake")
+    va = " ".join(f"alpha{i}" for i in range(30))
+    vb = " ".join(f"beta{i}" for i in range(30))
+    rows = (
+        [(i, va, "en", "s", 0) for i in range(8)]          # target: vocab A
+        + [(100, va, "xx", "s", 0)]                        # raw doc, vocab A
+        + [(200 + i, vb, "xx", "s", 0) for i in range(8)]  # raw docs, vocab B
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    out = {r.doc_id: r for r in curation.dsir_select(spark, path).collect()}
+    assert len(out) == 17  # K > corpus: everything returned, ranked
+    # the vocab-A impostor outweighs every vocab-B doc
+    assert all(out[100].logw > out[d].logw for d in out if d >= 200)
+    # and matches the en docs' weight (same content => same logw)
+    assert out[100].logw == out[0].logw
+    # determinism: a second invocation produces the identical ranking
+    again = {r.doc_id: r.rnk for r in curation.dsir_select(spark, path).collect()}
+    assert again == {d: r.rnk for d, r in out.items()}
