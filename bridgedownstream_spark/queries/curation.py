@@ -1291,3 +1291,135 @@ def dsir_select(spark, sf_dir):
         F.col("score_dec").cast("double").alias("score"),
         "rnk",
     )
+
+
+# -- Heaps'-law vocabulary growth curve ----------------------------------------
+
+_HEAPS_SLICES = 10
+
+_HEAPS_DUCK = f"""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    sliced AS (
+        SELECT doc_id,
+               -- floor, explicitly: DuckDB CAST(double AS INT) ROUNDS
+               -- while Spark's cast truncates
+               CAST(floor(doc_id * {_HEAPS_SLICES} / (mx.m + 1)) AS INT) AS s,
+               {_NORM_TOKS_SQL} AS t
+        FROM documents, mx
+    ),
+    inst AS (SELECT s, unnest(t) AS w FROM sliced),
+    first_seen AS (SELECT w, min(s) AS fs FROM inst GROUP BY w),
+    per_slice AS (
+        SELECT i.s,
+               count(*) AS toks,
+               (SELECT count(*) FROM first_seen f WHERE f.fs = i.s) AS new_types
+        FROM inst i GROUP BY i.s
+    ),
+    cum AS (
+        SELECT s,
+               CAST(sum(toks) OVER (ORDER BY s) AS BIGINT) AS tokens_cum,
+               CAST(sum(new_types) OVER (ORDER BY s) AS BIGINT) AS vocab_cum
+        FROM per_slice
+    ),
+    pts AS (
+        SELECT s, tokens_cum, vocab_cum,
+               CAST(round(ln(CAST(tokens_cum AS DOUBLE)), 7) AS DECIMAL(18,7)) AS x,
+               CAST(round(ln(CAST(vocab_cum AS DOUBLE)), 7) AS DECIMAL(18,7)) AS y
+        FROM cum
+    ),
+    fit AS (
+        SELECT CAST(count(*) AS DECIMAL(18,0)) AS k,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts
+    )
+    SELECT p.s AS slice, p.tokens_cum, p.vocab_cum,
+           round(CAST((f.k * f.sxy - f.sx * f.sy)
+                      / (f.k * f.sxx - f.sx * f.sx) AS DOUBLE), 6) AS heaps_beta
+    FROM pts p, fit f
+    ORDER BY p.s
+    """
+
+
+@q("vocab_growth_curve", _HEAPS_DUCK)
+def vocab_growth_curve(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve — the corpus statistic behind
+    tokenizer vocabulary sizing and dedup QC (V(n) = K·n^beta; a beta
+    near 1 means the corpus keeps minting new types — heavy noise/IDs —
+    while a low beta flags heavy duplication): the corpus is cut into
+    {S} cumulative ingest-order slices (row-local bucket from a
+    broadcast max-id — never a global sort), each token's FIRST slice is
+    one gram-keyed aggregation, and the curve is cumulative (tokens,
+    vocabulary) per slice with the log-log least-squares slope as
+    heaps_beta (the groupwise_regression closed-form on 10 points,
+    ln values rounded to 7 decimals into DECIMAL sufficient statistics —
+    merge-order-exact).
+
+    Scale shape: the only corpus-sized shuffles key on token strings
+    (min-slice per type — map-side combined, the contamination_check
+    topology) and on the {S}-value slice id; the regression runs on
+    {S} rows. First-occurrence-via-min is the same trick segment_dedup
+    certifies at the segment level."""
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    mx = F.broadcast(d.agg(F.max("doc_id").alias("m")))
+    sliced = d.crossJoin(mx).select(
+        F.floor(F.col("doc_id") * _HEAPS_SLICES / (F.col("m") + 1))
+        .cast("int")
+        .alias("s"),
+        F.expr(_NORM_TOKS_EXPR).alias("t"),
+    )
+    inst = sliced.select("s", F.explode("t").alias("w"))
+    first_seen = inst.groupBy("w").agg(F.min("s").alias("fs"))
+    new_types = first_seen.groupBy("fs").agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    toks = inst.groupBy("s").agg(F.count(F.lit(1)).alias("toks"))
+    per_slice = toks.join(
+        F.broadcast(new_types), toks.s == new_types.fs, "left"
+    ).select("s", "toks", F.coalesce("new_types", F.lit(0)).alias("new_types"))
+    # running sums over exactly _HEAPS_SLICES rows — K-sized window
+    wc = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_slice.select(
+        "s",
+        F.sum("toks").over(wc).cast("bigint").alias("tokens_cum"),
+        F.sum("new_types").over(wc).cast("bigint").alias("vocab_cum"),
+    )
+    pts = cum.select(
+        "s",
+        "tokens_cum",
+        "vocab_cum",
+        F.round(F.log(F.col("tokens_cum").cast("double")), 7)
+        .cast("decimal(18,7)")
+        .alias("x"),
+        F.round(F.log(F.col("vocab_cum").cast("double")), 7)
+        .cast("decimal(18,7)")
+        .alias("y"),
+    )
+    fit = F.broadcast(
+        pts.agg(
+            F.count(F.lit(1)).cast("decimal(18,0)").alias("k"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    beta = F.round(
+        (
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).cast("double"),
+        6,
+    )
+    return (
+        pts.crossJoin(fit)
+        .select(
+            F.col("s").alias("slice"),
+            "tokens_cum",
+            "vocab_cum",
+            beta.alias("heaps_beta"),
+        )
+        .orderBy("slice")
+    )

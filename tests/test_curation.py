@@ -380,3 +380,35 @@ def test_dsir_selects_target_like_content_not_labels(spark, tmp_path_factory):
     # determinism: a second invocation produces the identical ranking
     again = {r.doc_id: r.rnk for r in curation.dsir_select(spark, path).collect()}
     assert again == {d: r.rnk for d, r in out.items()}
+
+
+def test_vocab_growth_duplication_depresses_beta(spark, tmp_path_factory):
+    """Heaps' beta separates a type-minting corpus from a duplicated one:
+    40 docs of all-fresh tokens fit beta near 1, 40 docs repeating one
+    10-token template sit near 0; cumulative counts are monotone and the
+    final vocab equals the exact distinct-token count."""
+    def corpus(rows, name):
+        path = str(tmp_path_factory.mktemp(name) / "lake")
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+        return path
+
+    fresh = corpus(
+        [(i, " ".join(f"w{i}_{j}" for j in range(10)), "en", "s", 0)
+         for i in range(40)],
+        "heaps_fresh",
+    )
+    dup = corpus(
+        [(i, " ".join(f"t{j}" for j in range(10)), "en", "s", 0)
+         for i in range(40)],
+        "heaps_dup",
+    )
+    f_rows = curation.vocab_growth_curve(spark, fresh).collect()
+    d_rows = curation.vocab_growth_curve(spark, dup).collect()
+    assert [r.slice for r in f_rows] == list(range(10))
+    assert f_rows[-1].vocab_cum == 400 and d_rows[-1].vocab_cum == 10
+    assert all(a.vocab_cum <= b.vocab_cum for a, b in zip(f_rows, f_rows[1:]))
+    assert f_rows[0].heaps_beta > 0.95          # every token new
+    assert d_rows[0].heaps_beta < 0.05          # vocab flat after slice 0
