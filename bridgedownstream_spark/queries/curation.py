@@ -1423,3 +1423,80 @@ def vocab_growth_curve(spark, sf_dir):
         )
         .orderBy("slice")
     )
+
+
+# -- per-language tokenizer fertility ------------------------------------------
+
+_FERTILITY_DUCK = (
+    _BPE_DUCK_CTES
+    + f""",
+    lw AS (
+        SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT lang,
+                     unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY lang, word),
+    seg AS (
+        SELECT word,
+               CAST(len(string_split(trim(repr), ' ')) AS BIGINT) AS ntok,
+               CAST(length(word) AS BIGINT) AS nchr
+        FROM w{_BPE_ROUNDS})
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(sum(c * nchr) AS BIGINT) AS char_tokens,
+           CAST(sum(c * ntok) AS BIGINT) AS bpe_tokens,
+           CAST(sum(c * ntok) * 1000000 // sum(c) AS BIGINT) AS fertility_ppm,
+           CAST(sum(c * ntok) * 1000000 // sum(c * nchr) AS BIGINT)
+               AS compression_ppm
+    FROM lw JOIN seg USING (word)
+    GROUP BY lang ORDER BY lang
+    """
+)
+
+
+@q("tokenizer_fertility_by_lang", _FERTILITY_DUCK)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Per-language tokenizer fertility — the multilingual-tokenizer QC
+    (how many subword tokens a word costs per language; a language whose
+    fertility is far above the corpus mean is under-served by the learned
+    vocabulary and its documents are effectively longer/more expensive to
+    train on): the corpus-wide BPE vocabulary from the certified trainer
+    (_bpe_train — same merge rounds bpe_vocab_induction pins) scores each
+    language's word distribution; fertility = subword tokens per word and
+    compression = tokens per character, both exact integer ppm.
+
+    Scale shape: training is the certified vocab-sized loop; scoring
+    joins the per-(lang, word) count table to the vocab on the word key —
+    both sides are VOCABULARY-sized (distinct words), never corpus-sized;
+    per-lang sums map-side combine to |langs| rows. Bodies never move."""
+    words, _ = _bpe_train(spark, sf_dir)
+    seg = words.select(
+        "word",
+        F.expr("CAST(size(split(trim(repr), ' ')) AS BIGINT)").alias("ntok"),
+        F.length("word").cast("bigint").alias("nchr"),
+    )
+    docs = tbl(spark, sf_dir, "documents")
+    lw = (
+        docs.select(
+            "lang", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    joined = lw.join(seg, "word")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.sum(F.col("c") * F.col("nchr")).cast("bigint").alias("char_tokens"),
+            F.sum(F.col("c") * F.col("ntok")).cast("bigint").alias("bpe_tokens"),
+            F.expr("CAST(sum(c * ntok) * 1000000 div sum(c) AS BIGINT)").alias(
+                "fertility_ppm"
+            ),
+            F.expr(
+                "CAST(sum(c * ntok) * 1000000 div sum(c * nchr) AS BIGINT)"
+            ).alias("compression_ppm"),
+        )
+        .orderBy("lang")
+    )
