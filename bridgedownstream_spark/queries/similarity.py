@@ -2077,6 +2077,49 @@ _SEMDEDUP_DUCK = _EMB_CTE_DUCK + _SEMDEDUP_CTES_DUCK + """
     """
 
 
+def _sem_ranked(spark, sf_dir):
+    """SemDeDup's typicality-ranked cell assignment (vec_id, emb, nrm,
+    cell, rnk) — shared by semdedup_prune and contrastive_pairs.
+
+    Own centroid rule (NOT _ivf_cent): the IVF family's 8-cell cap is a
+    baked oracle constant there; SemDeDup's quantizer must BALANCE with
+    the corpus — stride = ceil(sqrt(n)), so cells ~ sqrt(n) and
+    assignment and pair volume are both Theta(n^1.5) (see oracle CTE).
+    The stride rides a broadcast 1-row aggregate, never a driver count.
+    The ranked frame feeds multiple consumers (both sides of the pair
+    join + the kept-marker join); it localCheckpoints so assignment +
+    both windows run ONCE (the copurchase_lift order-pair pattern)."""
+    from pyspark.sql import Window as W
+
+    e = _emb_norms(spark, sf_dir)
+    stride = F.broadcast(
+        e.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).cast("bigint").alias("stride"))
+    )
+    cent = F.broadcast(
+        e.crossJoin(stride)
+        .where(F.col("vec_id") % F.col("stride") == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    assign = (
+        e.crossJoin(cent)
+        .withColumn("ccos", _ivf_ccos())
+        .withColumn("rc", F.row_number().over(wa))
+        .where(F.col("rc") == 1)
+        .select("vec_id", "emb", "nrm", F.col("cent_id").alias("cell"), "ccos")
+    )
+    wr = W.partitionBy("cell").orderBy(F.col("ccos").desc(), "vec_id")
+    return (
+        assign.withColumn("rnk", F.row_number().over(wr))
+        .select("vec_id", "emb", "nrm", "cell", "rnk")
+        .localCheckpoint(eager=False)
+    )
+
+
 @q("semdedup_prune", _SEMDEDUP_DUCK)
 def semdedup_prune(spark, sf_dir):
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
@@ -2107,43 +2150,7 @@ def semdedup_prune(spark, sf_dir):
     self-join + left-join marker (DuckDB cannot correlate an outer row's
     list column into an EXISTS lambda, so the stated-rule form is the
     join)."""
-    from pyspark.sql import Window as W
-
-    # own centroid rule (NOT _ivf_cent): the IVF family's 8-cell cap is a
-    # baked oracle constant there; SemDeDup's quantizer must BALANCE with
-    # the corpus — stride = ceil(sqrt(n)), so cells ~ sqrt(n) and
-    # assignment and pair volume are both Theta(n^1.5) (see oracle CTE).
-    # The stride rides a broadcast 1-row aggregate, never a driver count.
-    e = _emb_norms(spark, sf_dir)
-    stride = F.broadcast(
-        e.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).cast("bigint").alias("stride"))
-    )
-    cent = F.broadcast(
-        e.crossJoin(stride)
-        .where(F.col("vec_id") % F.col("stride") == 0)
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("emb").alias("c_emb"),
-            F.col("nrm").alias("c_nrm"),
-        )
-    )
-    wa = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
-    assign = (
-        e.crossJoin(cent)
-        .withColumn("ccos", _ivf_ccos())
-        .withColumn("rc", F.row_number().over(wa))
-        .where(F.col("rc") == 1)
-        .select("vec_id", "emb", "nrm", F.col("cent_id").alias("cell"), "ccos")
-    )
-    wr = W.partitionBy("cell").orderBy(F.col("ccos").desc(), "vec_id")
-    # ranked feeds three consumers (both sides of the pair join + the
-    # kept-marker join); checkpoint so assignment + both windows run ONCE,
-    # not three times (same as copurchase_lift's order-pair base).
-    ranked = (
-        assign.withColumn("rnk", F.row_number().over(wr))
-        .select("vec_id", "emb", "nrm", "cell", "rnk")
-        .localCheckpoint(eager=False)
-    )
+    ranked = _sem_ranked(spark, sf_dir)
     a = ranked.select(
         F.col("cell"),
         F.col("rnk").alias("a_rnk"),
@@ -2562,3 +2569,105 @@ def dedup_agreement_audit(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("text_dup", "sem_pruned")
     )
+
+
+# -- contrastive pair mining ----------------------------------------------------
+
+_CONTRASTIVE_DUCK = (
+    _EMB_CTE_DUCK
+    + _SEMDEDUP_CTES_DUCK
+    + f""",
+    cpair AS (
+        SELECT a.vec_id AS anchor_id, b.vec_id AS cand,
+               a.rnk AS ar, b.rnk AS br,
+               round({_DOT_DUCK.format(a='a.emb', b='b.emb')} / (a.nrm * b.nrm), 4) AS cos
+        FROM ranked a JOIN ranked b
+          ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+    pos AS (
+        SELECT anchor_id, cand AS positive_id, cos AS pos_cos,
+               row_number() OVER (
+                   PARTITION BY anchor_id ORDER BY cos DESC, cand) AS rn
+        FROM cpair WHERE cos >= {_SEMDEDUP_TAU} AND br < ar),
+    neg AS (
+        SELECT anchor_id, cand AS negative_id, cos AS neg_cos,
+               row_number() OVER (
+                   PARTITION BY anchor_id ORDER BY cos DESC, cand) AS rn
+        FROM cpair WHERE cos < {_SEMDEDUP_TAU})
+    SELECT p.anchor_id, p.positive_id, p.pos_cos, n.negative_id, n.neg_cos
+    FROM pos p JOIN neg n USING (anchor_id)
+    WHERE p.rn = 1 AND n.rn = 1
+    ORDER BY p.anchor_id
+    """
+)
+
+
+@q("contrastive_pairs", _CONTRASTIVE_DUCK)
+def contrastive_pairs(spark, sf_dir):
+    """Contrastive training-pair mining from the dedup structures — the
+    (anchor, positive, hard negative) triplets an embedding/retrieval
+    trainer consumes: for every semantically-pruned document the POSITIVE
+    is its best same-cell justifier (highest cosine >= tau among more
+    typical members — exactly the evidence SemDeDup pruned it on) and the
+    HARD NEGATIVE is the closest same-cell member BELOW tau (similar
+    enough to be confusable, dissimilar enough to be a true negative —
+    the classic in-batch hard-negative recipe). Anchors lacking either
+    side are dropped.
+
+    Scale shape: rides the certified SemDeDup structures verbatim — the
+    ranked frame is shared (one checkpoint), candidates come from the
+    same cell-keyed equi-join (Theta(n^1.5) with the sqrt(n)-balanced
+    cells, never all-pairs), and the argmax elections are two windows on
+    ONE anchor-keyed exchange. Cosines round to 4 before any comparison
+    (the ann_* discipline), so pair elections are identical across
+    engines; ties break on candidate id."""
+    from pyspark.sql import Window as W
+
+    ranked = _sem_ranked(spark, sf_dir)
+    a = ranked.select(
+        F.col("cell"),
+        F.col("vec_id").alias("anchor_id"),
+        F.col("rnk").alias("ar"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = ranked.select(
+        F.col("cell"),
+        F.col("vec_id").alias("cand"),
+        F.col("rnk").alias("br"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = F.round(
+        F.expr(_DOT_SPARK.format(a="a_emb", b="b_emb"))
+        / (F.col("a_nrm") * F.col("b_nrm")),
+        4,
+    )
+    cpair = (
+        a.join(b, "cell")
+        .where(F.col("anchor_id") != F.col("cand"))
+        .select("anchor_id", "cand", "ar", "br", cos.alias("cos"))
+    )
+    wbest = W.partitionBy("anchor_id").orderBy(F.col("cos").desc(), "cand")
+    pos = (
+        cpair.where(
+            (F.col("cos") >= _SEMDEDUP_TAU) & (F.col("br") < F.col("ar"))
+        )
+        .withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand").alias("positive_id"),
+            F.col("cos").alias("pos_cos"),
+        )
+    )
+    neg = (
+        cpair.where(F.col("cos") < _SEMDEDUP_TAU)
+        .withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand").alias("negative_id"),
+            F.col("cos").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor_id").orderBy("anchor_id")
