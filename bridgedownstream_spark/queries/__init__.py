@@ -77,9 +77,12 @@ from bridgedownstream_spark.queries import (
 #: stream_interval_join_e2e, stream_sessionize_e2e, stream_enrich_e2e,
 #: upsert_merge_equiv, q21_suppliers_kept_waiting, semdedup_prune.
 #: Round-9 rotation backlog (never driver-certified, rough priority):
-#: ann_matryoshka_curve + dedup_agreement_audit (r8 additions: the
-#: recall-vs-truncation sweep and the MinHash-vs-SemDeDup 2x2 agreement
-#: matrix, both oracle-certified at all three scales),
+#: ann_matryoshka_curve + dedup_agreement_audit + dsir_select +
+#: contrastive_pairs + vocab_growth_curve + tokenizer_fertility_by_lang
+#: (r8 additions: recall-vs-truncation sweep, MinHash-vs-SemDeDup 2x2
+#: agreement matrix, DSIR importance resampling, anchor/positive/hard-
+#: negative mining, Heaps'-law vocabulary growth, per-language subword
+#: fertility — ALL oracle-certified at all three scales this round),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +
