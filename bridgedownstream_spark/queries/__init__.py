@@ -83,6 +83,11 @@ from bridgedownstream_spark.queries import (
 #: agreement matrix, DSIR importance resampling, anchor/positive/hard-
 #: negative mining, Heaps'-law vocabulary growth, per-language subword
 #: fertility — ALL oracle-certified at all three scales this round),
+#: char_entropy_quality + collocation_pmi + readability_score +
+#: k_anonymity_audit + dow_seasonality (r8 session-2 additions:
+#: character-entropy gibberish QC, PMI phrase mining, Flesch milli-unit
+#: readability, k-anonymity/l-diversity release audit, ISO-weekday
+#: seasonal indices — ALL oracle-certified at all three scales),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +

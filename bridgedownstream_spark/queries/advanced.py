@@ -5216,3 +5216,100 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci_high"),
         )
     )
+
+
+@q(
+    "k_anonymity_audit",
+    """
+    SELECT c_nationkey AS nationkey,
+           c_mktsegment AS segment,
+           CAST(count(*) AS INT) AS k_size,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS INT)) AS INT)
+               AS l_diversity,
+           CAST(count(*) < 5 AS INT) AS k_violation,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS INT)) < 2
+                AS INT) AS l_violation
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-compliance audit: k-anonymity and l-diversity over the
+    quasi-identifier (nation, market segment), with the account-balance
+    thousand-bucket as the sensitive attribute. A release pipeline runs
+    exactly this before publishing a de-identified extract: every
+    equivalence class reports its size k (re-identification risk when
+    k < 5) and the number of distinct sensitive values l (attribute
+    disclosure when l < 2 — everyone in the class shares the secret).
+
+    Plan shape: ONE groupBy on the quasi-identifier; count(DISTINCT
+    bucket) expands to the standard two-phase distinct aggregate — an
+    exchange on (QI, bucket) then one on QI, both map-side combined to
+    |QI domain| x |buckets| rows (~125 x ~11), so shuffle volume is
+    class-count-sized regardless of table size. Portability: the sensitive bucket
+    is floor(balance/1000) — balances carry two decimals, so the double
+    quotient can never land within an ulp of an integer it doesn't equal,
+    and floor() agrees across engines (no div-vs-// signage divergence).
+    """
+    c = tbl(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / F.lit(1000)).cast("int")
+    return c.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("k_size"),
+        F.countDistinct(bucket).cast("int").alias("l_diversity"),
+        (F.count(F.lit(1)) < 5).cast("int").alias("k_violation"),
+        (F.countDistinct(bucket) < 2).cast("int").alias("l_violation"),
+    )
+
+
+@q(
+    "dow_seasonality",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(isodow(ts) AS INT) AS dow, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, sum(n) AS total FROM d GROUP BY 1)
+    SELECT d.event_type, d.dow,
+           CAST(d.n AS BIGINT) AS n_events,
+           CAST(d.n * 1000000 // t.total AS BIGINT) AS share_ppm,
+           CAST(d.n * 7000000 // t.total AS BIGINT) AS seasonal_index_ppm
+    FROM d JOIN t USING (event_type)
+    """,
+)
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of the event stream: per
+    (event_type, weekday) volume, its share of the type's total, and the
+    seasonal index (share x 7 — 1,000,000 ppm = flat, above = that
+    weekday over-indexes). This is the weekly-seasonality profile a
+    monitoring pipeline subtracts before anomaly detection, and the
+    capacity-planning view of traffic shape.
+
+    Plan shape: one groupBy on (event_type, dow) map-side combines to at
+    most |types| x 7 rows — shuffle volume is profile-sized regardless of
+    event count; the per-type totals re-aggregate those rows and broadcast
+    back. Portability: weekday = ISO Monday=1..Sunday=7 (Spark weekday()+1
+    == DuckDB isodow()); shares are exact integer div over positive
+    BIGINTs, where Spark's truncation and DuckDB's floor agree.
+    """
+    e = tbl(spark, sf_dir, "events")
+    d = (
+        e.select(
+            "event_type",
+            (F.expr("weekday(ts)") + F.lit(1)).cast("int").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = d.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return d.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "dow",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.expr("CAST(n * 1000000 div total AS BIGINT)").alias("share_ppm"),
+        F.expr("CAST(n * 7000000 div total AS BIGINT)").alias(
+            "seasonal_index_ppm"
+        ),
+    )

@@ -1500,3 +1500,264 @@ def tokenizer_fertility_by_lang(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@q(
+    "char_entropy_quality",
+    """
+    WITH chars AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(lower(text))),
+                                   i -> lower(text)[i:i])) AS ch
+      FROM documents
+    ),
+    hist AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+    terms AS (
+      SELECT doc_id, c,
+             CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 7)
+                  AS DECIMAL(28,7)) AS term
+      FROM hist
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars,
+           CAST(count(*) AS INT) AS n_distinct_chars,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - CAST(sum(term) AS DOUBLE) / sum(c), 4) AS entropy_nats
+    FROM terms GROUP BY 1
+    """,
+)
+def char_entropy_quality(spark, sf_dir):
+    """Character-level Shannon entropy per document — the classic cheap
+    gibberish / encoding-noise / low-diversity quality signal (binary blobs
+    and base64 runs score near ln(alphabet); single-character spam scores
+    near 0). H = ln(n) - (sum_i c_i ln c_i) / n over the per-document
+    character histogram.
+
+    Plan shape: the per-character explode is row-local and pipelined; the
+    (doc_id, ch) histogram aggregate map-side combines each document to
+    its ~alphabet-sized histogram BEFORE its exchange, and the per-doc
+    reduction exchanges those histogram partials on doc_id — both shuffles
+    move ~|alphabet| rows per document, never per character. Portability: each c*ln(c) term is
+    rounded to 7 decimals and summed as DECIMAL (merge-order-exact, the
+    lm_perplexity ln-parity discipline); the final entropy is one double
+    expression over exact inputs, rounded at 4.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(lower(text))),"
+                " i -> substring(lower(text), i, 1))"
+            )
+        ).alias("ch"),
+    )
+    hist = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    term = F.round(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double")), 7
+    ).cast("decimal(28,7)")
+    return (
+        hist.select("doc_id", "c", term.alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("int").alias("n_distinct_chars"),
+            F.round(
+                F.log(F.sum("c").cast("double"))
+                - F.sum("term").cast("double") / F.sum("c"),
+                4,
+            ).alias("entropy_nats"),
+        )
+    )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 20
+
+
+@q(
+    "collocation_pmi",
+    f"""
+    WITH toks AS (SELECT doc_id, {_NORM_TOKS_SQL} AS t FROM documents),
+    big AS (
+      SELECT g, string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+      FROM (SELECT unnest({_grams_sql("t", 2)}) AS g FROM toks)
+    ),
+    cxy AS (SELECT g, any_value(w1) AS w1, any_value(w2) AS w2,
+                   count(*) AS pair_count
+            FROM big GROUP BY g),
+    cx  AS (SELECT w1, count(*) AS left_count  FROM big GROUP BY 1),
+    cy  AS (SELECT w2, count(*) AS right_count FROM big GROUP BY 1),
+    n   AS (SELECT count(*) AS n FROM big),
+    scored AS (
+      SELECT g AS gram,
+             CAST(pair_count AS BIGINT)  AS pair_count,
+             CAST(left_count AS BIGINT)  AS left_count,
+             CAST(right_count AS BIGINT) AS right_count,
+             CAST(round(ln(CAST(n AS DOUBLE) * CAST(pair_count AS DOUBLE)
+                           / (CAST(left_count AS DOUBLE)
+                              * CAST(right_count AS DOUBLE))), 7)
+                  AS DECIMAL(18,7)) AS pmi_dec
+      FROM cxy JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN n
+      WHERE pair_count >= {_PMI_MIN_COUNT}
+    )
+    SELECT gram, pair_count, left_count, right_count,
+           CAST(pmi_dec AS DOUBLE) AS pmi
+    FROM scored
+    ORDER BY pmi_dec DESC, gram LIMIT {_PMI_TOP_K}
+    """,
+)
+def collocation_pmi(spark, sf_dir):
+    """Collocation mining by pointwise mutual information: the corpus's
+    top-{k} adjacent word pairs by PMI(x,y) = ln(N*c_xy / (c_x*c_y)), where
+    c_x / c_y are positional (first-word / second-word) occurrence counts
+    and N the total bigram count — the standard phrase-detection pass
+    (Mikolov-style word2phrase) a pipeline runs before tokenizer training
+    or phrase-aware dedup, with a min-support floor of {m} to keep the
+    estimator out of its low-count noise regime.
+
+    Plan shape: bigram extraction is a row-local explode; the three count
+    tables shuffle grams/words (partial-agg map-side combine compresses to
+    vocabulary-sized tables); PMI scoring joins the VOCABULARY-sized pair
+    table to the two word tables (never back to the corpus), and the 1-row
+    N aggregate broadcasts. The final cut is a TakeOrdered over the
+    pair-vocabulary with a full-key (pmi, gram) deterministic tie-break.
+    Portability: PMI's input is a single double expression over exact
+    BIGINT counts with identical parenthesization on both engines, rounded
+    at 7 (the lm_perplexity ln-parity discipline).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(_NORM_TOKS_EXPR).alias("t"))
+    big = toks.select(
+        F.explode(F.expr(_grams_expr("t", 2))).alias("g")
+    ).select(
+        "g",
+        F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    cxy = big.groupBy("g").agg(
+        F.any_value("w1").alias("w1"),
+        F.any_value("w2").alias("w2"),
+        F.count(F.lit(1)).alias("pair_count"),
+    )
+    cx = big.groupBy("w1").agg(F.count(F.lit(1)).alias("left_count"))
+    cy = big.groupBy("w2").agg(F.count(F.lit(1)).alias("right_count"))
+    n = big.agg(F.count(F.lit(1)).alias("n"))
+    pmi = F.round(
+        F.log(
+            F.col("n").cast("double")
+            * F.col("pair_count").cast("double")
+            / (F.col("left_count").cast("double") * F.col("right_count").cast("double"))
+        ),
+        7,
+    ).cast("decimal(18,7)")
+    return (
+        cxy.where(F.col("pair_count") >= _PMI_MIN_COUNT)
+        .join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("g").alias("gram"),
+            F.col("pair_count").cast("bigint").alias("pair_count"),
+            F.col("left_count").cast("bigint").alias("left_count"),
+            F.col("right_count").cast("bigint").alias("right_count"),
+            pmi.alias("pmi_dec"),
+        )
+        .orderBy(F.col("pmi_dec").desc(), "gram")
+        .limit(_PMI_TOP_K)
+        .select(
+            "gram",
+            "pair_count",
+            "left_count",
+            "right_count",
+            F.col("pmi_dec").cast("double").alias("pmi"),
+        )
+    )
+
+
+collocation_pmi.__doc__ = collocation_pmi.__doc__.format(
+    k=_PMI_TOP_K, m=_PMI_MIN_COUNT
+)
+
+
+@q(
+    "readability_score",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS t,
+             len(regexp_extract_all(text, '[.!?]+')) + 1 AS s,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vg
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS w,
+             CAST(s AS BIGINT) AS s,
+             CAST(vg + len(list_filter(t,
+                 x -> NOT regexp_matches(x, '[aeiouy]'))) AS BIGINT) AS syl
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(w AS INT)   AS n_words,
+           CAST(s AS INT)   AS n_sentences,
+           CAST(syl AS INT) AS n_syllables,
+           CAST(floor(CAST(206835 * s * w - 1015 * w * w - 84600 * syl * s
+                           AS DOUBLE) / (s * w)) AS BIGINT) AS flesch_milli
+    FROM c
+    """,
+)
+def readability_score(spark, sf_dir):
+    """Flesch reading-ease readability per document, in exact milli-units:
+    F = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words), with
+    sentences approximated by terminal-punctuation runs (+1) and syllables
+    by vowel-group counts (min 1 per word) — the standard cheap heuristics.
+    A curation pipeline buckets on this to balance reading-level mix or to
+    drop degenerate text (huge negative scores = run-on token soup).
+
+    Pure projection — tokenize, two regexp_extract_all counts and one
+    array-lambda filter per row, zero exchanges; scales with the scan.
+    Portability: the score is computed over the common denominator s*w as
+    floor(numerator/denominator) in one double division over exact BIGINT
+    inputs — exact while |numerator| < 2^53, i.e. documents under ~3e6
+    words (chunking upstream guarantees far less); floor() sidesteps the
+    Spark-div-truncates vs DuckDB-//-floors divergence for the negative
+    scores long word-soup documents produce.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.expr(_NORM_TOKS_EXPR).alias("t"),
+        (
+            F.expr("size(regexp_extract_all(text, '[.!?]+', 0))") + F.lit(1)
+        ).alias("s"),
+        F.expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))").alias(
+            "vg"
+        ),
+    )
+    c = m.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("w"),
+        F.col("s").cast("bigint").alias("s"),
+        (
+            F.col("vg")
+            + F.expr("size(filter(t, x -> NOT (x rlike '[aeiouy]')))")
+        )
+        .cast("bigint")
+        .alias("syl"),
+    )
+    num = (
+        F.lit(206835) * F.col("s") * F.col("w")
+        - F.lit(1015) * F.col("w") * F.col("w")
+        - F.lit(84600) * F.col("syl") * F.col("s")
+    )
+    return c.select(
+        "doc_id",
+        F.col("w").cast("int").alias("n_words"),
+        F.col("s").cast("int").alias("n_sentences"),
+        F.col("syl").cast("int").alias("n_syllables"),
+        F.floor(num.cast("double") / (F.col("s") * F.col("w")))
+        .cast("bigint")
+        .alias("flesch_milli"),
+    )

@@ -1206,3 +1206,58 @@ def test_bootstrap_ci_brackets_estimate_and_is_deterministic(spark):
         assert r.ci_low < r.ci_high
         assert r.ci_low <= r.est <= r.ci_high
         assert b[fl] == r
+
+
+def test_k_anonymity_flags_small_and_uniform_classes(spark, tmp_path_factory):
+    """A 2-row class violates k=5; a class whose members all share one
+    sensitive bucket violates l=2 even when large; a large diverse class
+    passes both."""
+    path = str(tmp_path_factory.mktemp("kanon") / "lake")
+    rows = (
+        # class (1, BUILDING): 2 rows, 2 buckets -> k-violation only
+        [(i, f"c{i}", 1, 500.0 + 1000 * i, "BUILDING") for i in range(2)]
+        # class (2, AUTO): 6 rows, all in bucket 0 -> l-violation only
+        + [(10 + i, f"c{10+i}", 2, 100.0 + i, "AUTO") for i in range(6)]
+        # class (3, MACH): 6 rows, 3 buckets -> clean
+        + [(20 + i, f"c{20+i}", 3, 1000.0 * (i % 3) + 5.0, "MACH") for i in range(6)]
+    )
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/customer.parquet")
+    out = {
+        (r.nationkey, r.segment): r
+        for r in advanced.k_anonymity_audit(spark, path).collect()
+    }
+    b = out[(1, "BUILDING")]
+    assert (b.k_size, b.l_diversity, b.k_violation, b.l_violation) == (2, 2, 1, 0)
+    a = out[(2, "AUTO")]
+    assert (a.k_size, a.l_diversity, a.k_violation, a.l_violation) == (6, 1, 0, 1)
+    m = out[(3, "MACH")]
+    assert (m.k_size, m.l_diversity, m.k_violation, m.l_violation) == (6, 3, 0, 0)
+
+
+def test_dow_seasonality_uniform_vs_spiked(spark, tmp_path_factory):
+    """An all-Monday type gets index 7,000,000 on dow 1 and no other rows;
+    a uniform one-event-per-day type indexes exactly 1,000,000 per day."""
+    path = str(tmp_path_factory.mktemp("dow") / "lake")
+    rows = []
+    eid = 0
+    for d in (1, 8, 15):  # 2024-01-01/08/15 are all Mondays
+        rows.append((eid, datetime(2024, 1, d, 9), 1, "spike", 1.0, "{}"))
+        eid += 1
+    for d in range(1, 8):  # Mon..Sun, one each
+        rows.append((eid, datetime(2024, 1, d, 9), 2, "flat", 1.0, "{}"))
+        eid += 1
+    _write_events(spark, path, rows)
+    out = advanced.dow_seasonality(spark, path).collect()
+    spike = [r for r in out if r.event_type == "spike"]
+    assert len(spike) == 1 and spike[0].dow == 1
+    assert spike[0].n_events == 3
+    assert spike[0].share_ppm == 1000000
+    assert spike[0].seasonal_index_ppm == 7000000
+    flat = {r.dow: r for r in out if r.event_type == "flat"}
+    assert sorted(flat) == [1, 2, 3, 4, 5, 6, 7]
+    assert all(r.seasonal_index_ppm == 1000000 for r in flat.values())
+    assert all(r.share_ppm == 142857 for r in flat.values())

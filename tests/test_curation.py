@@ -412,3 +412,101 @@ def test_vocab_growth_duplication_depresses_beta(spark, tmp_path_factory):
     assert all(a.vocab_cum <= b.vocab_cum for a, b in zip(f_rows, f_rows[1:]))
     assert f_rows[0].heaps_beta > 0.95          # every token new
     assert d_rows[0].heaps_beta < 0.05          # vocab flat after slice 0
+
+
+def _write_min_docs(spark, tmp_path_factory, name, rows):
+    path = str(tmp_path_factory.mktemp(name) / "lake")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_char_entropy_known_answers(spark, tmp_path_factory):
+    """Single-character spam scores exactly 0; a 4-character uniform doc
+    scores exactly ln(4) (at the 4-decimal rounding); byte-identical docs
+    score identically; diversity orders above repetition."""
+    import math
+
+    path = _write_min_docs(
+        spark,
+        tmp_path_factory,
+        "entropy",
+        [
+            (1, "aaaaaaaa", "en", "s0", 8),
+            (2, "abcd", "en", "s0", 4),
+            (3, "aaaaaaaa", "en", "s0", 8),
+            (4, "aabb", "en", "s0", 4),
+        ],
+    )
+    out = {r.doc_id: r for r in curation.char_entropy_quality(spark, path).collect()}
+    assert out[1].entropy_nats == 0.0
+    assert out[1].n_distinct_chars == 1 and out[1].n_chars == 8
+    assert out[2].entropy_nats == round(math.log(4), 4)
+    assert out[3].entropy_nats == out[1].entropy_nats
+    assert out[4].entropy_nats == round(math.log(2), 4)
+    assert out[2].entropy_nats > out[4].entropy_nats > out[1].entropy_nats
+
+
+def test_collocation_pmi_finds_planted_phrase(spark, tmp_path_factory):
+    """A pair that ALWAYS co-occurs ("san francisco") must out-PMI filler
+    pairs whose words also appear in other contexts; pairs under the
+    min-support floor must not appear at all."""
+    filler = "red blue red green blue red"
+    rows = [
+        (i, f"san francisco {filler} san francisco {filler}", "en", "s0", 0)
+        for i in range(6)
+    ]
+    # one rare pair, below the min-count floor of 5
+    rows.append((99, "rare pairx", "en", "s0", 0))
+    path = _write_min_docs(spark, tmp_path_factory, "pmi", rows)
+    out = curation.collocation_pmi(spark, path).collect()
+    grams = [r.gram for r in out]
+    assert "san francisco" in grams
+    assert "rare pairx" not in grams
+    by = {r.gram: r for r in out}
+    sf = by["san francisco"]
+    assert sf.pair_count == 12
+    # "san" only ever precedes "francisco": PMI must top every filler pair
+    fillers = [r.pmi for r in out if r.gram != "san francisco"]
+    assert all(sf.pmi > p for p in fillers)
+
+
+def test_readability_exact_formula_and_floors(spark, tmp_path_factory):
+    """Known-answer Flesch in milli-units, including the min-1-syllable
+    rule for vowel-free words and floor (not truncate-toward-zero)
+    semantics for the negative scores word-soup produces."""
+    import math
+
+    path = _write_min_docs(
+        spark,
+        tmp_path_factory,
+        "readability",
+        [
+            (1, "The cat sat. The dog ran.", "en", "s0", 0),
+            (2, "zz zz zz", "en", "s0", 0),  # vowel-free: 1 syllable each
+            (3, " ".join(["soup"] * 300), "en", "s0", 0),  # run-on word soup
+        ],
+    )
+    out = {r.doc_id: r for r in curation.readability_score(spark, path).collect()}
+    r1 = out[1]
+    # 6 words; two ".": s = 2 + 1 = 3; each word one vowel group = 6 syllables
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 3, 6)
+    w, s, syl = 6, 3, 6
+    assert r1.flesch_milli == math.floor(
+        (206835 * s * w - 1015 * w * w - 84600 * syl * s) / (s * w)
+    )
+    r2 = out[2]
+    assert (r2.n_words, r2.n_sentences, r2.n_syllables) == (3, 1, 3)
+    w, s, syl = 3, 1, 3
+    assert r2.flesch_milli == math.floor(
+        (206835 * s * w - 1015 * w * w - 84600 * syl * s) / (s * w)
+    )
+    # 300 unpunctuated words: 206.835 - 1.015*300 - 84.6*1 is deeply
+    # negative — pins floor (not truncate-toward-zero) semantics
+    r3 = out[3]
+    assert (r3.n_words, r3.n_sentences, r3.n_syllables) == (300, 1, 300)
+    w, s, syl = 300, 1, 300
+    expected = (206835 * s * w - 1015 * w * w - 84600 * syl * s) / (s * w)
+    assert expected < 0
+    assert r3.flesch_milli == math.floor(expected)

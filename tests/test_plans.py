@@ -308,9 +308,28 @@ def test_hash_checked_float_outputs_are_stabilized(registry_dfs):
             mm = _re.search(
                 r"([^\n]{0,300}) AS " + _re.escape(c) + r"#\d+", analyzed
             )
-            if not pat.search(analyzed) and not (
+            # a PURE re-alias of another column (`cos#56 AS pos_cos#65`)
+            # inherits that column's stabilization: follow one level to
+            # the referenced attribute's own definition and re-test
+            # (contrastive_pairs re-aliases its rounded cosine twice)
+            stabilized = pat.search(analyzed) or (
                 mm and _is_bare_minmax(mm.group(1))
-            ):
+            )
+            if not stabilized and mm:
+                alias_ref = _re.search(r"(?:\[|, )(\w+)#(\d+) *$", mm.group(1))
+                if alias_ref:
+                    src = alias_ref.group(1) + "#" + alias_ref.group(2)
+                    src_pat = _re.compile(
+                        r"(round|bround)\([^\n]*AS " + src + r"\b"
+                        r"|cast\([^\n]*as double\) AS " + src + r"\b"
+                    )
+                    src_mm = _re.search(
+                        r"([^\n]{0,300}) AS " + src + r"\b", analyzed
+                    )
+                    stabilized = src_pat.search(analyzed) or (
+                        src_mm and _is_bare_minmax(src_mm.group(1))
+                    )
+            if not stabilized:
                 bad.append(f"{name}.{c}")
                 continue
             # round() alone is NOT enough for a group-sum/avg over doubles:

@@ -1273,6 +1273,63 @@ HEADLINERS = {
         "broadcast distinct of pair ids; the only new exchange is the "
         "4-group final aggregate."
     ),
+    "dsir_select": (
+        "DSIR importance resampling (r8): the 64-bucket log-ratio model "
+        "is a broadcast 1-row array; per-doc scoring is a row-local "
+        "aggregate() fold over hashed n-grams (no doc-keyed exchange); "
+        "the only shuffles are the bucket-count aggregates and the "
+        "final TakeOrdered top-k."
+    ),
+    "contrastive_pairs": (
+        "Anchor/positive/hard-negative mining (r8): rides the "
+        "checkpointed SemDeDup ranked frame; candidates come from the "
+        "same cell-keyed equi-join (never all-pairs) and the two argmax "
+        "elections are windows on ONE anchor-keyed exchange."
+    ),
+    "vocab_growth_curve": (
+        "Heaps'-law growth (r8): slice ids are row-local from a "
+        "broadcast max-id (no global sort); the corpus-sized shuffles "
+        "key on token strings (first-slice-per-type min) and the "
+        "10-value slice id; cumulative sums + the closed-form log-log "
+        "fit run on 10 rows."
+    ),
+    "tokenizer_fertility_by_lang": (
+        "Per-language fertility (r8): the learned vocabulary joins the "
+        "(lang, word) count table on the word key — both sides "
+        "vocabulary-sized, bodies never shuffle; per-lang sums "
+        "map-combine to |langs| rows."
+    ),
+    "char_entropy_quality": (
+        "Character entropy (r8s2): the per-character explode is "
+        "row-local and pipelined; the (doc_id, ch) histogram aggregate "
+        "and the per-doc reduction each map-side combine BEFORE their "
+        "exchanges — both shuffles move ~alphabet-sized histogram rows "
+        "per document, never characters."
+    ),
+    "collocation_pmi": (
+        "PMI collocations (r8s2): gram/word count tables map-combine "
+        "to vocabulary size; PMI joins are vocabulary⋈vocabulary with "
+        "the 1-row N broadcast; the cut is a TakeOrdered with a "
+        "full-key deterministic tie-break. The corpus never re-joins."
+    ),
+    "readability_score": (
+        "Flesch readability (r8s2): pure projection — tokenize + two "
+        "regexp counts + one array-lambda filter per row, ZERO "
+        "exchanges; scales with the scan."
+    ),
+    "k_anonymity_audit": (
+        "k-anonymity/l-diversity audit (r8s2): ONE groupBy on the "
+        "quasi-identifier; count(DISTINCT) expands to the standard "
+        "two-phase distinct aggregate — both exchanges map-side combine "
+        "to |QI domain| x |buckets| rows, class-count-sized regardless "
+        "of table size."
+    ),
+    "dow_seasonality": (
+        "Weekly seasonal profile (r8s2): groupBy (type, dow) "
+        "map-combines to |types|x7 rows; per-type totals re-aggregate "
+        "those rows and broadcast back — the event stream is scanned "
+        "once and shuffles only profile-sized partials."
+    ),
 }
 
 
