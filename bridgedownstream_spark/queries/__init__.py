@@ -84,10 +84,13 @@ from bridgedownstream_spark.queries import (
 #: negative mining, Heaps'-law vocabulary growth, per-language subword
 #: fertility — ALL oracle-certified at all three scales this round),
 #: char_entropy_quality + collocation_pmi + readability_score +
-#: k_anonymity_audit + dow_seasonality (r8 session-2 additions:
-#: character-entropy gibberish QC, PMI phrase mining, Flesch milli-unit
-#: readability, k-anonymity/l-diversity release audit, ISO-weekday
-#: seasonal indices — ALL oracle-certified at all three scales),
+#: k_anonymity_audit + dow_seasonality + rendezvous_shards +
+#: cms_join_size_estimate (r8 session-2 additions: character-entropy
+#: gibberish QC, PMI phrase mining, Flesch milli-unit readability,
+#: k-anonymity/l-diversity release audit, ISO-weekday seasonal indices,
+#: HRW consistent sharding with resize-move audit, AGMS/CMS
+#: join-cardinality estimation — ALL oracle-certified at all three
+#: scales),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +

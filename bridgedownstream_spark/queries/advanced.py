@@ -5313,3 +5313,132 @@ def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_index_ppm"
         ),
     )
+
+
+_CMS_JS_D = 4    # hash rows
+_CMS_JS_W = 256  # counters per row
+
+
+@q(
+    "cms_join_size_estimate",
+    f"""
+    WITH ra AS (
+      SELECT r, (('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+                                  || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT)
+                 % {_CMS_JS_W} AS b,
+             count(*) AS c
+      FROM orders, range(0, {_CMS_JS_D}) t(r) GROUP BY 1, 2
+    ),
+    rb AS (
+      SELECT r, (('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+                                  || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT)
+                 % {_CMS_JS_W} AS b,
+             count(*) AS c
+      FROM customer, range(0, {_CMS_JS_D}) t(r) GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT min(ip) AS cms_estimate
+      FROM (SELECT ra.r, sum(ra.c * rb.c) AS ip
+            FROM ra JOIN rb ON ra.r = rb.r AND ra.b = rb.b GROUP BY 1)
+    ),
+    exact AS (
+      SELECT sum(a.c * b.c) AS exact_pairs
+      FROM (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1) a
+      JOIN (SELECT c_custkey AS k, count(*) AS c FROM customer GROUP BY 1) b
+        USING (k)
+    )
+    SELECT CAST(exact_pairs AS BIGINT) AS exact_pairs,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST((cms_estimate - exact_pairs) * 1000000 // exact_pairs
+                AS BIGINT) AS over_ppm
+    FROM est CROSS JOIN exact
+    """,
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-cardinality estimation (the AGMS/Count-Min
+    inner-product estimator, Alon-Gibbons-Matias-Szegedy / Cormode-
+    Muthukrishnan): |orders JOIN customer ON custkey| estimated as
+    min over {d} hash rows of the inner product of the two tables'
+    {w}-counter CMS rows — the statistic a distributed optimizer uses to
+    size a join BEFORE running it (estimate >> budget: pre-aggregate or
+    go bucketed; estimate tiny: broadcast). The exact pair count rides
+    along, so the output certifies the one-sided error (CMS inner
+    products only ever OVERestimate) in ppm.
+
+    Plan shape: each table collapses to a {d}x{w}-counter sketch via one
+    map-side-combined groupBy (the x{d} row replication explodes BEFORE
+    the partial agg, so the wire carries at most {d}*{w} counter rows per
+    side regardless of table size); the sketch⋈sketch join and the min
+    are sketch-sized. The exact twin shuffles key-count tables (partial-
+    agg'd, key-cardinality-sized) — at 100 TB you'd skip it and trust the
+    sketch; it's here as the certified error yardstick. All counters are
+    exact BIGINTs, so the estimate is bit-identical across engines and
+    merge orders.
+    """
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+
+    def sketch(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(F.expr(f"sequence(0, {_CMS_JS_D - 1})")).alias("r"),
+                F.col(key).alias("k"),
+            )
+            .select(
+                "r",
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("r").cast("string"),
+                                    F.col("k").cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % _CMS_JS_W
+                ).alias("b"),
+            )
+            .groupBy("r", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    ra = sketch(o, "o_custkey")
+    rb = sketch(c, "c_custkey")
+    est = (
+        ra.join(rb.withColumnRenamed("c", "c2"), ["r", "b"])
+        .groupBy("r")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("ip"))
+        .agg(F.min("ip").alias("cms_estimate"))
+    )
+    a_cnt = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b_cnt = c.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    exact = a_cnt.join(b_cnt, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("exact_pairs")
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("exact_pairs").cast("bigint").alias("exact_pairs"),
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+            F.expr(
+                "CAST((cms_estimate - exact_pairs) * 1000000 div exact_pairs"
+                " AS BIGINT)"
+            ).alias("over_ppm"),
+        )
+    )
+
+
+cms_join_size_estimate.__doc__ = cms_join_size_estimate.__doc__.format(
+    d=_CMS_JS_D, w=_CMS_JS_W
+)

@@ -1761,3 +1761,100 @@ def readability_score(spark, sf_dir):
         .cast("bigint")
         .alias("flesch_milli"),
     )
+
+
+_HRW_K = 16  # baseline shard count; the resize audit adds one
+
+
+def _hrw_list_sql(k: int) -> str:
+    """DuckDB: the doc's HRW hash list over shards 0..k-1."""
+    key = "CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)"
+    return f"list_transform(range(0, {k}), s -> {HASH60.format(x=key)})"
+
+
+def _hrw_list_expr(k: int) -> str:
+    """Spark twin of :func:`_hrw_list_sql`."""
+    return (
+        f"transform(sequence(0, {k - 1}), s -> "
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+        "CAST(s AS STRING))), 1, 15), 16, 10) AS BIGINT))"
+    )
+
+
+@q(
+    "rendezvous_shards",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_hrw_list_sql(_HRW_K)} AS h16,
+             {_hrw_list_sql(_HRW_K + 1)} AS h17
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id,
+             CAST(list_position(h16, list_aggregate(h16, 'max')) - 1 AS INT)
+                 AS shard,
+             CAST(list_position(h17, list_aggregate(h17, 'max')) - 1 AS INT)
+                 AS shard_resized
+      FROM h
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN shard_resized <> shard THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           CAST(sum(CASE WHEN shard_resized <> shard THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS moved_ppm
+    FROM a GROUP BY 1
+    """,
+)
+def rendezvous_shards(spark, sf_dir):
+    """Rendezvous (highest-random-weight) consistent sharding with a
+    resize-movement audit: every document goes to the shard whose
+    (doc, shard) hash is highest; growing the fleet {k} -> {k1} moves
+    ONLY the documents whose new shard wins the rendezvous — an expected
+    1/{k1} of the corpus — where the mod-{k} assignment `train_shards`
+    uses would reshuffle ~{frac}% of all documents. At 100 TB this is
+    the difference between a rebalance that copies ~6% of the lake and
+    one that copies ~94% of it; the audit quantifies exactly that, per
+    shard.
+
+    Plan shape: both assignments are row-local HOF folds over a
+    {k}/{k1}-element hash list (pure projection — the corpus never
+    shuffles); the audit is ONE groupBy on the {k}-value shard id,
+    map-side combined. Portability: 60-bit md5 scores (the portable_hash60
+    primitive), argmax as first-position-of-max on both engines — ties
+    (cryptographically negligible) resolve identically. The HRW stability
+    property is also what makes the assignment INCREMENTAL: a re-ingested
+    document recomputes its shard from its id alone, no directory state.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        F.expr(_hrw_list_expr(_HRW_K)).alias("h16"),
+        F.expr(_hrw_list_expr(_HRW_K + 1)).alias("h17"),
+    )
+    a = h.select(
+        "doc_id",
+        (F.expr("array_position(h16, array_max(h16))") - 1)
+        .cast("int")
+        .alias("shard"),
+        (F.expr("array_position(h17, array_max(h17))") - 1)
+        .cast("int")
+        .alias("shard_resized"),
+    )
+    moved = F.sum(
+        F.when(F.col("shard_resized") != F.col("shard"), 1).otherwise(0)
+    )
+    return a.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        moved.cast("bigint").alias("n_moved"),
+        F.expr(
+            "CAST(sum(CASE WHEN shard_resized <> shard THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*) AS BIGINT)"
+        ).alias("moved_ppm"),
+    )
+
+
+rendezvous_shards.__doc__ = rendezvous_shards.__doc__.format(
+    k=_HRW_K, k1=_HRW_K + 1, frac=round(100 * _HRW_K / (_HRW_K + 1))
+)

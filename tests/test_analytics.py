@@ -1261,3 +1261,28 @@ def test_dow_seasonality_uniform_vs_spiked(spark, tmp_path_factory):
     assert sorted(flat) == [1, 2, 3, 4, 5, 6, 7]
     assert all(r.seasonal_index_ppm == 1000000 for r in flat.values())
     assert all(r.share_ppm == 142857 for r in flat.values())
+
+
+def test_cms_join_estimate_is_exact_sized_and_one_sided(spark, tmp_path_factory):
+    """Known-answer exact join size on a planted key distribution, and the
+    CMS inner-product estimator's one-sided (over-)estimation guarantee."""
+    path = str(tmp_path_factory.mktemp("cms") / "lake")
+    t0 = datetime(2024, 1, 1)
+    orders = [(i, k, "O", 1.0, t0, "1-URGENT") for i, k in
+              enumerate([1, 1, 2, 3, 3, 3])]
+    custs = [(k, f"c{k}", 0, 0.0, "AUTO") for k in [1, 2, 2, 4]]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    spark.createDataFrame(
+        custs,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/customer.parquet")
+    row = advanced.cms_join_size_estimate(spark, path).collect()[0]
+    # key 1: 2 orders x 1 cust; key 2: 1 x 2; keys 3/4 unmatched -> 4 pairs
+    assert row.exact_pairs == 4
+    assert row.cms_estimate >= row.exact_pairs
+    assert row.over_ppm >= 0

@@ -510,3 +510,38 @@ def test_readability_exact_formula_and_floors(spark, tmp_path_factory):
     expected = (206835 * s * w - 1015 * w * w - 84600 * syl * s) / (s * w)
     assert expected < 0
     assert r3.flesch_milli == math.floor(expected)
+
+
+def test_rendezvous_resize_moves_only_into_new_shard(spark, tmp_path_factory):
+    """The HRW property: growing 16 -> 17 shards may only move a document
+    INTO the new shard (its scores for shards 0..15 are unchanged, so a
+    different winner must be the new candidate); assignments cover the
+    shard range and are deterministic."""
+    from pyspark.sql import functions as F
+
+    path = _write_min_docs(
+        spark,
+        tmp_path_factory,
+        "hrw",
+        [(i, f"doc {i}", "en", "s0", 5) for i in range(400)],
+    )
+    d = spark.read.parquet(f"{path}/documents.parquet")
+    a = d.select(
+        "doc_id",
+        F.expr(curation._hrw_list_expr(curation._HRW_K)).alias("h16"),
+        F.expr(curation._hrw_list_expr(curation._HRW_K + 1)).alias("h17"),
+    ).select(
+        "doc_id",
+        (F.expr("array_position(h16, array_max(h16))") - 1).alias("s16"),
+        (F.expr("array_position(h17, array_max(h17))") - 1).alias("s17"),
+    )
+    rows = a.collect()
+    assert all(0 <= r.s16 < curation._HRW_K for r in rows)
+    moved = [r for r in rows if r.s16 != r.s17]
+    assert moved, "a 400-doc corpus should move ~1/17 of docs"
+    assert all(r.s17 == curation._HRW_K for r in moved)
+    # ~1/17 expected; generous envelope that still catches mod-style reshuffles
+    assert len(moved) / len(rows) < 0.15
+    out = {r.shard: r for r in curation.rendezvous_shards(spark, path).collect()}
+    assert sum(r.n_docs for r in out.values()) == 400
+    assert sum(r.n_moved for r in out.values()) == len(moved)

@@ -1324,6 +1324,19 @@ HEADLINERS = {
         "to |QI domain| x |buckets| rows, class-count-sized regardless "
         "of table size."
     ),
+    "rendezvous_shards": (
+        "HRW consistent sharding (r8s2): both assignments are row-local "
+        "HOF argmax folds over a 16/17-element md5 score list — pure "
+        "projection, the corpus never shuffles; the movement audit is "
+        "ONE groupBy on the 16-value shard id, map-side combined."
+    ),
+    "cms_join_size_estimate": (
+        "AGMS/CMS join-size estimate (r8s2): each table collapses to a "
+        "4x256-counter sketch via one map-side-combined groupBy (wire <= "
+        "1024 counter rows per side regardless of table size); the "
+        "sketch inner product and min are sketch-sized; the exact "
+        "yardstick shuffles key-count partials only."
+    ),
     "dow_seasonality": (
         "Weekly seasonal profile (r8s2): groupBy (type, dow) "
         "map-combines to |types|x7 rows; per-type totals re-aggregate "
