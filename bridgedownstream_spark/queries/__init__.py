@@ -90,7 +90,11 @@ from bridgedownstream_spark.queries import (
 #: k-anonymity/l-diversity release audit, ISO-weekday seasonal indices,
 #: HRW consistent sharding with resize-move audit, AGMS/CMS
 #: join-cardinality estimation — ALL oracle-certified at all three
-#: scales),
+#: scales), scd2_point_in_time_join + zipf_slope +
+#: clustering_coefficient (r8 session-2 wave 2: SCD2 at-time lookup
+#: via the as-of operator, Zipf rank-frequency drift fit,
+#: degree-ordered local clustering coefficient — oracle-certified at
+#: all three scales),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +

@@ -5442,3 +5442,229 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 cms_join_size_estimate.__doc__ = cms_join_size_estimate.__doc__.format(
     d=_CMS_JS_D, w=_CMS_JS_W
 )
+
+
+@q(
+    "scd2_point_in_time_join",
+    f"""
+    WITH t AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WHERE event_type IN ('view', 'click', 'error')
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, state, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM t
+    ),
+    iv AS (
+      SELECT user_id, state, grp, min(ts) AS valid_from
+      FROM g GROUP BY 1, 2, 3
+    ),
+    iv2 AS (
+      SELECT user_id, state, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY grp)
+                 AS valid_to
+      FROM iv
+    ),
+    p AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id,
+           {TS_STR.format(col="p.ts")} AS purchase_ts,
+           i.state AS dim_state,
+           {TS_STR.format(col="i.valid_from")} AS dim_valid_from
+    FROM p JOIN iv2 i
+      ON p.user_id = i.user_id
+     AND i.valid_from <= p.ts
+     AND (i.valid_to IS NULL OR p.ts < i.valid_to)
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) dimension lookup — the join every warehouse
+    runs against an SCD2 dimension: for each purchase, the user's
+    browsing/interaction state (their last view/click/error run) valid AT
+    purchase time. The classic correctness trap is joining the CURRENT
+    dimension row instead of the one valid at event time (training-serving
+    skew in feature pipelines); this operator certifies the at-time
+    semantics.
+
+    Plan shape: the SCD2 dimension is the certified `scd2_intervals`
+    gaps-and-islands derivation (one user_id exchange); the PIT lookup is
+    the union-trick as-of join (`operators/asof.py`) — NO join node, one
+    more user_id exchange, `last(ignorenulls)` carrying the latest
+    interval forward. The oracle states the SEMANTICS as the interval-
+    containment join [valid_from, valid_to) the as-of plan avoids —
+    two algorithms, one answer. Purchases before any state event drop
+    (inner semantics), matching the oracle join.
+    """
+    e = tbl(spark, sf_dir, "events")
+    from bridgedownstream_spark.operators.asof import asof_join
+
+    src = e.where(F.col("event_type").isin("view", "click", "error"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+    ).cast("bigint")
+    g = src.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        F.sum(chg).over(w.rowsBetween(W.unboundedPreceding, 0)).alias("grp"),
+    )
+    iv = g.groupBy("user_id", "state", "grp").agg(
+        F.min("ts").alias("valid_from")
+    )
+    probes = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = asof_join(
+        probes,
+        iv.select("user_id", "valid_from", "state"),
+        ["user_id"],
+        "ts",
+        "valid_from",
+        ["state", "valid_from"],
+        prefix="dim_",
+    )
+    return joined.where(F.col("dim_state").isNotNull()).select(
+        "user_id",
+        "event_id",
+        ts_str(F.col("ts")).alias("purchase_ts"),
+        "dim_state",
+        ts_str(F.col("dim_valid_from")).alias("dim_valid_from"),
+    )
+
+
+_CC_MIN_ORDERS = 2  # edge confirmation threshold (the kcore convention)
+
+
+@q(
+    "clustering_coefficient",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b USING (l_orderkey)
+          WHERE a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= {_CC_MIN_ORDERS}),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM e GROUP BY 1),
+    o AS (
+      SELECT e.src, e.dst, ds.degree AS src_deg, dd.degree AS dst_deg
+      FROM e JOIN deg ds ON e.src = ds.node
+             JOIN deg dd ON e.dst = dd.node
+      WHERE (ds.degree, e.src) < (dd.degree, e.dst)
+    ),
+    wedge AS (
+      SELECT x.src AS u, x.dst AS v, y.dst AS w
+      FROM o x JOIN o y ON x.src = y.src
+      WHERE (x.dst_deg, x.dst) < (y.dst_deg, y.dst)
+    ),
+    tri AS (
+      SELECT u, v, w FROM wedge
+      WHERE EXISTS (SELECT 1 FROM o WHERE o.src = wedge.v AND o.dst = wedge.w)
+    ),
+    credit AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles
+      FROM (SELECT unnest([u, v, w]) AS node FROM tri) GROUP BY 1
+    )
+    SELECT d.node AS p_partkey, d.degree,
+           CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles,
+           CAST(COALESCE(c.triangles, 0) * 2000000
+                // (d.degree * (d.degree - 1)) AS BIGINT) AS clustering_ppm
+    FROM deg d LEFT JOIN credit c ON d.node = c.node
+    WHERE d.degree >= 2
+    """,
+)
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the 2-order-confirmed
+    part co-purchase graph: triangles(v) / (deg(v) choose 2) in exact ppm
+    — the community-structure QC (high coefficient = tightly bundled
+    product neighborhoods; near zero = hub-and-spoke) that complements
+    the global triangle census (`dedup_graph_triangles`) and the k-core
+    cascade (`kcore_peeling`).
+
+    Scale shape — DEGREE-ORDERED triangle enumeration, not id-ordered:
+    edges orient from the (degree, id)-smaller endpoint, so every wedge
+    pivots at its lowest-degree vertex and the wedge join's fan-out is
+    bounded by the graph's arboricity instead of its max degree (the
+    id-ordered variant `dedup_graph_triangles` uses is simpler but lets
+    one low-id hub enumerate its whole neighborhood squared). Each
+    triangle is produced exactly once, then explodes into 3 node credits.
+    Shuffles: the one pair-sized edge aggregate (kcore's edge build), two
+    node-keyed degree joins (broadcast-eligible — the node table is
+    |V|-sized), the wedge self-join on the pivot key, and a LeftSemi
+    closure check on (v, w) — candidates only, never all-pairs.
+    """
+    raw = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = raw.distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .repartition(_edge_parts(raw), "dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_ord"))
+        .where(F.col("n_ord") >= _CC_MIN_ORDERS)
+        .drop("n_ord")
+        .localCheckpoint(eager=False, storageLevel=_FACT_STATE)
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    dsrc = deg.select(F.col("node").alias("src"), F.col("degree").alias("src_deg"))
+    ddst = deg.select(F.col("node").alias("dst"), F.col("degree").alias("dst_deg"))
+    o = (
+        e.join(F.broadcast(dsrc), "src")
+        .join(F.broadcast(ddst), "dst")
+        .where(
+            (F.col("src_deg") < F.col("dst_deg"))
+            | ((F.col("src_deg") == F.col("dst_deg")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst", "dst_deg")
+    )
+    x = o.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("dst_deg").alias("v_deg"),
+    )
+    y = o.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("w"),
+        F.col("dst_deg").alias("w_deg"),
+    )
+    wedge = x.join(y, "u").where(
+        (F.col("v_deg") < F.col("w_deg"))
+        | ((F.col("v_deg") == F.col("w_deg")) & (F.col("v") < F.col("w")))
+    )
+    tri = wedge.join(
+        o.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "leftsemi",
+    )
+    credit = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(credit, "node", "left")
+        .select(
+            F.col("node").alias("p_partkey"),
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+            F.expr(
+                "CAST(coalesce(triangles, 0) * 2000000"
+                " div (degree * (degree - 1)) AS BIGINT)"
+            ).alias("clustering_ppm"),
+        )
+    )

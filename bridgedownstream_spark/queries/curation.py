@@ -1858,3 +1858,111 @@ def rendezvous_shards(spark, sf_dir):
 rendezvous_shards.__doc__ = rendezvous_shards.__doc__.format(
     k=_HRW_K, k1=_HRW_K + 1, frac=round(100 * _HRW_K / (_HRW_K + 1))
 )
+
+
+_ZIPF_TOP = 100
+
+
+@q(
+    "zipf_slope",
+    f"""
+    WITH toks AS (SELECT {_NORM_TOKS_SQL} AS t FROM documents),
+    counts AS (
+      SELECT w, count(*) AS cnt
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+    ),
+    top AS (
+      SELECT w, cnt FROM counts ORDER BY cnt DESC, w LIMIT {_ZIPF_TOP}
+    ),
+    ranked AS (
+      SELECT w, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, w) AS INT) AS rnk
+      FROM top
+    ),
+    pts AS (
+      SELECT w, cnt, rnk,
+             CAST(round(ln(CAST(rnk AS DOUBLE)), 7) AS DECIMAL(18,7)) AS x,
+             CAST(round(ln(CAST(cnt AS DOUBLE)), 7) AS DECIMAL(18,7)) AS y
+      FROM ranked
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS DECIMAL(18,0)) AS k,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts
+    )
+    SELECT p.rnk AS rank, p.w AS word, CAST(p.cnt AS BIGINT) AS cnt,
+           round(CAST((f.k * f.sxy - f.sx * f.sy)
+                      / (f.k * f.sxx - f.sx * f.sx) AS DOUBLE), 6)
+               AS zipf_slope
+    FROM pts p, fit f
+    ORDER BY p.rnk
+    """,
+)
+def zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency fit — the corpus-health twin of the Heaps'-law
+    curve (`vocab_growth_curve`): the log-log least-squares slope over the
+    top-{k} word ranks. Natural language sits near -1; a slope far above
+    flags templated/boilerplate-heavy text (flat head), far below flags
+    degenerate repetition (one token dominating). Curation pipelines
+    track this per crawl snapshot as a drift alarm.
+
+    Plan shape: ONE corpus-sized shuffle keyed on token strings (map-side
+    combined word counts — the contamination_check topology), a
+    TakeOrdered top-{k} cut, and a {k}-row post-limit window + closed-form
+    fit (the vocab_growth_curve regression discipline: ln values rounded
+    to 7 into DECIMAL sufficient statistics, merge-order-exact).
+    """
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.expr(_NORM_TOKS_EXPR)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "w").limit(_ZIPF_TOP)
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.col("cnt").desc(), "w")).cast("int"),
+    )
+    pts = ranked.select(
+        "w",
+        "cnt",
+        "rnk",
+        F.round(F.log(F.col("rnk").cast("double")), 7)
+        .cast("decimal(18,7)")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 7)
+        .cast("decimal(18,7)")
+        .alias("y"),
+    )
+    fit = F.broadcast(
+        pts.agg(
+            F.count(F.lit(1)).cast("decimal(18,0)").alias("k"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    slope = F.round(
+        (
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).cast("double"),
+        6,
+    )
+    return (
+        pts.crossJoin(fit)
+        .select(
+            F.col("rnk").alias("rank"),
+            F.col("w").alias("word"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            slope.alias("zipf_slope"),
+        )
+        .orderBy("rank")
+    )
+
+
+zipf_slope.__doc__ = zipf_slope.__doc__.format(k=_ZIPF_TOP)

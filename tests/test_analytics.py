@@ -1286,3 +1286,69 @@ def test_cms_join_estimate_is_exact_sized_and_one_sided(spark, tmp_path_factory)
     assert row.exact_pairs == 4
     assert row.cms_estimate >= row.exact_pairs
     assert row.over_ppm >= 0
+
+
+def test_scd2_pit_join_uses_at_time_version(spark, tmp_path_factory):
+    """Each purchase must see the dimension version valid AT its time —
+    not the current one; a purchase at the exact instant of a state
+    change sees the NEW state (valid_from inclusive); purchases before
+    any state event drop."""
+    path = str(tmp_path_factory.mktemp("pit") / "lake")
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), 1, "view", 1.0, "{}"),
+        (2, t(2), 1, "purchase", 1.0, "{}"),   # state: view
+        (3, t(4), 1, "click", 1.0, "{}"),
+        (4, t(4), 1, "purchase", 1.0, "{}"),   # AT the change: click
+        (5, t(9), 1, "purchase", 1.0, "{}"),   # still click (current)
+        (6, t(0), 2, "purchase", 1.0, "{}"),   # user 2: no state yet
+        (7, t(1), 2, "error", 1.0, "{}"),
+    ]
+    _write_events(spark, path, rows)
+    out = {
+        r.event_id: r
+        for r in advanced.scd2_point_in_time_join(spark, path).collect()
+    }
+    assert set(out) == {2, 4, 5}  # event 6 precedes any dimension row
+    assert out[2].dim_state == "view"
+    assert out[4].dim_state == "click"
+    assert out[5].dim_state == "click"
+
+
+def test_zipf_slope_exact_inverse_law(spark, tmp_path_factory):
+    """A corpus whose counts are exactly 12/rank fits slope -1; ranks are
+    dense and ordered by (count desc, word)."""
+    path = str(tmp_path_factory.mktemp("zipf") / "lake")
+    text = " ".join(["alpha"] * 12 + ["beta"] * 6 + ["gamma"] * 4 + ["delta"] * 3)
+    spark.createDataFrame(
+        [(1, text, "en", "s0", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    from bridgedownstream_spark.queries import curation
+
+    rows = curation.zipf_slope(spark, path).collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4]
+    assert [r.word for r in rows] == ["alpha", "beta", "gamma", "delta"]
+    assert [r.cnt for r in rows] == [12, 6, 4, 3]
+    assert all(abs(r.zipf_slope + 1.0) < 1e-5 for r in rows)
+
+
+def test_clustering_coefficient_hand_graph(spark, tmp_path_factory):
+    """Triangle {1,2,3} plus pendant 4-1 (all edges 2-order-confirmed):
+    node 1 has degree 3 and coefficient 1/3; nodes 2 and 3 are fully
+    clustered; the pendant (degree 1) is excluded."""
+    path = str(tmp_path_factory.mktemp("cc") / "lake")
+    rows = []
+    for o in (1, 2):  # two orders confirm the triangle
+        rows += [(o, p) for p in (1, 2, 3)]
+    for o in (3, 4):  # two orders confirm the pendant edge
+        rows += [(o, p) for p in (1, 4)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+    out = {r.p_partkey: r for r in
+           advanced.clustering_coefficient(spark, path).collect()}
+    assert set(out) == {1, 2, 3}  # pendant node 4 has degree 1
+    assert (out[1].degree, out[1].triangles, out[1].clustering_ppm) == (3, 1, 333333)
+    assert (out[2].degree, out[2].triangles, out[2].clustering_ppm) == (2, 1, 1000000)
+    assert (out[3].degree, out[3].triangles, out[3].clustering_ppm) == (2, 1, 1000000)

@@ -1324,6 +1324,25 @@ HEADLINERS = {
         "to |QI domain| x |buckets| rows, class-count-sized regardless "
         "of table size."
     ),
+    "scd2_point_in_time_join": (
+        "PIT dimension lookup (r8s2): the SCD2 derivation is the "
+        "certified one-exchange gaps-and-islands; the at-time lookup is "
+        "the union-trick as-of join — NO join node, one more user_id "
+        "exchange, last(ignorenulls) carrying the valid interval."
+    ),
+    "zipf_slope": (
+        "Zipf rank-frequency fit (r8s2): ONE corpus-sized shuffle keyed "
+        "on token strings (map-side combined counts), a TakeOrdered "
+        "top-100 cut, then a 100-row post-limit window and a 1-row "
+        "closed-form fit."
+    ),
+    "clustering_coefficient": (
+        "Local clustering coefficient (r8s2): DEGREE-ORDERED triangle "
+        "enumeration — wedges pivot at their lowest-degree vertex, so "
+        "the self-join fan-out is arboricity-bounded, not max-degree-"
+        "bounded; closure check is a LeftSemi on candidate (v, w) pairs; "
+        "degree joins broadcast the |V|-sized node table."
+    ),
     "rendezvous_shards": (
         "HRW consistent sharding (r8s2): both assignments are row-local "
         "HOF argmax folds over a 16/17-element md5 score list — pure "

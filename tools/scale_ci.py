@@ -87,6 +87,13 @@ GATE: dict[str, tuple[float, str]] = {
     # 100x vs 2.7 s at 1x -> ratio 83.8 (the n^1.5 floor: 100^1.5 = 1000x
     # work, absorbed ~12x by idle cores at 1x). Budget = measured x ~1.5.
     "semdedup_prune": (130.0, "embeddings"),
+    # r8 session 2: corpus-linear text operators (lm_perplexity-class
+    # honest floors — scan-bound, vocab-sized shuffles). Budgets =
+    # r8s2 gate-measured minima x ~1.5 (SCALE_GATE_r08s2.json:
+    # entropy 17.7x, pmi 16.2x, hrw 3.4x for 100x documents).
+    "char_entropy_quality": (30.0, "documents"),
+    "collocation_pmi": (25.0, "documents"),
+    "rendezvous_shards": (7.0, "documents"),
 }
 
 
