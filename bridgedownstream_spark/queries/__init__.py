@@ -94,7 +94,10 @@ from bridgedownstream_spark.queries import (
 #: clustering_coefficient (r8 session-2 wave 2: SCD2 at-time lookup
 #: via the as-of operator, Zipf rank-frequency drift fit,
 #: degree-ordered local clustering coefficient — oracle-certified at
-#: all three scales),
+#: all three scales), lsh_band_sweep + temporal_split_leakage (r8
+#: session-2 wave 3: LSH banding precision/recall calibration over
+#: nested 2x4/4x2/8x1 configs, temporal train/test split with
+#: identity-leakage audit — oracle-certified at all three scales),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +

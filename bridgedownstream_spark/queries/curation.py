@@ -1966,3 +1966,103 @@ def zipf_slope(spark, sf_dir):
 
 
 zipf_slope.__doc__ = zipf_slope.__doc__.format(k=_ZIPF_TOP)
+
+
+_TSPLIT_BP = 8000  # train share of the time range, basis points
+
+
+@q(
+    "temporal_split_leakage",
+    f"""
+    WITH rng AS (
+      SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events
+    ),
+    cut AS (
+      SELECT lo + (hi - lo) * {_TSPLIT_BP} // 10000 AS c FROM rng
+    ),
+    tagged AS (
+      SELECT user_id, epoch_us(ts) < (SELECT c FROM cut) AS is_train
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             max(CASE WHEN is_train THEN 1 ELSE 0 END) AS in_train,
+             max(CASE WHEN is_train THEN 0 ELSE 1 END) AS in_test
+      FROM tagged GROUP BY 1
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM tagged WHERE is_train)
+          AS n_train_events,
+      (SELECT CAST(count(*) AS BIGINT) FROM tagged WHERE NOT is_train)
+          AS n_test_events,
+      CAST(sum(in_train) AS BIGINT) AS train_users,
+      CAST(sum(in_test) AS BIGINT)  AS test_users,
+      CAST(sum(in_train * in_test) AS BIGINT) AS leaked_users,
+      CAST(sum(in_train * in_test) * 1000000
+           // greatest(sum(in_test), 1) AS BIGINT) AS leakage_ppm
+    FROM u
+    """,
+)
+def temporal_split_leakage(spark, sf_dir):
+    """Temporal train/test split with an identity-leakage audit: events
+    before the 80%-of-time-range cutoff train, the rest test — and the
+    audit counts users present on BOTH sides (for user-conditioned models
+    that is target leakage: the model memorizes test users at train
+    time). Releasing a temporal split without this number is the classic
+    recommender-eval mistake; pipelines either accept it (cold-start-free
+    eval) or re-split by user — the ppm says which regime you are in.
+
+    Plan shape: the cutoff is a broadcast 1-row min/max aggregate in
+    exact epoch-microsecond integers (no timestamp arithmetic
+    divergence); tagging is a row-local comparison; the audit is one
+    user-keyed aggregate (map-side combined to per-user flag pairs) plus
+    a 1-row reduction. Event counts ride the same scan.
+    """
+    e = tbl(spark, sf_dir, "events")
+    rng = F.broadcast(
+        e.agg(
+            F.unix_micros(F.min("ts")).alias("lo"),
+            F.unix_micros(F.max("ts")).alias("hi"),
+        ).select(
+            F.expr(f"lo + (hi - lo) * {_TSPLIT_BP} div 10000").alias("c")
+        )
+    )
+    tagged = e.crossJoin(rng).select(
+        "user_id", (F.unix_micros("ts") < F.col("c")).alias("is_train")
+    )
+    u = tagged.groupBy("user_id").agg(
+        F.max(F.when(F.col("is_train"), 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("is_train"), 0).otherwise(1)).alias("in_test"),
+    )
+    ev = F.broadcast(
+        tagged.agg(
+            F.sum(F.when(F.col("is_train"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train_events"),
+            F.sum(F.when(F.col("is_train"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_test_events"),
+        )
+    )
+    return (
+        u.agg(
+            F.sum("in_train").cast("bigint").alias("train_users"),
+            F.sum("in_test").cast("bigint").alias("test_users"),
+            F.sum(F.col("in_train") * F.col("in_test"))
+            .cast("bigint")
+            .alias("leaked_users"),
+            F.expr(
+                "CAST(sum(in_train * in_test) * 1000000"
+                " div greatest(sum(in_test), 1) AS BIGINT)"
+            ).alias("leakage_ppm"),
+        )
+        .crossJoin(ev)
+        .select(
+            "n_train_events",
+            "n_test_events",
+            "train_users",
+            "test_users",
+            "leaked_users",
+            "leakage_ppm",
+        )
+    )

@@ -2671,3 +2671,198 @@ def contrastive_pairs(spark, sf_dir):
         )
     )
     return pos.join(neg, "anchor_id").orderBy("anchor_id")
+
+
+# -- LSH banding parameter sweep ---------------------------------------------
+
+_SWEEP_CFGS = [(2, 4), (4, 2), (8, 1)]  # (bands, rows) over the 8 minhashes
+_SWEEP_TAU = 0.5  # the near_dup_lsh_pairs verify threshold
+
+#: corpus stamp -> (superset candidate frame, verified truth frame)
+_SWEEP_CACHE: dict[str, tuple] = {}
+
+
+def _cfg_band_spark(b: int, r: int) -> str:
+    parts = ", '_', ".join(f"CAST(m{b * r + i} AS STRING)" for i in range(r))
+    return _H60_SPARK.format(x=f"concat({parts})")
+
+
+def _cfg_band_duck(b: int, r: int) -> str:
+    parts = " || '_' || ".join(f"CAST(m{b * r + i} AS VARCHAR)" for i in range(r))
+    return _H60_DUCK.format(x=parts)
+
+
+def _sweep_cand_duck(nb: int, r: int) -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_cfg_band_duck(b, r)} AS bh FROM sig"
+        for b in range(nb)
+    )
+    return (
+        f"bands_{nb} AS ({bands}), "
+        f"cand_{nb} AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        f"  FROM bands_{nb} a JOIN bands_{nb} b"
+        f"  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"
+    )
+
+
+_SWEEP_DUCK = (
+    _SIG_CTE_DUCK
+    + ", "
+    + ", ".join(_sweep_cand_duck(nb, r) for nb, r in _SWEEP_CFGS)
+    + f""",
+    truth AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand_8 c JOIN sh sa ON sa.doc_id = c.doc_a
+                    JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+            / greatest(len(list_distinct(sa.sh || sb.sh)), 1) >= {_SWEEP_TAU}
+    ),
+    tmax AS (SELECT count(*) AS n FROM truth)
+    """
+    + " UNION ALL ".join(
+        f"""
+    SELECT {nb} AS bands, {r} AS rows_per_band,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_{nb}) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_{nb} c
+             WHERE EXISTS (SELECT 1 FROM truth t
+                           WHERE t.doc_a = c.doc_a AND t.doc_b = c.doc_b))
+               AS n_true,
+           CAST((SELECT count(*) FROM cand_{nb} c
+                 WHERE EXISTS (SELECT 1 FROM truth t
+                               WHERE t.doc_a = c.doc_a AND t.doc_b = c.doc_b))
+                * 1000000
+                // greatest((SELECT count(*) FROM cand_{nb}), 1) AS BIGINT)
+               AS precision_ppm,
+           CAST((SELECT count(*) FROM cand_{nb} c
+                 WHERE EXISTS (SELECT 1 FROM truth t
+                               WHERE t.doc_a = c.doc_a AND t.doc_b = c.doc_b))
+                * 1000000
+                // greatest((SELECT n FROM tmax), 1) AS BIGINT)
+               AS recall_vs_max_ppm
+    """
+        for nb, r in _SWEEP_CFGS
+    )
+)
+
+
+@q("lsh_band_sweep", _SWEEP_DUCK)
+def lsh_band_sweep(spark, sf_dir):
+    """LSH banding calibration sweep — the QC a dedup pipeline runs before
+    committing to a (bands, rows) configuration: the same 8 minhashes
+    re-banded as 2x4 / 4x2 / 8x1, each config reporting candidate volume,
+    verified true pairs (exact Jaccard >= tau on candidates only), and
+    precision/recall in exact ppm. The collision probability
+    1-(1-j^r)^b trades candidate volume against recall; the sweep shows
+    the actual corpus's operating points. Recall is measured against the
+    8x1 config's verified set — exact for this family because the
+    candidate sets are provably NESTED (agreeing on an r-row band implies
+    agreeing on each of its sub-bands), so 8x1 is the family's recall
+    ceiling.
+
+    Plan shape: signatures compute once; each config is a band-hash
+    self-join (collision-bounded, never all-pairs) feeding a distinct
+    pair set; truth verifies exact Jaccard over the 8x1 superset's
+    candidates only (re-shingling candidate docs, the
+    near_dup_lsh_pairs discipline); per-config stats are LeftSemi
+    counts. At 100 TB the sweep runs on a corpus SAMPLE — it is a
+    calibration tool, and the 1-row-band config's candidate volume is
+    the knob being priced, not a fixed production cost.
+    """
+    sig = _signatures(spark, sf_dir).drop("sh")
+
+    def cand_for(nb: int, r: int):
+        bands = sig.selectExpr(
+            "doc_id",
+            "stack("
+            + str(nb)
+            + ", "
+            + ", ".join(f"{b}, {_cfg_band_spark(b, r)}" for b in range(nb))
+            + ") AS (band, bh)",
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    cands = {nb: cand_for(nb, r) for nb, r in _SWEEP_CFGS}
+    # stamped per-corpus cache for the superset + truth frames (each is
+    # consumed by several config branches; a bare per-invocation persist
+    # would leak one block set per call — the r3 lesson)
+    key = _corpus_stamp(sf_dir)
+    if key not in _SWEEP_CACHE:
+        from pyspark.storagelevel import StorageLevel
+
+        for stale in [k for k in _SWEEP_CACHE if k.startswith(f"{sf_dir}|")]:
+            for frame in _SWEEP_CACHE.pop(stale):
+                frame.unpersist()
+        sup = cands[8].persist(StorageLevel.MEMORY_AND_DISK)
+        ids = (
+            sup.select(F.col("doc_a").alias("doc_id"))
+            .union(sup.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = _shingled_for(spark, sf_dir, ids)
+        sa, sb = sh.alias("sa"), sh.alias("sb")
+        jac = F.col("n_common").cast("double") / F.greatest(
+            F.col("n_union"), F.lit(1)
+        )
+        truth = (
+            F.broadcast(sup)
+            .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("sa.sh", "sb.sh")).alias("n_common"),
+                F.size(F.array_union("sa.sh", "sb.sh")).alias("n_union"),
+            )
+            .where(jac >= _SWEEP_TAU)
+            .select("doc_a", "doc_b")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _SWEEP_CACHE[key] = (sup, truth)
+    sup, truth = _SWEEP_CACHE[key]
+    cands[8] = sup
+    t_n = truth.groupBy().agg(F.count(F.lit(1)).alias("tn"))
+    rows = None
+    for nb, r in _SWEEP_CFGS:
+        c = cands[nb]
+        stats = c.join(
+            F.broadcast(truth.withColumn("hit", F.lit(1))),
+            ["doc_a", "doc_b"],
+            "left",
+        )
+        row = (
+            stats.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_true"),
+            )
+            .crossJoin(F.broadcast(t_n))
+            .select(
+                F.lit(nb).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_true",
+                F.expr(
+                    "CAST(n_true * 1000000 div greatest(n_candidates, 1)"
+                    " AS BIGINT)"
+                ).alias("precision_ppm"),
+                F.expr(
+                    "CAST(n_true * 1000000 div greatest(tn, 1) AS BIGINT)"
+                ).alias("recall_vs_max_ppm"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -1352,3 +1352,22 @@ def test_clustering_coefficient_hand_graph(spark, tmp_path_factory):
     assert (out[1].degree, out[1].triangles, out[1].clustering_ppm) == (3, 1, 333333)
     assert (out[2].degree, out[2].triangles, out[2].clustering_ppm) == (2, 1, 1000000)
     assert (out[3].degree, out[3].triangles, out[3].clustering_ppm) == (2, 1, 1000000)
+
+
+def test_temporal_split_leakage_known_answer(spark, tmp_path_factory):
+    """10 hourly events over [0h, 9h): cutoff at 80% of the range = 7.2h,
+    so events 0..7 train, 8..9 test; user A spans both sides (leaked),
+    user B is train-only, user C test-only."""
+    path = str(tmp_path_factory.mktemp("tsplit") / "lake")
+    rows = []
+    for h in range(10):
+        uid = 1 if h in (0, 8) else (2 if h < 8 else 3)  # A spans, B train, C test
+        rows.append((h, datetime(2024, 1, 1, h), uid, "view", 1.0, "{}"))
+    _write_events(spark, path, rows)
+    from bridgedownstream_spark.queries import curation
+
+    r = curation.temporal_split_leakage(spark, path).collect()[0]
+    assert (r.n_train_events, r.n_test_events) == (8, 2)
+    assert (r.train_users, r.test_users) == (2, 2)   # {A,B} vs {A,C}
+    assert r.leaked_users == 1                        # A
+    assert r.leakage_ppm == 500000

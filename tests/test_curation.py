@@ -545,3 +545,30 @@ def test_rendezvous_resize_moves_only_into_new_shard(spark, tmp_path_factory):
     out = {r.shard: r for r in curation.rendezvous_shards(spark, path).collect()}
     assert sum(r.n_docs for r in out.values()) == 400
     assert sum(r.n_moved for r in out.values()) == len(moved)
+
+
+def test_lsh_band_sweep_nesting_and_recall_ceiling(spark, tmp_path_factory):
+    """Candidate/true counts are NESTED across the 2x4 -> 4x2 -> 8x1
+    configs (agreeing on an r-row band implies agreeing on its
+    sub-bands); the 8x1 row is the recall ceiling (exactly 1e6 ppm); a
+    planted exact duplicate is found by every config."""
+    from bridgedownstream_spark.queries import similarity
+
+    body = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"alt{i}" for i in range(30))
+    rows = [
+        (1, body, "en", "s0", 0),
+        (2, body, "en", "s0", 0),           # exact dup of 1
+        (3, other, "en", "s0", 0),
+        (4, other + " tail0 tail1 tail2", "en", "s0", 0),  # near dup of 3
+    ]
+    path = _write_min_docs(spark, tmp_path_factory, "sweep", rows)
+    out = {r.bands: r for r in similarity.lsh_band_sweep(spark, path).collect()}
+    assert set(out) == {2, 4, 8}
+    assert out[2].n_candidates <= out[4].n_candidates <= out[8].n_candidates
+    assert out[2].n_true <= out[4].n_true <= out[8].n_true
+    assert out[8].recall_vs_max_ppm == 1000000
+    # the exact dup agrees on every minhash -> a candidate at EVERY config
+    assert out[2].n_true >= 1
+    assert all(r.precision_ppm <= 1000000 for r in out.values())
+    assert all(r.n_true <= r.n_candidates for r in out.values())

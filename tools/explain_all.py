@@ -1324,6 +1324,19 @@ HEADLINERS = {
         "to |QI domain| x |buckets| rows, class-count-sized regardless "
         "of table size."
     ),
+    "lsh_band_sweep": (
+        "LSH banding calibration (r8s2): signatures compute once; each "
+        "config's candidates are a band-hash self-join (collision-"
+        "bounded, never all-pairs); truth verifies exact Jaccard over "
+        "the 8x1 superset only (re-shingling candidate docs); the "
+        "superset + truth frames live in a stamped per-corpus cache."
+    ),
+    "temporal_split_leakage": (
+        "Temporal split + leakage audit (r8s2): the cutoff is a "
+        "broadcast 1-row min/max in exact epoch micros; tagging is "
+        "row-local; the audit is one user-keyed aggregate map-side "
+        "combined to per-user flag pairs plus a 1-row reduction."
+    ),
     "scd2_point_in_time_join": (
         "PIT dimension lookup (r8s2): the SCD2 derivation is the "
         "certified one-exchange gaps-and-islands; the at-time lookup is "
