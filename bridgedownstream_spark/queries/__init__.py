@@ -98,6 +98,11 @@ from bridgedownstream_spark.queries import (
 #: session-2 wave 3: LSH banding precision/recall calibration over
 #: nested 2x4/4x2/8x1 configs, temporal train/test split with
 #: identity-leakage audit — oracle-certified at all three scales),
+#: ipf_raking + loo_source_influence + interarrival_burstiness (r8
+#: session-2 wave 4: IPF mixture raking — a SIXTH iterative class
+#: with marginal-factor loop state in exact ppb integers;
+#: closed-form leave-one-out source valuation; exact-integer CV^2
+#: burstiness — oracle-certified at all three scales),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +

@@ -5668,3 +5668,69 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_ppm"),
         )
     )
+
+
+@q(
+    "interarrival_burstiness",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(count(gap) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS HUGEINT) AS sg,
+             CAST(sum(gap::HUGEINT * gap) AS HUGEINT) AS sg2
+      FROM g WHERE gap IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n_gaps,
+           CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
+           CAST((n_gaps * sg2 - sg * sg) * 1000000 // (sg * sg) AS BIGINT)
+               AS burstiness_cv2_ppm
+    FROM s WHERE n_gaps >= 2 AND sg > 0
+    """,
+)
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per user: the squared coefficient of
+    variation of event gaps, CV² = var/mean², in exact ppm. CV² = 1e6 is
+    the Poisson (memoryless) baseline; far above = bursty sessions (bot
+    bursts, retry storms), near zero = metronome automation — the
+    traffic-shape screen behind rate-limiter tuning and bot detection.
+
+    Plan shape: one lag window on the user_id exchange produces gaps;
+    the per-user aggregate map-side combines (count, Σgap, Σgap²) exact
+    integer partials — DECIMAL(38,0)/HUGEINT for the squared sums, the
+    KMV integral-div idiom for the final ratio, so the statistic is
+    bit-identical across engines and merge orders (no float variance
+    accumulation). Output is user-cardinality-sized.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = tbl(spark, sf_dir, "events")
+    g = e.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    s = g.groupBy("user_id").agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.sum(F.col("gap").cast("decimal(38,0)")).alias("sg"),
+        F.sum(
+            F.col("gap").cast("decimal(38,0)") * F.col("gap")
+        ).alias("sg2"),
+    )
+    return (
+        s.where((F.col("n_gaps") >= 2) & (F.col("sg") > 0))
+        .select(
+            "user_id",
+            "n_gaps",
+            F.expr("CAST(sg div n_gaps AS BIGINT)").alias("mean_gap_us"),
+            F.expr(
+                "CAST((n_gaps * sg2 - sg * sg) * 1000000 div (sg * sg)"
+                " AS BIGINT)"
+            ).alias("burstiness_cv2_ppm"),
+        )
+    )

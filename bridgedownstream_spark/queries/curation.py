@@ -2066,3 +2066,190 @@ def temporal_split_leakage(spark, sf_dir):
             "leakage_ppm",
         )
     )
+
+
+_IPF_ROUNDS = 3
+
+
+def _ipf_round_duck(r: int) -> str:
+    """One IPF round (row fit then column fit) as DuckDB CTEs."""
+    prev = f"w{r - 1}"
+    return f"""
+    rs{r} AS (SELECT lang, sum(w) AS s FROM {prev} GROUP BY 1),
+    rf{r} AS (SELECT lang,
+                     CAST((SELECT tr FROM tgt)::HUGEINT * 1000000000 // s
+                          AS BIGINT) AS f
+              FROM rs{r}),
+    wa{r} AS (SELECT p.lang, p.source, p.n,
+                     CAST(p.w::HUGEINT * rf{r}.f // 1000000000 AS BIGINT) AS w
+              FROM {prev} p JOIN rf{r} USING (lang)),
+    cs{r} AS (SELECT source, sum(w) AS s FROM wa{r} GROUP BY 1),
+    cf{r} AS (SELECT source,
+                     CAST((SELECT tc FROM tgt)::HUGEINT * 1000000000 // s
+                          AS BIGINT) AS f
+              FROM cs{r}),
+    w{r} AS (SELECT p.lang, p.source, p.n,
+                    CAST(p.w::HUGEINT * cf{r}.f // 1000000000 AS BIGINT) AS w
+             FROM wa{r} p JOIN cf{r} USING (source))"""
+
+
+_IPF_DUCK = (
+    """
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) * 1000000 AS t,
+                   count(DISTINCT lang) AS nr,
+                   count(DISTINCT source) AS nc
+            FROM cells),
+    tgt AS (SELECT t // nr AS tr, t // nc AS tc FROM tot),
+    w0 AS (SELECT lang, source, n, n * 1000000 AS w FROM cells),"""
+    + ",".join(_ipf_round_duck(r) for r in range(1, _IPF_ROUNDS + 1))
+    + f"""
+    SELECT lang, source, n AS n_docs,
+           CAST(w AS BIGINT) AS weight_micro,
+           CAST(w // n AS BIGINT) AS factor_ppm
+    FROM w{_IPF_ROUNDS}
+    """
+)
+
+
+@q("ipf_raking", _IPF_DUCK)
+def ipf_raking(spark, sf_dir):
+    """Iterative proportional fitting (raking) of the corpus mixture —
+    the survey-statistics algorithm a data pipeline uses to reweight a
+    (language x source) contingency table toward target marginals
+    (uniform here) without destroying the observed interaction structure:
+    alternately scale rows then columns to hit their targets, {r} rounds.
+    The output weight per cell is the resampling rate that makes the
+    training mix match the target language AND source shares
+    simultaneously — the principled version of per-axis rebalancing
+    (`rebalance_domains` fixes one axis; raking fixes both).
+
+    A SIXTH iterative mechanism class (after frontier-BFS, relaxation-
+    SSSP, fixed-point PageRank, subgraph-peeling k-core, and vocab-state
+    BPE): the loop state is the MARGINAL SCALING FACTOR vectors — the
+    corpus appears only in the initial contingency aggregate (the one
+    corpus-sized, map-side-combined shuffle); every round operates on the
+    |langs| x |sources| cell table with broadcast factor joins, so 100x
+    data changes only the first aggregate's scan. Portability: weights
+    live in integer micro-units, factors in exact ppb via the KMV
+    DECIMAL(38,0)-div ≡ HUGEINT-// idiom — every round is bit-identical
+    across engines and merge orders (the pagerank integer-arithmetic
+    discipline).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tgt = F.broadcast(
+        cells.agg(
+            (F.sum("n").cast("bigint") * 1000000).alias("t"),
+            F.countDistinct("lang").alias("nr"),
+            F.countDistinct("source").alias("nc"),
+        ).select(
+            F.expr("t div nr").alias("tr"), F.expr("t div nc").alias("tc")
+        )
+    )
+    w = cells.select(
+        "lang", "source", "n", (F.col("n") * 1000000).alias("w")
+    )
+    for _ in range(_IPF_ROUNDS):
+        for axis, t_col in (("lang", "tr"), ("source", "tc")):
+            s = w.groupBy(axis).agg(F.sum("w").alias("s"))
+            f_ = s.crossJoin(tgt).select(
+                axis,
+                F.expr(
+                    f"CAST(CAST({t_col} AS DECIMAL(38,0)) * 1000000000"
+                    " div s AS BIGINT)"
+                ).alias("f"),
+            )
+            w = w.join(F.broadcast(f_), axis).select(
+                "lang",
+                "source",
+                "n",
+                F.expr(
+                    "CAST(CAST(w AS DECIMAL(38,0)) * f div 1000000000"
+                    " AS BIGINT)"
+                ).alias("w"),
+            )
+    return w.select(
+        "lang",
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("w").alias("weight_micro"),
+        F.expr("CAST(w div n AS BIGINT)").alias("factor_ppm"),
+    )
+
+
+ipf_raking.__doc__ = ipf_raking.__doc__.format(r=_IPF_ROUNDS)
+
+
+@q(
+    "loo_source_influence",
+    f"""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_NORM_TOKS_SQL})) AS BIGINT) AS toks
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+                   CAST(sum(toks) AS BIGINT) AS tt FROM per)
+    SELECT source, n_docs,
+           CAST(tt * 1000 // nn AS BIGINT) AS mean_with_milli,
+           CASE WHEN nn > n_docs
+                THEN CAST((tt - toks) * 1000 // (nn - n_docs) AS BIGINT)
+                END AS mean_without_milli,
+           CASE WHEN nn > n_docs
+                THEN CAST((tt - toks) * 1000 // (nn - n_docs)
+                          - tt * 1000 // nn AS BIGINT)
+                END AS influence_milli
+    FROM per CROSS JOIN tot
+    """,
+)
+def loo_source_influence(spark, sf_dir):
+    """Leave-one-group-out source influence — the cheapest honest data-
+    valuation primitive: for each source, how the corpus mean document
+    length (exact milli-tokens) moves when that source is EXCLUDED.
+    Negative influence = the source drags the metric down (its docs are
+    longer than average, so removing it lowers the mean... sign reads
+    directly); pipelines rank sources by |influence| before spending on
+    per-source quality review. Unlike retrain-based Shapley this is
+    closed-form: for a mean, leave-one-out = (T - t_s)/(N - n_s), so ONE
+    corpus scan prices every source simultaneously.
+
+    Plan shape: one map-side-combined groupBy(source) carrying (count,
+    token-sum) partials, a broadcast 1-row total, and row-local exact
+    integer arithmetic (positive divisions truncate identically on both
+    engines; the final difference may be negative but is a SUBTRACTION of
+    already-truncated terms, not a division). The single-source corpus
+    degenerates to NULL rather than a divide-by-zero.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.expr(f"size({_NORM_TOKS_EXPR})"))
+        .cast("bigint")
+        .alias("toks"),
+    )
+    tot = F.broadcast(
+        per.agg(
+            F.sum("n_docs").cast("bigint").alias("nn"),
+            F.sum("toks").cast("bigint").alias("tt"),
+        )
+    )
+    without = F.expr("CAST((tt - toks) * 1000 div (nn - n_docs) AS BIGINT)")
+    with_ = F.expr("CAST(tt * 1000 div nn AS BIGINT)")
+    return per.crossJoin(tot).select(
+        "source",
+        "n_docs",
+        with_.alias("mean_with_milli"),
+        F.when(F.col("nn") > F.col("n_docs"), without).alias(
+            "mean_without_milli"
+        ),
+        F.when(F.col("nn") > F.col("n_docs"), without - with_)
+        .cast("bigint")
+        .alias("influence_milli"),
+    )

@@ -1371,3 +1371,28 @@ def test_temporal_split_leakage_known_answer(spark, tmp_path_factory):
     assert (r.train_users, r.test_users) == (2, 2)   # {A,B} vs {A,C}
     assert r.leaked_users == 1                        # A
     assert r.leakage_ppm == 500000
+
+
+def test_burstiness_metronome_vs_bursts(spark, tmp_path_factory):
+    """Equal gaps give CV² = 0 exactly; a burst-then-silence user matches
+    the integer-exact closed form; single-gap users are excluded."""
+    path = str(tmp_path_factory.mktemp("burst") / "lake")
+    rows = []
+    for i, sec in enumerate((0, 60, 120, 180)):        # u1: metronome
+        rows.append((i, datetime(2024, 1, 1, 0, sec // 60, sec % 60),
+                     1, "view", 1.0, "{}"))
+    for j, sec in enumerate((0, 1, 2, 102)):           # u2: burst + silence
+        rows.append((10 + j, datetime(2024, 1, 1, 0, sec // 60, sec % 60),
+                     2, "view", 1.0, "{}"))
+    rows.append((20, datetime(2024, 1, 1), 3, "view", 1.0, "{}"))  # u3: 1 event
+    rows.append((21, datetime(2024, 1, 1, 1), 3, "view", 1.0, "{}"))  # 1 gap
+    _write_events(spark, path, rows)
+    out = {r.user_id: r for r in
+           advanced.interarrival_burstiness(spark, path).collect()}
+    assert set(out) == {1, 2}  # u3 has a single gap -> excluded
+    assert out[1].burstiness_cv2_ppm == 0
+    assert out[1].mean_gap_us == 60_000_000
+    g = [1_000_000, 1_000_000, 100_000_000]
+    n, S, S2 = len(g), sum(g), sum(x * x for x in g)
+    assert out[2].mean_gap_us == S // n
+    assert out[2].burstiness_cv2_ppm == (n * S2 - S * S) * 1_000_000 // (S * S)

@@ -572,3 +572,57 @@ def test_lsh_band_sweep_nesting_and_recall_ceiling(spark, tmp_path_factory):
     assert out[2].n_true >= 1
     assert all(r.precision_ppm <= 1000000 for r in out.values())
     assert all(r.n_true <= r.n_candidates for r in out.values())
+
+
+def test_ipf_raking_fixed_point_and_convergence(spark, tmp_path_factory):
+    """A uniform contingency table is an EXACT fixed point (every factor
+    is 1e9, weights unchanged); a skewed-but-symmetric table rakes to
+    near-uniform marginals with symmetric weights."""
+    # uniform 2x2: one doc per cell
+    rows = [
+        (i, f"doc {i}", lang, src, 5)
+        for i, (lang, src) in enumerate(
+            (l, s) for l in ("en", "de") for s in ("s0", "s1")
+        )
+    ]
+    path = _write_min_docs(spark, tmp_path_factory, "ipf_u", rows)
+    out = curation.ipf_raking(spark, path).collect()
+    assert all(r.weight_micro == r.n_docs * 1000000 for r in out)
+    assert all(r.factor_ppm == 1000000 for r in out)
+
+    # skewed symmetric 2x2: [[1,3],[3,1]] -> IPF converges to equal
+    # marginals; symmetry of the input forces symmetric weights
+    rows2, i = [], 0
+    for lang, src, k in (("en", "s0", 1), ("en", "s1", 3),
+                         ("de", "s0", 3), ("de", "s1", 1)):
+        for _ in range(k):
+            rows2.append((i, f"doc {i}", lang, src, 5))
+            i += 1
+    path2 = _write_min_docs(spark, tmp_path_factory, "ipf_s", rows2)
+    out2 = {(r.lang, r.source): r for r in curation.ipf_raking(spark, path2).collect()}
+    total = sum(r.weight_micro for r in out2.values())
+    for lang in ("en", "de"):
+        s = sum(r.weight_micro for (l, _), r in out2.items() if l == lang)
+        assert abs(s - total / 2) <= total * 0.01
+    for src in ("s0", "s1"):
+        s = sum(r.weight_micro for (_, sr), r in out2.items() if sr == src)
+        assert abs(s - total / 2) <= total * 0.01
+    assert out2[("en", "s0")].weight_micro == out2[("de", "s1")].weight_micro
+    assert out2[("en", "s1")].weight_micro == out2[("de", "s0")].weight_micro
+
+
+def test_loo_source_influence_known_answer(spark, tmp_path_factory):
+    """sA: two 10-token docs; sB: one 40-token doc. Removing sB drops the
+    mean from 20 to 10 tokens; removing sA raises it to 40."""
+    rows = [
+        (1, " ".join(["w"] * 10), "en", "sA", 0),
+        (2, " ".join(["w"] * 10), "en", "sA", 0),
+        (3, " ".join(["w"] * 40), "en", "sB", 0),
+    ]
+    path = _write_min_docs(spark, tmp_path_factory, "loo", rows)
+    out = {r.source: r for r in curation.loo_source_influence(spark, path).collect()}
+    assert out["sA"].mean_with_milli == 20000
+    assert out["sA"].mean_without_milli == 40000
+    assert out["sA"].influence_milli == 20000
+    assert out["sB"].mean_without_milli == 10000
+    assert out["sB"].influence_milli == -10000

@@ -1324,6 +1324,25 @@ HEADLINERS = {
         "to |QI domain| x |buckets| rows, class-count-sized regardless "
         "of table size."
     ),
+    "ipf_raking": (
+        "IPF raking (r8s2) — sixth iterative class: loop state is the "
+        "marginal factor vectors; the corpus appears only in the initial "
+        "map-side-combined contingency aggregate; every round is a "
+        "cells-sized frame with broadcast factor joins in exact "
+        "ppb-integer arithmetic."
+    ),
+    "loo_source_influence": (
+        "Leave-one-out source influence (r8s2): one map-side-combined "
+        "groupBy(source) of (count, token-sum) partials + a broadcast "
+        "1-row total; the closed-form (T-t)/(N-n) prices every source "
+        "in a single scan — no per-source recompute."
+    ),
+    "interarrival_burstiness": (
+        "Burstiness CV² (r8s2): one lag window on the user_id exchange; "
+        "the aggregate map-side combines exact integer (n, Σg, Σg²) "
+        "partials — DECIMAL(38,0) squared sums, integral-div ratio, "
+        "no float variance accumulation."
+    ),
     "lsh_band_sweep": (
         "LSH banding calibration (r8s2): signatures compute once; each "
         "config's candidates are a band-hash self-join (collision-"
