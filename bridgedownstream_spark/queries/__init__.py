@@ -103,6 +103,9 @@ from bridgedownstream_spark.queries import (
 #: with marginal-factor loop state in exact ppb integers;
 #: closed-form leave-one-out source valuation; exact-integer CV^2
 #: burstiness — oracle-certified at all three scales),
+#: quantile_normalize_sources (r8 session-2 wave 5: equi-percentile
+#: cross-source score calibration on value-domain-sized cum tables
+#: + the as-of lookup — oracle-certified at all three scales),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +

@@ -2253,3 +2253,128 @@ def loo_source_influence(spark, sf_dir):
         .cast("bigint")
         .alias("influence_milli"),
     )
+
+
+@q(
+    "quantile_normalize_sources",
+    """
+    WITH cells AS (
+      SELECT source, n_chars AS v, count(*) AS cnt
+      FROM documents GROUP BY 1, 2
+    ),
+    ns AS (SELECT source, sum(cnt) AS n_s FROM cells GROUP BY 1),
+    sc AS (
+      SELECT source, v, cnt,
+             COALESCE(sum(cnt) OVER (PARTITION BY source ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM cells
+    ),
+    bp AS (
+      SELECT sc.source, sc.v, sc.cnt,
+             CAST((2 * cb + cnt + 1) * 10000 // (2 * n_s) AS BIGINT)
+                 AS pct_bp
+      FROM sc JOIN ns USING (source)
+    ),
+    g AS (SELECT v, sum(cnt) AS gcnt FROM cells GROUP BY 1),
+    gc AS (
+      SELECT v AS nv,
+             COALESCE(sum(gcnt) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+                 AS start
+      FROM g
+    ),
+    tot AS (SELECT sum(cnt) AS n FROM cells),
+    probes AS (
+      SELECT source, v, cnt, pct_bp,
+             greatest(pct_bp * (SELECT n FROM tot) // 10000, 1) AS k
+      FROM bp
+    )
+    SELECT p.source, CAST(p.v AS BIGINT) AS raw_value,
+           CAST(p.cnt AS BIGINT) AS n_docs,
+           p.pct_bp AS source_pct_bp,
+           CAST(gc.nv AS BIGINT) AS normalized_value
+    FROM probes p ASOF JOIN gc ON p.k >= gc.start
+    """,
+)
+def quantile_normalize_sources(spark, sf_dir):
+    """Equi-percentile (quantile-matching) normalization of a per-source
+    score onto the corpus-wide distribution — the calibration step a
+    pipeline runs when per-source quality scores are not comparable
+    (each source's scorer has its own scale): a document at the p-th
+    percentile WITHIN its source maps to the global value at that same
+    percentile. Here the score is document length (n_chars); the recipe
+    is score-agnostic. Mid-rank percentiles in exact basis points keep
+    tied values at one deterministic percentile.
+
+    Plan shape: everything happens on DOMAIN-sized tables, never per
+    document — one map-side-combined (source, value) cell aggregate is
+    the only corpus-sized shuffle; within-source and global cumulative
+    counts are windows over value-domain-sized frames; the percentile →
+    global-value lookup is the union-trick as-of join (no join node) on
+    the global cum table. At 100 TB the value domain (distinct score
+    values), not the corpus, bounds every post-scan stage. The oracle
+    states the lookup as DuckDB's native ASOF JOIN — two algorithms,
+    one answer (the asof_join_events precedent).
+    """
+    from pyspark.sql import Window as W
+
+    from bridgedownstream_spark.operators.asof import asof_join
+
+    d = tbl(spark, sf_dir, "documents")
+    cells = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ns = cells.groupBy("source").agg(F.sum("cnt").alias("n_s"))
+    wsrc = (
+        W.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sc = cells.select(
+        "source",
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wsrc), F.lit(0)).alias("cb"),
+    )
+    bp = sc.join(F.broadcast(ns), "source").select(
+        "source",
+        "v",
+        "cnt",
+        F.expr(
+            "CAST((2 * cb + cnt + 1) * 10000 div (2 * n_s) AS BIGINT)"
+        ).alias("pct_bp"),
+    )
+    g = cells.groupBy("v").agg(F.sum("cnt").alias("gcnt"))
+    wg = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    gc = g.select(
+        F.col("v").alias("nv"),
+        (F.coalesce(F.sum("gcnt").over(wg), F.lit(0)) + 1).alias("start"),
+        F.lit(1).alias("one"),
+    )
+    tot = F.broadcast(cells.agg(F.sum("cnt").alias("n")))
+    probes = bp.crossJoin(tot).select(
+        "source",
+        "v",
+        "cnt",
+        "pct_bp",
+        F.greatest(
+            F.expr("pct_bp * n div 10000"), F.lit(1).cast("bigint")
+        ).alias("k"),
+        F.lit(1).alias("one"),
+    )
+    joined = asof_join(
+        probes,
+        gc,
+        ["one"],
+        "k",
+        "start",
+        ["nv"],
+        prefix="g_",
+    )
+    return joined.select(
+        "source",
+        F.col("v").cast("bigint").alias("raw_value"),
+        F.col("cnt").cast("bigint").alias("n_docs"),
+        F.col("pct_bp").alias("source_pct_bp"),
+        F.col("g_nv").cast("bigint").alias("normalized_value"),
+    )

@@ -626,3 +626,25 @@ def test_loo_source_influence_known_answer(spark, tmp_path_factory):
     assert out["sA"].influence_milli == 20000
     assert out["sB"].mean_without_milli == 10000
     assert out["sB"].influence_milli == -10000
+
+
+def test_quantile_normalize_equi_percentile(spark, tmp_path_factory):
+    """Two sources with disjoint scales: values at the SAME within-source
+    percentile map to the SAME global value (that is the calibration
+    property), and normalization is monotone within each source."""
+    rows, i = [], 0
+    for v in (10, 20, 30):
+        rows.append((i, "x", "en", "sA", v)); i += 1
+    for v in (100, 200, 300):
+        rows.append((i, "x", "en", "sB", v)); i += 1
+    path = _write_min_docs(spark, tmp_path_factory, "qnorm", rows)
+    out = {(r.source, r.raw_value): r
+           for r in curation.quantile_normalize_sources(spark, path).collect()}
+    assert len(out) == 6
+    for va, vb in ((10, 100), (20, 200), (30, 300)):
+        a, b = out[("sA", va)], out[("sB", vb)]
+        assert a.source_pct_bp == b.source_pct_bp
+        assert a.normalized_value == b.normalized_value
+    for src, vals in (("sA", (10, 20, 30)), ("sB", (100, 200, 300))):
+        ns = [out[(src, v)].normalized_value for v in vals]
+        assert ns == sorted(ns)

@@ -1324,6 +1324,13 @@ HEADLINERS = {
         "to |QI domain| x |buckets| rows, class-count-sized regardless "
         "of table size."
     ),
+    "quantile_normalize_sources": (
+        "Equi-percentile calibration (r8s2): the only corpus-sized "
+        "shuffle is the (source, value) cell aggregate; cumulative "
+        "counts are windows over VALUE-DOMAIN-sized frames; the "
+        "percentile -> global-value lookup is the union-trick as-of "
+        "join (no join node)."
+    ),
     "ipf_raking": (
         "IPF raking (r8s2) — sixth iterative class: loop state is the "
         "marginal factor vectors; the corpus appears only in the initial "

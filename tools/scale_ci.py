@@ -94,6 +94,12 @@ GATE: dict[str, tuple[float, str]] = {
     "char_entropy_quality": (30.0, "documents"),
     "collocation_pmi": (25.0, "documents"),
     "rendezvous_shards": (7.0, "documents"),
+    # IPF: loop state = marginal factors; corpus only in the initial
+    # contingency aggregate — the flattest iterative curve expected.
+    "ipf_raking": (8.0, "documents"),
+    # LSH sweep: three collision-bounded band joins + one verify over
+    # the 8x1 superset (near_dup family measured 3.5x; x3 configs).
+    "lsh_band_sweep": (15.0, "documents"),
 }
 
 
