@@ -2817,7 +2817,10 @@ def lsh_band_sweep(spark, sf_dir):
             F.col("n_union"), F.lit(1)
         )
         truth = (
-            F.broadcast(sup)
+            # no forced broadcast: the candidate set is data-proportional
+            # (it OOM'd the 100x gate as a broadcast build side) — AQE
+            # sizes the join; at 1x it still picks broadcast on its own
+            sup
             .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
             .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
             .select(
@@ -2838,7 +2841,7 @@ def lsh_band_sweep(spark, sf_dir):
     for nb, r in _SWEEP_CFGS:
         c = cands[nb]
         stats = c.join(
-            F.broadcast(truth.withColumn("hit", F.lit(1))),
+            truth.withColumn("hit", F.lit(1)),
             ["doc_a", "doc_b"],
             "left",
         )
