@@ -106,6 +106,11 @@ from bridgedownstream_spark.queries import (
 #: quantile_normalize_sources (r8 session-2 wave 5: equi-percentile
 #: cross-source score calibration on value-domain-sized cum tables
 #: + the as-of lookup — oracle-certified at all three scales),
+#: psi_drift + ks_two_sample (r8 session-2 wave 6: the statistical
+#: monitoring pair — population stability index over smoothed
+#: equi-width buckets and the exact-integer two-sample
+#: Kolmogorov-Smirnov D statistic — oracle-certified at all three
+#: scales),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +

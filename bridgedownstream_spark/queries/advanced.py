@@ -5734,3 +5734,246 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("burstiness_cv2_ppm"),
         )
     )
+
+
+_PSI_BUCKETS = 10
+
+
+@q(
+    "psi_drift",
+    f"""
+    WITH rng AS (
+      SELECT epoch_us(min(ts)) AS tlo, epoch_us(max(ts)) AS thi,
+             min(value) AS vlo, max(value) AS vhi
+      FROM events
+    ),
+    tagged AS (
+      SELECT CASE WHEN epoch_us(ts) < tlo + (thi - tlo) // 2
+                  THEN 1 ELSE 0 END AS is_ref,
+             CAST(least(floor((value - vlo) * {_PSI_BUCKETS}
+                              / (vhi - vlo)), {_PSI_BUCKETS - 1}) AS INT)
+                 AS bucket
+      FROM events CROSS JOIN rng
+    ),
+    grid AS (SELECT unnest(range({_PSI_BUCKETS})) AS bucket),
+    c AS (
+      SELECT g.bucket,
+             COALESCE(sum(CASE WHEN is_ref = 1 THEN 1 END), 0) + 1 AS p,
+             COALESCE(sum(CASE WHEN is_ref = 0 THEN 1 END), 0) + 1 AS q
+      FROM grid g LEFT JOIN tagged t ON g.bucket = t.bucket
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(p) AS BIGINT) AS pp,
+                   CAST(sum(q) AS BIGINT) AS qq FROM c)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(p - 1 AS BIGINT) AS n_ref,
+           CAST(q - 1 AS BIGINT) AS n_cur,
+           round((CAST(q * pp - p * qq AS DOUBLE)
+                  / (CAST(pp AS DOUBLE) * qq))
+                 * ln((CAST(q AS DOUBLE) * pp)
+                      / (CAST(qq AS DOUBLE) * p)), 9) AS psi_term
+    FROM c CROSS JOIN tot
+    """,
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index — THE industry drift alarm for scoring
+    pipelines: the event value distribution's first time-half (reference)
+    vs second half (current) over {b} equi-width buckets, each bucket
+    contributing (q%-p%)*ln(q%/p%); Σ psi_term < 0.1 is conventionally
+    stable, > 0.25 triggers recalibration. Buckets are add-one smoothed
+    so structurally-empty cells never produce ln(0) — the smoothing is
+    part of the certified definition.
+
+    Plan shape: the time/value range is ONE broadcast 1-row min/max
+    aggregate; tagging and bucketing are row-local (the value_histogram
+    floor-divide with a clamped top bucket); the per-bucket conditional
+    counts map-side combine to {b} rows joined against a literal bucket
+    grid (absent buckets surface, smoothed, instead of vanishing).
+    Portability: PSI terms follow the domain_mix_kl discipline — exact
+    BIGINT counts combined in IEEE-exact double divisions into ln,
+    rounded at 9.
+    """
+    e = tbl(spark, sf_dir, "events")
+    rng = F.broadcast(
+        e.agg(
+            F.unix_micros(F.min("ts")).alias("tlo"),
+            F.unix_micros(F.max("ts")).alias("thi"),
+            F.min("value").alias("vlo"),
+            F.max("value").alias("vhi"),
+        )
+    )
+    tagged = e.crossJoin(rng).select(
+        F.when(
+            F.unix_micros("ts")
+            < F.col("tlo") + F.expr("(thi - tlo) div 2"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_ref"),
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vlo"))
+                * _PSI_BUCKETS
+                / (F.col("vhi") - F.col("vlo"))
+            ),
+            F.lit(_PSI_BUCKETS - 1),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    grid = spark.range(_PSI_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
+    c = (
+        grid.join(tagged, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            (
+                F.coalesce(F.sum(F.when(F.col("is_ref") == 1, 1)), F.lit(0))
+                + 1
+            ).alias("p"),
+            (
+                F.coalesce(F.sum(F.when(F.col("is_ref") == 0, 1)), F.lit(0))
+                + 1
+            ).alias("q"),
+        )
+    )
+    tot = F.broadcast(
+        c.agg(
+            F.sum("p").cast("bigint").alias("pp"),
+            F.sum("q").cast("bigint").alias("qq"),
+        )
+    )
+    term = F.round(
+        (
+            (F.col("q") * F.col("pp") - F.col("p") * F.col("qq")).cast("double")
+            / (F.col("pp").cast("double") * F.col("qq"))
+        )
+        * F.log(
+            (F.col("q").cast("double") * F.col("pp"))
+            / (F.col("qq").cast("double") * F.col("p"))
+        ),
+        9,
+    )
+    return c.crossJoin(tot).select(
+        "bucket",
+        (F.col("p") - 1).cast("bigint").alias("n_ref"),
+        (F.col("q") - 1).cast("bigint").alias("n_cur"),
+        term.alias("psi_term"),
+    )
+
+
+psi_drift.__doc__ = psi_drift.__doc__.format(b=_PSI_BUCKETS)
+
+
+@q(
+    "ks_two_sample",
+    """
+    WITH rng AS (
+      SELECT epoch_us(min(ts)) AS tlo, epoch_us(max(ts)) AS thi FROM events
+    ),
+    tagged AS (
+      SELECT value,
+             CASE WHEN epoch_us(ts) < tlo + (thi - tlo) // 2
+                  THEN 1 ELSE 0 END AS is_a
+      FROM events CROSS JOIN rng
+    ),
+    vc AS (
+      SELECT value,
+             CAST(sum(is_a) AS BIGINT) AS ca,
+             CAST(sum(1 - is_a) AS BIGINT) AS cb
+      FROM tagged GROUP BY 1
+    ),
+    n AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb FROM vc),
+    cum AS (
+      SELECT value,
+             sum(ca) OVER (ORDER BY value) AS cuma,
+             sum(cb) OVER (ORDER BY value) AS cumb
+      FROM vc
+    ),
+    d AS (
+      SELECT value,
+             abs(cuma::HUGEINT * (SELECT nb FROM n)
+                 - cumb::HUGEINT * (SELECT na FROM n)) AS diff
+      FROM cum
+    )
+    SELECT (SELECT na FROM n) AS n_first,
+           (SELECT nb FROM n) AS n_second,
+           value AS ks_value,
+           CAST(diff * 1000000 // ((SELECT na FROM n)::HUGEINT
+                                   * (SELECT nb FROM n)) AS BIGINT)
+               AS d_ppm
+    FROM d ORDER BY diff DESC, value LIMIT 1
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the event value
+    distribution's first and second time halves: D = max over the value
+    domain of |F_a(v) - F_b(v)|, computed EXACTLY as integer
+    cross-products (|cumA*nB - cumB*nA| over the common denominator
+    nA*nB) in ppm — no float CDFs, no approximation, deterministic
+    argmax (largest gap, ties to the smallest value). The
+    nonparametric sibling of `chi_square_independence` and the exact
+    counterpart of `psi_drift`'s bucketed score.
+
+    Plan shape: values reduce to a DISTINCT-VALUE-sized (value, countA,
+    countB) table in one map-side-combined aggregate — the only
+    corpus-sized shuffle; both CDFs ride one window over that
+    domain-sized frame (single-partition, bounded by the value domain,
+    the quantile_normalize_sources argument); the result is a
+    TakeOrdered(1) with an exact-integer ordering key (DECIMAL(38,0)
+    cross-products — no truncation before the comparison).
+    """
+    e = tbl(spark, sf_dir, "events")
+    rng = F.broadcast(
+        e.agg(
+            F.unix_micros(F.min("ts")).alias("tlo"),
+            F.unix_micros(F.max("ts")).alias("thi"),
+        )
+    )
+    tagged = e.crossJoin(rng).select(
+        "value",
+        F.when(
+            F.unix_micros("ts") < F.col("tlo") + F.expr("(thi - tlo) div 2"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    vc = tagged.groupBy("value").agg(
+        F.sum("is_a").cast("bigint").alias("ca"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("cb"),
+    )
+    n = F.broadcast(
+        vc.agg(
+            F.sum("ca").cast("bigint").alias("na"),
+            F.sum("cb").cast("bigint").alias("nb"),
+        )
+    )
+    wv = W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    cum = vc.select(
+        "value",
+        F.sum("ca").over(wv).alias("cuma"),
+        F.sum("cb").over(wv).alias("cumb"),
+    )
+    d = cum.crossJoin(n).select(
+        "value",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cuma").cast("decimal(38,0)") * F.col("nb")
+            - F.col("cumb").cast("decimal(38,0)") * F.col("na")
+        ).alias("diff"),
+    )
+    return (
+        d.orderBy(F.col("diff").desc(), "value")
+        .limit(1)
+        .select(
+            F.col("na").alias("n_first"),
+            F.col("nb").alias("n_second"),
+            F.col("value").alias("ks_value"),
+            F.expr(
+                "CAST(diff * 1000000 div (CAST(na AS DECIMAL(38,0)) * nb)"
+                " AS BIGINT)"
+            ).alias("d_ppm"),
+        )
+    )

@@ -1396,3 +1396,51 @@ def test_burstiness_metronome_vs_bursts(spark, tmp_path_factory):
     n, S, S2 = len(g), sum(g), sum(x * x for x in g)
     assert out[2].mean_gap_us == S // n
     assert out[2].burstiness_cv2_ppm == (n * S2 - S * S) * 1_000_000 // (S * S)
+
+
+def test_psi_zero_for_identical_halves_and_positive_for_shift(spark, tmp_path_factory):
+    """Identical value multisets in both time halves give exactly 0.0 in
+    every bucket; a shifted second half produces a positive PSI sum."""
+    path = str(tmp_path_factory.mktemp("psi") / "lake")
+    rows, eid = [], 0
+    for half_h in (0, 12):  # identical multisets at hours 0.. and 12..
+        for v in (0.0, 1.0, 1.0, 5.0, 9.0):
+            rows.append((eid, datetime(2024, 1, 1, half_h, eid % 60), 1,
+                         "view", v, "{}"))
+            eid += 1
+    _write_events(spark, path, rows)
+    out = advanced.psi_drift(spark, path).collect()
+    assert len(out) == 10
+    assert all(r.psi_term == 0.0 for r in out)
+    assert sum(r.n_ref for r in out) == 5 and sum(r.n_cur for r in out) == 5
+
+    path2 = str(tmp_path_factory.mktemp("psi2") / "lake")
+    rows2, eid = [], 0
+    for v in (0.0, 0.0, 1.0, 1.0, 2.0):
+        rows2.append((eid, datetime(2024, 1, 1, 0, eid), 1, "view", v, "{}"))
+        eid += 1
+    for v in (7.0, 8.0, 8.0, 9.0, 9.0):
+        rows2.append((eid, datetime(2024, 1, 1, 23, eid % 60), 1, "view", v, "{}"))
+        eid += 1
+    _write_events(spark, path2, rows2)
+    out2 = advanced.psi_drift(spark, path2).collect()
+    assert sum(r.psi_term for r in out2) > 0.25  # a gross shift alarms
+
+
+def test_ks_two_sample_hand_answer(spark, tmp_path_factory):
+    """A={1,1,2} (first half), B={2,3,3} (second): the max CDF gap is
+    2/3 at value 1."""
+    path = str(tmp_path_factory.mktemp("ks") / "lake")
+    rows = [
+        (0, datetime(2024, 1, 1, 0, 0), 1, "view", 1.0, "{}"),
+        (1, datetime(2024, 1, 1, 0, 1), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 2), 1, "view", 2.0, "{}"),
+        (3, datetime(2024, 1, 1, 23, 0), 1, "view", 2.0, "{}"),
+        (4, datetime(2024, 1, 1, 23, 1), 1, "view", 3.0, "{}"),
+        (5, datetime(2024, 1, 1, 23, 2), 1, "view", 3.0, "{}"),
+    ]
+    _write_events(spark, path, rows)
+    r = advanced.ks_two_sample(spark, path).collect()[0]
+    assert (r.n_first, r.n_second) == (3, 3)
+    assert r.ks_value == 1.0
+    assert r.d_ppm == 2 * 1_000_000 * 3 // 9  # |2*3 - 0*3| / 9 = 2/3

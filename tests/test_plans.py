@@ -326,8 +326,13 @@ def test_hash_checked_float_outputs_are_stabilized(registry_dfs):
                     src_mm = _re.search(
                         r"([^\n]{0,300}) AS " + src + r"\b", analyzed
                     )
-                    stabilized = src_pat.search(analyzed) or (
-                        src_mm and _is_bare_minmax(src_mm.group(1))
+                    # no defining alias anywhere -> the source attribute
+                    # is a scan passthrough (an exact stored value, e.g.
+                    # ks_two_sample re-aliasing the raw `value` column)
+                    stabilized = (
+                        src_mm is None
+                        or src_pat.search(analyzed)
+                        or _is_bare_minmax(src_mm.group(1))
                     )
             if not stabilized:
                 bad.append(f"{name}.{c}")

@@ -1324,6 +1324,18 @@ HEADLINERS = {
         "to |QI domain| x |buckets| rows, class-count-sized regardless "
         "of table size."
     ),
+    "psi_drift": (
+        "PSI drift (r8s2): broadcast 1-row time/value range; row-local "
+        "bucketing (clamped floor-divide); per-bucket conditional "
+        "counts map-side combine to 10 rows against a literal grid — "
+        "absent buckets surface smoothed instead of vanishing."
+    ),
+    "ks_two_sample": (
+        "KS two-sample (r8s2): one map-side-combined (value, countA, "
+        "countB) aggregate is the only corpus-sized shuffle; both CDFs "
+        "ride one window over the distinct-value domain; the argmax is "
+        "a TakeOrdered(1) on exact DECIMAL(38,0) cross-products."
+    ),
     "quantile_normalize_sources": (
         "Equi-percentile calibration (r8s2): the only corpus-sized "
         "shuffle is the (source, value) cell aggregate; cumulative "
