@@ -110,7 +110,10 @@ from bridgedownstream_spark.queries import (
 #: monitoring pair — population stability index over smoothed
 #: equi-width buckets and the exact-integer two-sample
 #: Kolmogorov-Smirnov D statistic — oracle-certified at all three
-#: scales),
+#: scales), gini_activity_concentration + cusum_changepoint (r8
+#: session-2 wave 7: grouped-data Gini in exact ppm over the
+#: activity-value domain; CUSUM level-shift locator on exact-cent
+#: daily totals — oracle-certified at all three scales),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +

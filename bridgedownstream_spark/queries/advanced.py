@@ -5977,3 +5977,152 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d_ppm"),
         )
     )
+
+
+@q(
+    "gini_activity_concentration",
+    """
+    WITH oc AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    vals AS (SELECT x, CAST(count(*) AS BIGINT) AS w FROM oc GROUP BY 1),
+    cum AS (
+      SELECT x, w,
+             COALESCE(sum(w) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM vals
+    ),
+    s AS (
+      SELECT CAST(sum(w) AS BIGINT) AS n,
+             CAST(sum(x * w) AS HUGEINT) AS t,
+             CAST(sum(x::HUGEINT * w * (2 * cb + w + 1)) AS HUGEINT) AS ri
+      FROM cum
+    )
+    SELECT n AS n_customers,
+           CAST(t AS BIGINT) AS total_orders,
+           CAST((ri - (n + 1)::HUGEINT * t) * 1000000 // (n::HUGEINT * t)
+                AS BIGINT) AS gini_ppm
+    FROM s
+    """,
+)
+def gini_activity_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer activity concentration (orders per
+    customer), exact in ppm — the inequality summary behind "do 1% of
+    accounts generate 90% of events?", the load-skew twin of
+    `hot_key_report` and the monitoring statistic for bot/whale
+    detection. Uses the grouped-data closed form: with x sorted and ties
+    sharing consecutive ranks, 2*Σ i*x_i = Σ_v x_v*w_v*(2*cb_v + w_v + 1)
+    over DISTINCT activity values, so G = (that - (n+1)*T) / (n*T).
+
+    Plan shape: per-customer counts are one map-side-combined groupBy;
+    those collapse to the DISTINCT-COUNT-VALUE domain (a handful of
+    integers regardless of customer count — activity counts are small);
+    the rank algebra rides one window over that domain-sized frame and
+    the result is a 1-row reduction in exact DECIMAL(38,0)/HUGEINT
+    arithmetic (the KMV integral-div idiom). No global sort of
+    customers, ever.
+    """
+    o = tbl(spark, sf_dir, "orders")
+    oc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    vals = oc.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    wv = W.orderBy("x").rowsBetween(W.unboundedPreceding, -1)
+    cum = vals.select(
+        "x", "w", F.coalesce(F.sum("w").over(wv), F.lit(0)).alias("cb")
+    )
+    s = cum.agg(
+        F.sum("w").cast("bigint").alias("n"),
+        F.sum(F.col("x") * F.col("w")).cast("decimal(38,0)").alias("t"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * F.col("w")
+            * (2 * F.col("cb") + F.col("w") + 1)
+        ).alias("ri"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("t").cast("bigint").alias("total_orders"),
+        F.expr(
+            "CAST((ri - CAST(n + 1 AS DECIMAL(38,0)) * t) * 1000000"
+            " div (CAST(n AS DECIMAL(38,0)) * t) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+@q(
+    "cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS d,
+                   CAST(sum(cents) AS BIGINT) AS t FROM daily),
+    c AS (
+      SELECT day, cents,
+             sum(cents::HUGEINT * (SELECT d FROM tot) - (SELECT t FROM tot))
+                 OVER (ORDER BY day) AS s
+      FROM daily
+    )
+    SELECT (SELECT d FROM tot) AS n_days,
+           strftime(day, '%Y-%m-%d') AS changepoint_day,
+           CAST(s AS BIGINT) AS cusum_scaled,
+           CAST(abs(s) * 1000000 // ((SELECT d FROM tot)::HUGEINT
+                                     * (SELECT t FROM tot)) AS BIGINT)
+               AS cusum_share_ppm
+    FROM c ORDER BY abs(s) DESC, day LIMIT 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily event-value series: the
+    day k maximizing |Σ_{d<=k} (x_d - mean)| — the classic level-shift
+    locator (a revenue regression, a logging change, a bot wave turns
+    the cumulative deviation into a tent whose peak IS the shift day).
+    Scaled by the day count (S_k = Σ x_d*D - k*T) the statistic stays in
+    exact integer cents — no rational mean, no float drift; the share
+    form normalizes by D*T so thresholds port across corpus sizes.
+
+    Plan shape: daily totals are one map-side-combined aggregate over
+    exact integer cents (round(value*100) — two-decimal money is exact
+    in cents); the cumulative deviation rides one window over the
+    DAY-domain-sized frame; the argmax is a TakeOrdered(1) with a
+    deterministic earliest-day tie-break. Exact DECIMAL(38,0) products
+    keep the wire and the statistic bit-identical across engines.
+    """
+    e = tbl(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = F.broadcast(
+        daily.agg(
+            F.count(F.lit(1)).cast("bigint").alias("d"),
+            F.sum("cents").cast("bigint").alias("t"),
+        )
+    )
+    wd = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    c = daily.crossJoin(tot).select(
+        "day",
+        "d",
+        "t",
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("d") - F.col("t")
+        )
+        .over(wd)
+        .alias("s"),
+    )
+    return (
+        c.orderBy(F.abs(F.col("s")).desc(), "day")
+        .limit(1)
+        .select(
+            F.col("d").alias("n_days"),
+            F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+            F.col("s").cast("bigint").alias("cusum_scaled"),
+            F.expr(
+                "CAST(abs(s) * 1000000 div (CAST(d AS DECIMAL(38,0)) * t)"
+                " AS BIGINT)"
+            ).alias("cusum_share_ppm"),
+        )
+    )

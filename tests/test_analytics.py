@@ -1444,3 +1444,47 @@ def test_ks_two_sample_hand_answer(spark, tmp_path_factory):
     assert (r.n_first, r.n_second) == (3, 3)
     assert r.ks_value == 1.0
     assert r.d_ppm == 2 * 1_000_000 * 3 // 9  # |2*3 - 0*3| / 9 = 2/3
+
+
+def test_gini_uniform_zero_and_skewed_hand_answer(spark, tmp_path_factory):
+    """Equal activity gives Gini 0; counts [1,1,1,5] give exactly 0.375
+    (hand-checked against the sorted-rank definition)."""
+    def write_orders(name, counts):
+        path = str(tmp_path_factory.mktemp(name) / "lake")
+        rows, oid = [], 0
+        for ck, k in enumerate(counts, start=1):
+            for _ in range(k):
+                rows.append((oid, ck, "O", 1.0, datetime(2024, 1, 1),
+                             "1-URGENT"))
+                oid += 1
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+        return path
+
+    r = advanced.gini_activity_concentration(
+        spark, write_orders("gini_u", [2, 2, 2, 2])).collect()[0]
+    assert (r.n_customers, r.total_orders, r.gini_ppm) == (4, 8, 0)
+    r2 = advanced.gini_activity_concentration(
+        spark, write_orders("gini_s", [1, 1, 1, 5])).collect()[0]
+    assert (r2.n_customers, r2.total_orders) == (4, 8)
+    assert r2.gini_ppm == 375000
+
+
+def test_cusum_finds_level_shift_day(spark, tmp_path_factory):
+    """Daily cents [100,100,300,300]: the cumulative deviation peaks at
+    day 2 (the last pre-shift day), S = -800 scaled, share 25%."""
+    path = str(tmp_path_factory.mktemp("cusum") / "lake")
+    rows, eid = [], 0
+    for day, cents in ((1, 100), (2, 100), (3, 300), (4, 300)):
+        rows.append((eid, datetime(2024, 1, day, 9), 1, "view",
+                     cents / 100.0, "{}"))
+        eid += 1
+    _write_events(spark, path, rows)
+    r = advanced.cusum_changepoint(spark, path).collect()[0]
+    assert r.n_days == 4
+    assert r.changepoint_day == "2024-01-02"
+    assert r.cusum_scaled == -800
+    assert r.cusum_share_ppm == 250000

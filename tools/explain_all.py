@@ -1324,6 +1324,19 @@ HEADLINERS = {
         "to |QI domain| x |buckets| rows, class-count-sized regardless "
         "of table size."
     ),
+    "gini_activity_concentration": (
+        "Gini concentration (r8s2): per-customer counts collapse to "
+        "the distinct-activity-value domain (small integers); the "
+        "grouped-data rank algebra rides one window over that frame "
+        "and reduces to 1 row in exact DECIMAL(38,0) arithmetic — no "
+        "global sort of customers."
+    ),
+    "cusum_changepoint": (
+        "CUSUM changepoint (r8s2): daily exact-cent totals are one "
+        "map-side-combined aggregate; the D-scaled cumulative "
+        "deviation rides one window over the DAY-domain frame; argmax "
+        "is a TakeOrdered(1) with earliest-day tie-break."
+    ),
     "psi_drift": (
         "PSI drift (r8s2): broadcast 1-row time/value range; row-local "
         "bucketing (clamped floor-divide); per-bucket conditional "
