@@ -114,6 +114,10 @@ from bridgedownstream_spark.queries import (
 #: session-2 wave 7: grouped-data Gini in exact ppm over the
 #: activity-value domain; CUSUM level-shift locator on exact-cent
 #: daily totals — oracle-certified at all three scales),
+#: mann_whitney_u + benford_deviation (r8 session-2 wave 8: exact
+#: midrank rank-sum test with common-language effect size; Benford
+#: first-digit forensic audit from exact cents — oracle-certified
+#: at all three scales),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +

@@ -6126,3 +6126,204 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cusum_share_ppm"),
         )
     )
+
+
+@q(
+    "mann_whitney_u",
+    """
+    WITH rng AS (
+      SELECT epoch_us(min(ts)) AS tlo, epoch_us(max(ts)) AS thi FROM events
+    ),
+    tagged AS (
+      SELECT value,
+             CASE WHEN epoch_us(ts) < tlo + (thi - tlo) // 2
+                  THEN 1 ELSE 0 END AS is_a
+      FROM events CROSS JOIN rng
+    ),
+    vc AS (
+      SELECT value,
+             CAST(sum(is_a) AS BIGINT) AS ca,
+             CAST(sum(1 - is_a) AS BIGINT) AS cb
+      FROM tagged GROUP BY 1
+    ),
+    cum AS (
+      SELECT value, ca, cb,
+             COALESCE(sum(ca + cb) OVER (ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+      FROM vc
+    ),
+    s AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb,
+             CAST(sum(ca::HUGEINT * (2 * tb + ca + cb + 1)) AS HUGEINT)
+                 AS rs2
+      FROM cum
+    )
+    SELECT na AS n_first, nb AS n_second,
+           CAST(rs2 - na::HUGEINT * (na + 1) AS BIGINT) AS u2_first,
+           CAST((rs2 - na::HUGEINT * (na + 1)) * 1000000
+                // (2::HUGEINT * na * nb) AS BIGINT) AS cles_ppm
+    FROM s
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the event value
+    distribution's first and second time halves — the nonparametric
+    location-shift companion to `ks_two_sample` (KS detects any shape
+    change, U detects stochastic dominance). Midrank tie handling is
+    exact: doubling the rank sum keeps everything integer (2*rankSum_A =
+    Σ ca_v*(2*before_v + w_v + 1)), so U and the common-language effect
+    size P(A>B) + P(A=B)/2 — `cles_ppm`, 500000 = no shift — are
+    bit-identical across engines, no normal approximation, no floats.
+
+    Plan shape: identical to the KS topology — one map-side-combined
+    (value, countA, countB) aggregate, one window over the
+    distinct-value domain, a 1-row exact DECIMAL(38,0) reduction.
+    """
+    e = tbl(spark, sf_dir, "events")
+    rng = F.broadcast(
+        e.agg(
+            F.unix_micros(F.min("ts")).alias("tlo"),
+            F.unix_micros(F.max("ts")).alias("thi"),
+        )
+    )
+    tagged = e.crossJoin(rng).select(
+        "value",
+        F.when(
+            F.unix_micros("ts") < F.col("tlo") + F.expr("(thi - tlo) div 2"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    vc = tagged.groupBy("value").agg(
+        F.sum("is_a").cast("bigint").alias("ca"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("cb"),
+    )
+    wv = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    cum = vc.select(
+        "value",
+        "ca",
+        "cb",
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(wv), F.lit(0)).alias(
+            "tb"
+        ),
+    )
+    s = cum.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.sum(
+            F.col("ca").cast("decimal(38,0)")
+            * (2 * F.col("tb") + F.col("ca") + F.col("cb") + 1)
+        ).alias("rs2"),
+    )
+    return s.select(
+        F.col("na").alias("n_first"),
+        F.col("nb").alias("n_second"),
+        F.expr(
+            "CAST(rs2 - CAST(na AS DECIMAL(38,0)) * (na + 1) AS BIGINT)"
+        ).alias("u2_first"),
+        F.expr(
+            "CAST((rs2 - CAST(na AS DECIMAL(38,0)) * (na + 1)) * 1000000"
+            " div (CAST(2 AS DECIMAL(38,0)) * na * nb) AS BIGINT)"
+        ).alias("cles_ppm"),
+    )
+
+
+#: log10(1 + 1/d) in exact ppm, d = 1..9 — sums to exactly 1,000,000
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+@q(
+    "benford_deviation",
+    f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    grid AS (
+      SELECT unnest(range(1, 10)) AS digit,
+             unnest({_BENFORD_PPM}) AS b_ppm
+    ),
+    cnt AS (
+      SELECT g.digit, g.b_ppm,
+             CAST(COALESCE(count(c.digit), 0) AS BIGINT) AS n
+      FROM grid g LEFT JOIN c ON g.digit = c.digit
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cnt),
+    tvd AS (
+      SELECT CAST(sum(abs(n::HUGEINT * 1000000 - b_ppm::HUGEINT * nn))
+                  // (2::HUGEINT * max(nn)) AS BIGINT) AS tvd_scaled
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT CAST(cnt.digit AS INT) AS digit, n AS n_orders,
+           CAST(n * 1000000 // nn AS BIGINT) AS share_ppm,
+           CAST(b_ppm AS BIGINT) AS benford_ppm,
+           CAST(n * 1000000 // nn - b_ppm AS BIGINT) AS dev_ppm,
+           CAST(tvd_scaled // nn AS BIGINT) AS tvd_ppm
+    FROM cnt CROSS JOIN tot CROSS JOIN tvd
+    """,
+)
+def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts — the classic
+    forensic-accounting / synthetic-data screen: natural multiplicative
+    amounts put digit 1 first ~30.1% of the time; fabricated or
+    template-generated values flatten toward 11.1% each. Per digit:
+    observed share vs the Benford expectation in exact ppm, plus the
+    total-variation distance (half the absolute deviation mass) as the
+    one-number alarm.
+
+    Portability: the leading digit comes from the CENTS STRING (money is
+    exact in integer cents; ×100 never changes the leading digit) — no
+    log10 near powers of ten, no float formatting divergence. The
+    Benford expectations are shared literal ppm constants that sum to
+    exactly 1,000,000, so every column is exact integer arithmetic.
+    Plan: one row-local projection, a 9-row map-side-combined count
+    joined to a literal digit grid (absent digits surface as zeros), and
+    two broadcast 1-row reductions.
+    """
+    o = tbl(spark, sf_dir, "orders")
+    c = o.where(F.col("o_totalprice") > 0).select(
+        F.expr(
+            "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 1, 1) AS INT)"
+        ).alias("digit")
+    )
+    grid = spark.createDataFrame(
+        [(d + 1, _BENFORD_PPM[d]) for d in range(9)], "digit int, b_ppm int"
+    )
+    cnt = (
+        grid.join(c.groupBy("digit").agg(F.count(F.lit(1)).alias("nraw")),
+                  "digit", "left")
+        .select(
+            "digit",
+            "b_ppm",
+            F.coalesce("nraw", F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+    tot = F.broadcast(cnt.agg(F.sum("n").cast("bigint").alias("nn")))
+    tvd = F.broadcast(
+        cnt.crossJoin(tot).agg(
+            F.expr(
+                "CAST(sum(abs(CAST(n AS DECIMAL(38,0)) * 1000000"
+                " - CAST(b_ppm AS DECIMAL(38,0)) * nn))"
+                " div (CAST(2 AS DECIMAL(38,0)) * max(nn)) AS BIGINT)"
+            ).alias("tvd_scaled")
+        )
+    )
+    return (
+        cnt.crossJoin(tot)
+        .crossJoin(tvd)
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            F.col("n").alias("n_orders"),
+            F.expr("CAST(n * 1000000 div nn AS BIGINT)").alias("share_ppm"),
+            F.col("b_ppm").cast("bigint").alias("benford_ppm"),
+            F.expr("CAST(n * 1000000 div nn - b_ppm AS BIGINT)").alias(
+                "dev_ppm"
+            ),
+            F.expr("CAST(tvd_scaled div nn AS BIGINT)").alias("tvd_ppm"),
+        )
+    )

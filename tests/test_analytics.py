@@ -1488,3 +1488,52 @@ def test_cusum_finds_level_shift_day(spark, tmp_path_factory):
     assert r.changepoint_day == "2024-01-02"
     assert r.cusum_scaled == -800
     assert r.cusum_share_ppm == 250000
+
+
+def test_mann_whitney_dominance_and_identity(spark, tmp_path_factory):
+    """B entirely above A gives U=0 (cles 0); identical halves give the
+    exact midrank tie value cles = 0.5."""
+    def write(name, first_vals, second_vals):
+        path = str(tmp_path_factory.mktemp(name) / "lake")
+        rows, eid = [], 0
+        for v in first_vals:
+            rows.append((eid, datetime(2024, 1, 1, 0, eid), 1, "view", v, "{}"))
+            eid += 1
+        for v in second_vals:
+            rows.append((eid, datetime(2024, 1, 1, 23, eid % 60), 1, "view", v, "{}"))
+            eid += 1
+        _write_events(spark, path, rows)
+        return path
+
+    r = advanced.mann_whitney_u(
+        spark, write("mwu_lo", [1.0, 2.0, 3.0], [4.0, 5.0, 6.0])).collect()[0]
+    assert (r.n_first, r.n_second, r.u2_first, r.cles_ppm) == (3, 3, 0, 0)
+    r2 = advanced.mann_whitney_u(
+        spark, write("mwu_hi", [4.0, 5.0, 6.0], [1.0, 2.0, 3.0])).collect()[0]
+    assert (r2.u2_first, r2.cles_ppm) == (18, 1000000)
+    r3 = advanced.mann_whitney_u(
+        spark, write("mwu_eq", [1.0, 2.0, 3.0], [1.0, 2.0, 3.0])).collect()[0]
+    assert (r3.u2_first, r3.cles_ppm) == (9, 500000)
+
+
+def test_benford_digits_from_cents_and_tvd(spark, tmp_path_factory):
+    """Leading digits come from exact cents (no log10); a uniform 1..9
+    digit multiset reproduces the hand-computed TVD."""
+    path = str(tmp_path_factory.mktemp("benford") / "lake")
+    rows = [(d, 1, "O", float(d), datetime(2024, 1, 1), "1-URGENT")
+            for d in range(1, 10)]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    out = {r.digit: r for r in advanced.benford_deviation(spark, path).collect()}
+    assert sorted(out) == list(range(1, 10))
+    assert all(r.n_orders == 1 for r in out.values())
+    assert all(r.share_ppm == 1000000 // 9 for r in out.values())
+    benford = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+    for d in range(1, 10):
+        assert out[d].benford_ppm == benford[d - 1]
+        assert out[d].dev_ppm == 1000000 // 9 - benford[d - 1]
+    expected_tvd = sum(abs(1 * 1000000 - b * 9) for b in benford) // (2 * 9) // 9
+    assert out[1].tvd_ppm == expected_tvd

@@ -1324,6 +1324,18 @@ HEADLINERS = {
         "to |QI domain| x |buckets| rows, class-count-sized regardless "
         "of table size."
     ),
+    "mann_whitney_u": (
+        "Mann-Whitney U (r8s2): the KS topology — one map-side-combined "
+        "(value, countA, countB) aggregate, one distinct-value-domain "
+        "window for the doubled midrank sums, a 1-row DECIMAL(38,0) "
+        "reduction; no normal approximation, no floats."
+    ),
+    "benford_deviation": (
+        "Benford audit (r8s2): leading digit from the exact-cents "
+        "STRING (no log10 near powers of ten); a 9-row count joined to "
+        "a literal digit grid; shares/deviations/TVD all exact integer "
+        "ppm against literal Benford constants that sum to 1e6."
+    ),
     "gini_activity_concentration": (
         "Gini concentration (r8s2): per-customer counts collapse to "
         "the distinct-activity-value domain (small integers); the "
