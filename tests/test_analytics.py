@@ -1535,5 +1535,9 @@ def test_benford_digits_from_cents_and_tvd(spark, tmp_path_factory):
     for d in range(1, 10):
         assert out[d].benford_ppm == benford[d - 1]
         assert out[d].dev_ppm == 1000000 // 9 - benford[d - 1]
-    expected_tvd = sum(abs(1 * 1000000 - b * 9) for b in benford) // (2 * 9) // 9
+    # Σ|n*1e6 - b_ppm*nn|/(2*nn) is already ppm — the true TVD between a
+    # uniform 1/9 digit distribution and Benford is ~268,726 ppm (the r8
+    # form divided by nn a second time and asserted ~29,858 ppm... // 9)
+    expected_tvd = sum(abs(1 * 1000000 - b * 9) for b in benford) // (2 * 9)
+    assert expected_tvd == 268726
     assert out[1].tvd_ppm == expected_tvd

@@ -836,3 +836,21 @@ def test_bootstrap_wire_carries_resample_states_not_draws(spark):
     m = re.search(r"Exchange hashpartitioning\(l_returnflag#\d+, b#\d+", plan)
     assert m, plan
     assert re.search(r"partial_sum\(w#\d+", plan[m.end():]), plan
+
+
+def test_monitor_prefix_scans_have_no_partitionless_window(spark):
+    """ks_two_sample / mann_whitney_u compute CDF / midrank prefix sums
+    over the DISTINCT-VALUE frame of a continuous DOUBLE — a frame that
+    grows linearly with the corpus. The r8 design rode a bare
+    `ORDER BY value` window (one task sorts the whole frame at 100 TB;
+    the r8 verdict marked both weak). The r9 rewrite is a range-bucketed
+    two-phase parallel prefix scan: EVERY Window operator in the executed
+    plan must carry a partition spec. A physical `Window [exprs],
+    [partSpec], [orderSpec]` line has two `], [` separators; the
+    partition-less form `Window [exprs], [orderSpec]` has one."""
+    for name in ("ks_two_sample", "mann_whitney_u"):
+        plan = plan_of(spark, name)
+        windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+        assert windows, name  # the local per-bucket window must exist
+        for ln in windows:
+            assert ln.count("], [") >= 2, (name, ln)
