@@ -76,48 +76,29 @@ from bridgedownstream_spark.queries import (
 #: pareto_frontier, copurchase_lift, event_pattern_match,
 #: stream_interval_join_e2e, stream_sessionize_e2e, stream_enrich_e2e,
 #: upsert_merge_equiv, q21_suppliers_kept_waiting, semdedup_prune.
-#: Round-9 rotation backlog (never driver-certified, rough priority):
-#: ann_matryoshka_curve + dedup_agreement_audit + dsir_select +
-#: contrastive_pairs + vocab_growth_curve + tokenizer_fertility_by_lang
-#: (r8 additions: recall-vs-truncation sweep, MinHash-vs-SemDeDup 2x2
-#: agreement matrix, DSIR importance resampling, anchor/positive/hard-
-#: negative mining, Heaps'-law vocabulary growth, per-language subword
-#: fertility — ALL oracle-certified at all three scales this round),
-#: char_entropy_quality + collocation_pmi + readability_score +
-#: k_anonymity_audit + dow_seasonality + rendezvous_shards +
-#: cms_join_size_estimate (r8 session-2 additions: character-entropy
-#: gibberish QC, PMI phrase mining, Flesch milli-unit readability,
-#: k-anonymity/l-diversity release audit, ISO-weekday seasonal indices,
-#: HRW consistent sharding with resize-move audit, AGMS/CMS
-#: join-cardinality estimation — ALL oracle-certified at all three
-#: scales), scd2_point_in_time_join + zipf_slope +
-#: clustering_coefficient (r8 session-2 wave 2: SCD2 at-time lookup
-#: via the as-of operator, Zipf rank-frequency drift fit,
-#: degree-ordered local clustering coefficient — oracle-certified at
-#: all three scales), lsh_band_sweep + temporal_split_leakage (r8
-#: session-2 wave 3: LSH banding precision/recall calibration over
-#: nested 2x4/4x2/8x1 configs, temporal train/test split with
-#: identity-leakage audit — oracle-certified at all three scales),
-#: ipf_raking + loo_source_influence + interarrival_burstiness (r8
-#: session-2 wave 4: IPF mixture raking — a SIXTH iterative class
-#: with marginal-factor loop state in exact ppb integers;
-#: closed-form leave-one-out source valuation; exact-integer CV^2
-#: burstiness — oracle-certified at all three scales),
-#: quantile_normalize_sources (r8 session-2 wave 5: equi-percentile
-#: cross-source score calibration on value-domain-sized cum tables
-#: + the as-of lookup — oracle-certified at all three scales),
-#: psi_drift + ks_two_sample (r8 session-2 wave 6: the statistical
-#: monitoring pair — population stability index over smoothed
-#: equi-width buckets and the exact-integer two-sample
-#: Kolmogorov-Smirnov D statistic — oracle-certified at all three
-#: scales), gini_activity_concentration + cusum_changepoint (r8
-#: session-2 wave 7: grouped-data Gini in exact ppm over the
-#: activity-value domain; CUSUM level-shift locator on exact-cent
-#: daily totals — oracle-certified at all three scales),
-#: mann_whitney_u + benford_deviation (r8 session-2 wave 8: exact
-#: midrank rank-sum test with common-language effect size; Benford
-#: first-digit forensic audit from exact cents — oracle-certified
-#: at all three scales),
+#: Round-9 rotation EXECUTED (VERDICT r8 #2): promoted ALL 28
+#: never-driver-certified r8 additions — ann_matryoshka_curve,
+#: dedup_agreement_audit, dsir_select, contrastive_pairs,
+#: vocab_growth_curve, tokenizer_fertility_by_lang, char_entropy_quality,
+#: collocation_pmi, readability_score, k_anonymity_audit,
+#: dow_seasonality, rendezvous_shards, cms_join_size_estimate,
+#: scd2_point_in_time_join, zipf_slope, clustering_coefficient,
+#: lsh_band_sweep, temporal_split_leakage, ipf_raking,
+#: loo_source_influence, interarrival_burstiness,
+#: quantile_normalize_sources, psi_drift, ks_two_sample (post prefix-scan
+#: fix), gini_activity_concentration, cusum_changepoint, mann_whitney_u
+#: (post prefix-scan fix), benford_deviation (post TVD fix). Rotated out
+#: (ALL r8-driver-green; §2/family survivor noted inline):
+#: q16_supplier_part_counts, prefix_filter, q2_min_cost_supplier,
+#: q15_top_supplier, q17_small_quantity_revenue, q19_disjunctive_revenue,
+#: q20_potential_promotion, anti_join_missing, anti_join_union,
+#: sample_per_group, reconcile_counts, bootstrap_ci_revenue,
+#: group_collect, config_cache_dedup, array_slice_limit, batched_submit,
+#: scalar_functions, kfold_assign, ann_matryoshka_recall,
+#: basename_extract, csv_export_roundtrip, fixed_width_roundtrip,
+#: zorder_box_query, attribution_position, bpe_learned_segmentation,
+#: domain_mix_kl, kcore_peeling, portable_cms_heavy_hitters.
+#: Round-10 rotation backlog (never driver-certified, rough priority):
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +
@@ -154,151 +135,83 @@ from bridgedownstream_spark.queries import (
 #: csv_export_roundtrip), near_dup_lsh_pairs (LSH → near_dup_keep_best,
 #: which consumes the same LSH candidate pipeline).
 _CERTIFYING: tuple[str, ...] = (
-    # §2 core: scans, projections, filters (S6/S7, P1-P6)
+    # --- backbone incumbents (22): the multi-component e2e/pipeline rows
+    # that certify whole SURVEY §2 clusters in one row each, kept green
+    # in-window every round ---
     "projection_pushdown",      # S6 pruned parquet scan, P1
     "intersect_keys",           # P2/A1 projection+distinct, §2.7 intersect
-    "q6_forecast_revenue",      # P4 conjunctive range filter, A6 (TPC-H Q6)
-    "q16_supplier_part_counts",  # P5 membership via p_size isin, A5
-                                 # count-distinct, NOT-IN broadcast anti
-                                 # (TPC-H Q16; membership_filter +
-                                 # count_reconciliation_report r1-r4-green,
-                                 # rotated out)
-    "prefix_filter",            # P6, F8, F10
+    "q6_forecast_revenue",      # P4 conjunctive range filter, A6 (TPC-H Q6;
+                                # the TPC-H remainder q2/q15/q16/q17/q19/q20
+                                # ALL r8-green, rotated out — J1/P5 stay via
+                                # this + the ingest/pipeline/bucketed joins)
     "sql_view_query",           # S7 SQL surface
-    # joins (J1-J4)
-    "q2_min_cost_supplier",     # J1 multi-dim star + correlated scalar
-                                # min subquery as a broadcast join
-                                # (TPC-H Q2; q21 r7-green, rotated out —
-                                # J1's broadcast star stays via this +
-                                # the ingest/pipeline joins)
-    "q15_top_supplier",         # revenue-view scalar max as broadcast
-                                # 1-row filter (TPC-H Q15)
-    "q17_small_quantity_revenue",  # correlated AVG subquery as per-part
-                                   # aggregate (TPC-H Q17)
-    "q19_disjunctive_revenue",  # OR-of-ANDs spanning join sides with
-                                # side-local pushdown factoring (TPC-H
-                                # Q19, plan-pinned)
-    "q20_potential_promotion",  # nested IN/EXISTS reduction (TPC-H Q20)
-    "anti_join_missing",        # J2
-    "anti_join_union",          # J3, §2.7 union
     "relationalize_child",      # N3/N4 key inheritance, N5/F4 naming
-    # aggregation (A2-A9) + windows (§2.5)
     "dedup_latest",             # A2 + §2.5 row_number window
-    "sample_per_group",         # A3
-    "reconcile_counts",         # A4/A7
-    "bootstrap_ci_revenue",     # distributed Poisson bootstrap CI, B=32
-                                # replicas in ONE weighted agg (kmeans
-                                # r7-green, rotated out; iterative family
-                                # → kcore_peeling + the BPE trainer)
-    "group_collect",            # A8
-    "config_cache_dedup",       # A9
     "asof_join_events",         # P3 closest-match as the single-exchange
                                 # union-trick as-of join
-    # order/limit/batch (O2/O3) + set ops (§2.7)
-    "array_slice_limit",        # O2
-    "batched_submit",           # O3
-    # scalar functions (F1-F11)
-    "scalar_functions",         # F1/F3/F5/F11
-    "kfold_assign",             # RNG-free stratified k-fold CV gates
-                                # (chi_square_independence r7-green,
-                                # rotated out; stats-test family → the
-                                # bootstrap row; F6 stays via
-                                # ingest_e2e_events' microphone rename)
-    "ann_matryoshka_recall",    # truncated-dim coarse rank → shortlist
-                                # → full-precision re-rank → recall@3
-                                # (array_hof_suite r7-green, rotated out;
-                                # the HOF lambda surface stays exercised
-                                # by this query's aggregate/zip_with dot
-                                # products; F9 stays via
-                                # ingest_e2e_events)
-    "basename_extract",         # F7
-    # skew: diagnose-then-salt auto-remediating join (covers the salted-agg
-    # machinery skew_salted_agg certified r4)
-    "adaptive_skew_join",
-    # format round-trips (the reference's "export to Parquet/CSV" surface;
-    # ORC twin driver-green r4)
-    "csv_export_roundtrip",     # RFC-4180 quoting survives write→read
-    "fixed_width_roundtrip",    # mainframe/SAS fixed-width source/sink,
-                                # integer-cents money, overflow raises
-    # pipeline / ingest e2e (S1-S5, S8-S10, J5, F2, N1/N2/N6, V1-V4, §2.11, P7)
+    "adaptive_skew_join",       # skew: diagnose-then-salt auto-remediation
     "listing_scan",             # S9 listing source
     "workflow_properties",      # S10 manifest-from-messages source
-    "ingest_e2e_events",        # S1/S4/J5/F2/N6/V1-V3
+    "ingest_e2e_events",        # S1/S4/J5/F2/N6/V1-V3 + F1/F6/F9 (scalar
+                                # parse/rename/JSON stay certified here;
+                                # scalar_functions r8-green, rotated out)
     "quarantine_replay",        # S8/V4, J4 struct unpack
     "expected_error_suppression",  # P8/V3 whitelist subtraction
     "stream_sync_e2e",          # streaming family + §2.11 incremental
-                                # (checkpointed availableNow = bookmarks)
-    # (streaming matrix: interval-join/sessionize/enrich ALL r7-green,
-    # rotated out — streaming family survivor is stream_sync_e2e above)
-    "pipeline_e2e_root",        # S2/S5/N1/N2 (schema_evolution_read
-                                # r6-green, rotated out — N2
-                                # cast-to-declared stays via this)
-    "pipeline_partition_pruned",        # P7 (dpp_pruned_join r6-green,
-                                        # rotated out; layout family stays
-                                        # via this + bucketed)
-    "bucketed_join_no_shuffle",  # SMB fact⋈fact with zero pre-join
-                                 # exchanges (bucketed catalog layout)
-    "zorder_box_query",         # Morton-key layout + measured file
-                                # skipping (r4-green history, re-certified)
-    # analytics / sequence mining over events (conversion_latency
-    # r6-green, rotated out; §2.5 lag windows stay via dedup_latest,
-    # funnel semantics via event_pattern_match)
-    "attribution_position",     # U-shaped multi-touch credit, exact
-                                # integer ppm (event_pattern_match
-                                # r7-green, rotated out — sequence
-                                # analytics survivor is this row)
-    # (pareto_frontier + copurchase_lift r7-green, rotated out — window
-    # analytics stays via dedup_latest/asof_join_events)
-    # lake maintenance (r7 session 2 mid-round promotion: the ONLY family
-    # with zero driver rows gets its certification THIS round;
-    # merkle_snapshot_diff r6-green rotated out — CDC-diff keeps that row
-    # + snapshot_diff r5-green as history)
-    "pipeline_compaction_equiv",  # compacted lake ≡ source row-for-row,
-                                  # rows carry post-compaction file counts
-                                  # (upsert_merge_equiv r7-green, rotated
-                                  # out — lake maintenance survivor)
-    "archive_restore_equiv",    # NEW r8: schema-change protocol loop —
-                                # archive → evolve → rebuild → archive →
-                                # prune; restored newest archive ≡
-                                # from-source recompute (the last
-                                # reference-lifecycle family with zero
-                                # oracle rows)
-    "workflow_e2e_equiv",       # NEW r8: one-call orchestrator — two
-                                # datasets, concurrent stage-2, run twice
-                                # ≡ single sequential recompute
-    # curation / text (train_val_test_split + curation_funnel r6-green,
-    # rotated out; split machinery shares the md5-ppb gate certified via
-    # domain_mix_kl)
-    "bpe_learned_segmentation",  # BPE induce→segment round trip, exact
-                                 # integer-ppm compression (runs the same
-                                 # merge-round trainer bpe_vocab_induction
-                                 # certified r7 — iterative class survives
-                                 # here)
-    "domain_mix_kl",            # per-domain KL(p||q) mix-drift terms,
-                                # exact-integer inputs
-    # iterative graph (pagerank r5-green + bfs_hops r6-green rotated out)
-    "kcore_peeling",            # iterative subgraph peeling, residual
-                                # degrees (sssp_weighted r7-green, rotated
-                                # out — graph-iterative family survivor)
-    # portable-sketch rep (kmv_set_cardinality + hll_rollup_hierarchy
-    # r6-green, rotated out; sketch-merge algebra stays via CMS)
-    "portable_cms_heavy_hitters",  # count-min heavy hitters, exact-integer
-                                   # counters, <=768-row shuffle
-    # (semdedup_prune r7-green, rotated out — embedding-dedup rests on
-    # that row; the ANN side stays via ivfpq + matryoshka)
-    # multimodal family (multimodal_audio_features r6-green, rotated out;
-    # debounce_events r6-green, rotated out — the Arrow-batched imperative
-    # path stays certified via this real-codec mapInPandas chain + the
-    # ingest/validation mapInPandas legs of ingest_e2e_events)
-    "multimodal_real_codec",    # REAL vendored-codec decode/aHash/features
-                                # with a from-bytes SQL oracle (r7, NEW)
-    # LLM-pipeline extension families, one representative each
-    # (near_dup_keep_best r6-green, rotated out — LSH clustering rests on
-    # that row; the embedding-dedup rep is semdedup_prune above)
-    "ivfpq_residual_search",    # ANN family — the IVF-PQ residual
-                                # composition subsumes the coarse-quantizer
-                                # AND the ADC path (pq_adc_search r5-green,
-                                # rotated out; ann_ivf_topk r4-green)
+    "pipeline_e2e_root",        # S2/S5/N1/N2
+    "pipeline_partition_pruned",  # P7
+    "bucketed_join_no_shuffle",  # SMB fact⋈fact, zero pre-join exchanges
+                                 # (zorder_box_query r8-green, rotated out —
+                                 # layout family survivor is this + P7 row)
+    "pipeline_compaction_equiv",  # lake maintenance: compacted ≡ source
+    "archive_restore_equiv",    # schema-change protocol loop (r8-green)
+    "workflow_e2e_equiv",       # concurrent orchestrator run-twice (r8)
+    "multimodal_real_codec",    # multimodal family + §2.12 Arrow-only UDFs
+    "ivfpq_residual_search",    # ANN family: IVF-PQ residual composition
+    # --- round-9 promotions (28): every never-driver-certified r8
+    # addition enters the window (VERDICT r8 #2). Rotated-out certifiers
+    # are ALL r8-driver-green (CORRECTNESS_r08.json); family survivors
+    # noted in the r9 rotation comment above ---
+    "ks_two_sample",            # exact two-sample KS D — post r9
+                                # prefix-scan rewrite (VERDICT r8 #1)
+    "mann_whitney_u",           # exact midrank rank-sum U + CLES — post
+                                # r9 prefix-scan rewrite (VERDICT r8 #1)
+    "benford_deviation",        # first-digit forensic audit — post r9
+                                # TVD fix (ADVICE r8 high)
+    "psi_drift",                # population stability index — post r9
+                                # aggregate-before-grid-join fix (ADVICE)
+    "gini_activity_concentration",  # grouped-data Gini, exact ppm
+    "cusum_changepoint",        # CUSUM level-shift locator, exact cents
+    "interarrival_burstiness",  # exact-integer CV^2 burstiness
+    "dow_seasonality",          # ISO-weekday seasonal indices
+    "k_anonymity_audit",        # k-anonymity / l-diversity release audit
+    "loo_source_influence",     # closed-form leave-one-out valuation
+    "temporal_split_leakage",   # temporal split + identity-leakage audit
+    "scd2_point_in_time_join",  # SCD2 at-time lookup via as-of operator
+    "quantile_normalize_sources",  # equi-percentile score calibration
+    "dsir_select",              # DSIR importance resampling
+    "ipf_raking",               # IPF mixture raking (6th iterative class;
+                                # bpe_learned_segmentation + kcore_peeling
+                                # r8-green, rotated out — iterative-family
+                                # window survivor is this row)
+    "clustering_coefficient",   # degree-ordered local clustering (graph
+                                # family window survivor; kcore r8-green)
+    "zipf_slope",               # Zipf rank-frequency drift fit
+    "vocab_growth_curve",       # Heaps'-law vocabulary growth
+    "tokenizer_fertility_by_lang",  # per-language subword fertility
+    "char_entropy_quality",     # character-entropy gibberish QC
+    "collocation_pmi",          # PMI phrase mining
+    "readability_score",        # Flesch milli-unit readability
+    "rendezvous_shards",        # HRW consistent sharding + resize audit
+    "cms_join_size_estimate",   # CMS join-cardinality estimate (sketch
+                                # family window survivor;
+                                # portable_cms_heavy_hitters r8-green)
+    "lsh_band_sweep",           # LSH banding precision/recall calibration
+    "dedup_agreement_audit",    # MinHash-vs-SemDeDup 2x2 agreement
+    "contrastive_pairs",        # anchor/positive/hard-negative mining
+    "ann_matryoshka_curve",     # recall-vs-truncation sweep (ANN window
+                                # survivor with ivfpq; ann_matryoshka_recall
+                                # r8-green, rotated out)
 )
 
 #: name -> (query_fn, oracle_sql_or_None)

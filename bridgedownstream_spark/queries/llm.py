@@ -468,3 +468,309 @@ def bpe_token_count(spark, sf_dir):
             bpe.cast("double") / F.greatest(ws, F.lit(1)), 4
         ).alias("tokens_per_word"),
     )
+
+
+# -- retrieval ranking-quality evaluation -------------------------------------
+
+_EVAL_K = 10
+#: round(log2(r+1) * 1e6) for ranks r = 1..10 — shared integer literals so
+#: neither engine touches libm (the bm25 scaled-integer discipline)
+_LOG2_MICRO = [
+    1000000, 1584963, 2000000, 2321928, 2584963,
+    2807355, 3000000, 3169925, 3321928, 3459432,
+]
+
+
+def _l2m_case(rank_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {r + 1} THEN {v}" for r, v in enumerate(_LOG2_MICRO)
+    )
+    return f"(CASE {rank_col} {whens} END)"
+
+
+_GAIN_CASE = "(CASE rel WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 7 ELSE 0 END)"
+
+
+def _eval_sql() -> str:
+    tf_cols = ", ".join(
+        f"{_bm25_tf_sql(t)} AS tf_{i}" for i, t in enumerate(_BM25_TERMS)
+    )
+    melt = " UNION ALL ".join(
+        f"SELECT '{t}' AS term, doc_id, dl, tf_{i} AS tf FROM t"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    t AS (SELECT doc_id, len(toks) AS dl, {tf_cols} FROM d),
+    g AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM t),
+    melt AS ({melt}),
+    dfs AS (SELECT term, count(*) AS df FROM melt WHERE tf > 0 GROUP BY 1),
+    sc AS (
+      SELECT m.term, m.doc_id, least(m.tf - 1, 3) AS rel,
+             (((g.n_docs - f.df) * 1000) // (f.df + 1) + 1000)
+             * ((m.tf * 2200 * 1000000)
+                // (m.tf * 1000
+                    + (1200 * (250 + (750 * m.dl * g.n_docs) // g.total_len))
+                      // 1000)) AS score
+      FROM melt m JOIN dfs f USING (term) CROSS JOIN g
+      WHERE m.tf > 0
+    ),
+    top AS (
+      SELECT term, rel,
+             row_number() OVER (
+                 PARTITION BY term ORDER BY score DESC, doc_id) AS rnk
+      FROM sc
+    ),
+    ideal AS (
+      SELECT term, rel,
+             row_number() OVER (
+                 PARTITION BY term ORDER BY rel DESC, doc_id) AS irnk
+      FROM sc WHERE rel > 0
+    ),
+    dcg AS (
+      SELECT term,
+             CAST(sum({_GAIN_CASE}::BIGINT * 1000000000
+                      // {_l2m_case("rnk")}) AS BIGINT) AS dcg_milli
+      FROM top WHERE rnk <= {_EVAL_K} GROUP BY 1
+    ),
+    idcg AS (
+      SELECT term,
+             CAST(sum({_GAIN_CASE}::BIGINT * 1000000000
+                      // {_l2m_case("irnk")}) AS BIGINT) AS idcg_milli
+      FROM ideal WHERE irnk <= {_EVAL_K} GROUP BY 1
+    ),
+    mrr AS (SELECT term, min(rnk) AS fr
+            FROM top WHERE rnk <= {_EVAL_K} AND rel > 0 GROUP BY 1),
+    nrel AS (SELECT term, CAST(count(*) AS BIGINT) AS n_relevant
+             FROM sc WHERE rel > 0 GROUP BY 1),
+    terms AS ({" UNION ALL ".join(f"SELECT '{t}' AS term" for t in _BM25_TERMS)})
+    SELECT terms.term,
+           COALESCE(nrel.n_relevant, 0) AS n_relevant,
+           COALESCE(dcg.dcg_milli, 0) AS dcg_milli,
+           COALESCE(idcg.idcg_milli, 0) AS idcg_milli,
+           CAST(COALESCE(dcg.dcg_milli, 0) * 1000000
+                // greatest(COALESCE(idcg.idcg_milli, 0), 1)
+                AS BIGINT) AS ndcg_ppm,
+           CAST(COALESCE(1000000 // mrr.fr, 0) AS BIGINT) AS mrr_ppm
+    FROM terms LEFT JOIN dcg USING (term) LEFT JOIN idcg USING (term)
+               LEFT JOIN mrr USING (term) LEFT JOIN nrel USING (term)
+    ORDER BY term
+    """
+
+
+@q("retrieval_eval_ndcg", _eval_sql())
+def retrieval_eval_ndcg(spark, sf_dir):
+    """Retrieval ranking-quality evaluation — NDCG@{k} and MRR@{k} for
+    each of the four BM25 terms run as single-term queries: graded
+    relevance rel = min(tf-1, 3) (a doc mentioning the term ONCE is
+    retrieved-but-irrelevant; repetition grades it), gain = 2^rel - 1,
+    discounts from SHARED integer log2 literals (micro-units) so the
+    metric is bit-identical across engines — no libm in the wire. This
+    is the eval harness a retrieval/RAG pipeline publishes next to its
+    index builds: DCG from the system ranking vs IDCG from the ideal
+    (rel-sorted) ranking, plus the first-relevant-rank reciprocal.
+
+    Plan/scale: ONE tokenize scan melts to (term, doc) rows via stack;
+    per-term df/corpus stats are a broadcast 4-row + 1-row pair; the
+    candidate frame (docs CONTAINING a term) localCheckpoints once and
+    every per-term ranking is a TakeOrdered({k}) over it — no global
+    row_number, no corpus sort (the hot_key_report rule); DCG/IDCG/MRR
+    reduce the {k}-row survivors."""
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    t = d.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, t -> t = '{term}'))").alias(f"tf_{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    g = F.broadcast(t.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    ))
+    stack = ", ".join(f"'{term}', tf_{i}" for i, term in enumerate(_BM25_TERMS))
+    melt = t.select(
+        "doc_id",
+        "dl",
+        F.expr(f"stack({len(_BM25_TERMS)}, {stack}) AS (term, tf)"),
+    ).where(F.col("tf") > 0)
+    dfs = F.broadcast(
+        melt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    sc = (
+        melt.join(dfs, "term")
+        .crossJoin(g)
+        .select(
+            "term",
+            "doc_id",
+            F.least(F.col("tf") - 1, F.lit(3)).alias("rel"),
+            F.expr(
+                "(((n_docs - df) * 1000) div (df + 1) + 1000)"
+                " * ((CAST(tf AS BIGINT) * 2200 * 1000000)"
+                " div (CAST(tf AS BIGINT) * 1000"
+                " + (1200 * (250 + (750 * CAST(dl AS BIGINT) * n_docs)"
+                " div total_len)) div 1000))"
+            ).alias("score"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    gain = F.expr(f"CAST({_GAIN_CASE} AS BIGINT)")
+    out = None
+    for term in _BM25_TERMS:
+        b = sc.where(F.col("term") == term)
+        top = b.orderBy(F.desc("score"), F.asc("doc_id")).limit(_EVAL_K)
+        w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+        top = top.select("rel", F.row_number().over(w).alias("rnk"))
+        ideal = b.where(F.col("rel") > 0).orderBy(
+            F.desc("rel"), F.asc("doc_id")
+        ).limit(_EVAL_K)
+        wi = W.orderBy(F.desc("rel"), F.asc("doc_id"))
+        ideal = ideal.select("rel", F.row_number().over(wi).alias("irnk"))
+        dcg = top.agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(f"{_GAIN_CASE} * CAST(1000000000 AS BIGINT)"
+                           f" div {_l2m_case('rnk')}")
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("dcg_milli"),
+            F.min(F.when(F.col("rel") > 0, F.col("rnk"))).alias("fr"),
+        )
+        idcg = ideal.agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(f"{_GAIN_CASE} * CAST(1000000000 AS BIGINT)"
+                           f" div {_l2m_case('irnk')}")
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("idcg_milli")
+        )
+        nrel = b.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_relevant")
+        )
+        row = (
+            dcg.crossJoin(idcg)
+            .crossJoin(nrel)
+            .select(
+                F.lit(term).alias("term"),
+                "n_relevant",
+                "dcg_milli",
+                "idcg_milli",
+                F.expr(
+                    "CAST(dcg_milli * 1000000"
+                    " div greatest(idcg_milli, 1) AS BIGINT)"
+                ).alias("ndcg_ppm"),
+                F.expr(
+                    "CAST(coalesce(1000000 div fr, 0) AS BIGINT)"
+                ).alias("mrr_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("term")
+
+
+retrieval_eval_ndcg.__doc__ = retrieval_eval_ndcg.__doc__.format(k=_EVAL_K)
+
+
+# -- inter-rater agreement (label-quality audit) -------------------------------
+
+
+@q(
+    "cohens_kappa",
+    f"""
+    WITH f AS (
+      SELECT CASE WHEN {_LANG_KNOWN_SQL} THEN 1 ELSE 0 END AS a,
+             CASE WHEN {_LEN_GATE_SQL} AND {_PUNCT_GATE_SQL}
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a * b) AS BIGINT) AS n11,
+             CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+             CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM f
+    )
+    SELECT n, n11, n10, n01, n00,
+           CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_ppm,
+           CAST(((n11 + n10)::HUGEINT * (n11 + n01)
+                 + (n01 + n00)::HUGEINT * (n10 + n00)) * 1000000
+                // (n::HUGEINT * n) AS BIGINT) AS pe_ppm,
+           CAST(((n11 + n00)::HUGEINT * n
+                 - ((n11 + n10)::HUGEINT * (n11 + n01)
+                    + (n01 + n00)::HUGEINT * (n10 + n00))) * 1000000
+                // greatest(n::HUGEINT * n
+                            - ((n11 + n10)::HUGEINT * (n11 + n01)
+                               + (n01 + n00)::HUGEINT * (n10 + n00)), 1)
+                AS BIGINT) AS kappa_ppm
+    FROM c
+    """,
+)
+def cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between two independent document classifiers — the
+    language-known gate (rater A) and the combined length+punctuation
+    quality gate (rater B) — the label-quality audit run before trusting
+    heuristic labels as training filters: kappa = (p_o - p_e)/(1 - p_e)
+    corrects raw agreement for chance, in exact ppm (2x2 cross-products
+    in DECIMAL(38,0)/HUGEINT, so a 10^12-row corpus cannot overflow).
+    Reuses the curation_funnel predicates verbatim, so the kappa row
+    co-certifies their filter semantics.
+
+    Plan/scale: both raters are row-local predicates folded into ONE
+    map-side-combined 1-row aggregate over a single scan — the
+    chi_square_independence topology without even the cell shuffle."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    def hits(lang: str):
+        arr = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    a = (
+        (hits("en") + hits("de") + hits("fr") + hits("es")) > 0
+    ).cast("int")
+    punct = F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
+    b = (
+        F.length("text").between(50, 5000)
+        & (F.size(F.split(F.trim(F.col("text")), " ")) >= 10)
+        & ((punct * 10000) <= (F.greatest(F.length("text"), F.lit(1)) * 2000))
+    ).cast("int")
+    c = d.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("n00"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    pe_num = (
+        f"({dec.format('n11 + n10')} * (n11 + n01)"
+        f" + {dec.format('n01 + n00')} * (n10 + n00))"
+    )
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr("CAST((n11 + n00) * 1000000 div n AS BIGINT)").alias("po_ppm"),
+        F.expr(
+            f"CAST({pe_num} * 1000000 div ({dec.format('n')} * n) AS BIGINT)"
+        ).alias("pe_ppm"),
+        F.expr(
+            f"CAST(({dec.format('n11 + n00')} * n - {pe_num}) * 1000000"
+            f" div greatest({dec.format('n')} * n - {pe_num},"
+            f" CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )

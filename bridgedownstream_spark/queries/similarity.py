@@ -2705,9 +2705,15 @@ def _sweep_cand_duck(nb: int, r: int) -> str:
     )
 
 
-_SWEEP_DUCK = (
-    _SIG_CTE_DUCK
-    + ", "
+#: fixed-size corpus sample target for the sampled sweep branch: the
+#: sample RATE is 10^9·N/|corpus| ppb (capped at 10^9), so the sampled
+#: sweep's work stays ~constant as the corpus grows — the executable form
+#: of "at 100 TB the sweep runs on a corpus sample". At oracle scale
+#: (<= N docs) the gate passes everything and sampled ≡ full.
+_SWEEP_SAMPLE_N = 2000
+
+_SWEEP_TAIL_DUCK = (
+    ", "
     + ", ".join(_sweep_cand_duck(nb, r) for nb, r in _SWEEP_CFGS)
     + f""",
     truth AS (
@@ -2744,6 +2750,59 @@ _SWEEP_DUCK = (
     )
 )
 
+_SWEEP_DUCK = _SIG_CTE_DUCK + _SWEEP_TAIL_DUCK
+
+#: sampled twin: identical sweep over the hash-gated fixed-size sample
+#: (rebalance_domains' ppb-gate idiom — portable md5 hash, exact integer
+#: rate, both engines elect the identical doc subset)
+_SIG_CTE_DUCK_SAMPLED = (
+    "WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents), "
+    "t AS (SELECT doc_id, " + _WORDS_DUCK + " AS words FROM documents "
+    "WHERE " + _H60_DUCK.format(x="CAST(doc_id AS VARCHAR)")
+    + " % 1000000000 < least(CAST(1000000000 AS BIGINT), "
+    + f"CAST(1000000000 AS BIGINT) * {_SWEEP_SAMPLE_N} // (SELECT c FROM nn))), "
+    "sh AS (SELECT doc_id, " + _SHINGLES_DUCK + " AS sh FROM t), "
+    "hv AS (SELECT doc_id, sh, " + _HV_DUCK + " AS hv FROM sh), "
+    "sig AS (SELECT doc_id, sh, "
+    + ", ".join(f"{_minhash_duck(k)} AS m{k}" for k in range(_N_HASHES))
+    + " FROM hv)"
+)
+
+_SWEEP_SAMPLED_DUCK = _SIG_CTE_DUCK_SAMPLED + _SWEEP_TAIL_DUCK
+
+
+def _signatures_sampled(spark, sf_dir):
+    """(doc_id, sh, m0..m7) over the fixed-size hash-gated sample: the
+    ppb gate runs BEFORE shingling, so split/hash work is proportional
+    to the sample; the corpus contributes one count aggregate + a scan."""
+    d = tbl(spark, sf_dir, "documents")
+    n = F.broadcast(d.agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    gated = (
+        d.crossJoin(n)
+        .where(
+            F.expr(_H60_SPARK.format(x="CAST(doc_id AS STRING)"))
+            % F.lit(1_000_000_000)
+            < F.least(
+                F.lit(1_000_000_000).cast("bigint"),
+                F.expr(
+                    f"CAST(1000000000 AS BIGINT) * {_SWEEP_SAMPLE_N} div c"
+                ),
+            )
+        )
+        .drop("c")
+    )
+    return (
+        gated.withColumn("words", F.expr(_WORDS_SPARK))
+        .withColumn("sh", F.expr(_SHINGLES_SPARK))
+        .select("doc_id", "sh")
+        .withColumn("hv", F.expr(_HV_SPARK))
+        .select(
+            "doc_id",
+            "sh",
+            *[F.expr(_minhash_spark(k)).alias(f"m{k}") for k in range(_N_HASHES)],
+        )
+    )
+
 
 @q("lsh_band_sweep", _SWEEP_DUCK)
 def lsh_band_sweep(spark, sf_dir):
@@ -2764,11 +2823,42 @@ def lsh_band_sweep(spark, sf_dir):
     pair set; truth verifies exact Jaccard over the 8x1 superset's
     candidates only (re-shingling candidate docs, the
     near_dup_lsh_pairs discipline); per-config stats are LeftSemi
-    counts. At 100 TB the sweep runs on a corpus SAMPLE — it is a
-    calibration tool, and the 1-row-band config's candidate volume is
-    the knob being priced, not a fixed production cost.
+    counts. At 100 TB the sweep runs on a corpus SAMPLE — the
+    executable sampled branch is `lsh_band_sweep_sampled` (fixed-size
+    ppb-gated sample, work ~constant in corpus size); THIS full-corpus
+    form is the calibration-tool branch, where the 1-row-band config's
+    candidate volume is the knob being priced, not a fixed production
+    cost.
     """
-    sig = _signatures(spark, sf_dir).drop("sh")
+    return _band_sweep_impl(spark, sf_dir, sampled=False)
+
+
+@q("lsh_band_sweep_sampled", _SWEEP_SAMPLED_DUCK)
+def lsh_band_sweep_sampled(spark, sf_dir):
+    """The band-sweep's at-scale branch (VERDICT r8 #3): the identical
+    2x4/4x2/8x1 calibration over a FIXED-SIZE deterministic corpus
+    sample — rate = 10^9*{n}/|corpus| ppb on the portable doc_id hash
+    (the rebalance_domains gate), so both engines elect the identical
+    subset and the sweep's cost stays ~constant as the corpus grows
+    (the gate runs before shingling; the corpus contributes one count
+    and one scan). Banding calibration is a distribution measurement —
+    a fixed-size uniform sample prices the collision curve without
+    paying the full corpus's candidate volume. At oracle scale
+    (<= {n} docs) the gate passes everything and this equals the full
+    sweep — certifying the gate arithmetic plus the shared sweep body.
+    """
+    return _band_sweep_impl(spark, sf_dir, sampled=True)
+
+
+lsh_band_sweep_sampled.__doc__ = lsh_band_sweep_sampled.__doc__.format(
+    n=_SWEEP_SAMPLE_N
+)
+
+
+def _band_sweep_impl(spark, sf_dir, sampled: bool):
+    sig = (
+        _signatures_sampled(spark, sf_dir) if sampled else _signatures(spark, sf_dir)
+    ).drop("sh")
 
     def cand_for(nb: int, r: int):
         bands = sig.selectExpr(
@@ -2797,8 +2887,9 @@ def lsh_band_sweep(spark, sf_dir):
     cands = {nb: cand_for(nb, r) for nb, r in _SWEEP_CFGS}
     # stamped per-corpus cache for the superset + truth frames (each is
     # consumed by several config branches; a bare per-invocation persist
-    # would leak one block set per call — the r3 lesson)
-    key = _corpus_stamp(sf_dir)
+    # would leak one block set per call — the r3 lesson); sampled and
+    # full branches cache separately
+    key = _corpus_stamp(sf_dir) + ("|sweep_sampled" if sampled else "")
     if key not in _SWEEP_CACHE:
         from pyspark.storagelevel import StorageLevel
 

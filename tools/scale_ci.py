@@ -107,6 +107,40 @@ GATE: dict[str, tuple[float, str]] = {
     # land >>100x. First cut force-broadcast the candidate superset
     # into the verify join and OOM'd the 100x run — fixed to AQE-sized.
     "lsh_band_sweep": (75.0, "documents"),
+    # r9: the sweep's executable at-scale branch (VERDICT r8 #3) — a
+    # FIXED-SIZE ppb-gated sample (~2000 docs at any corpus size), so
+    # the sweep work is ~constant and the 100x ratio prices only the
+    # corpus count+scan; budget reflects sample size, not corpus size.
+    "lsh_band_sweep_sampled": (10.0, "documents"),
+    # r9: monitor-family rows, added with the prefix-scan rewrite
+    # (VERDICT r8 #1) — the distinct-value frame shuffles once, the
+    # bucketed two-phase window is 64-way parallel. Budgets = r9
+    # jittered-gate measured x ~2 (SCALE_GATE_r09_jitter.json: ks 2.96,
+    # mwu 2.21 under distinct-values-x100 — the harder config).
+    "ks_two_sample": (6.0, "events"),
+    "mann_whitney_u": (5.0, "events"),
+}
+
+#: the monitor family re-gated under the VALUE-JITTERED replica
+#: (--jitter): plain Nx copies keep count(distinct value) constant, so
+#: a "bounded by the value domain" claim is untestable by the copy gate
+#: — the r8 blind spot that hid ks/mwu's single-task window. Under
+#: jitter the events value domain grows ~linearly with rows; these
+#: budgets bound the jittered ratio. gini/cusum/quantile_normalize read
+#: domains the jitter leaves genuinely bounded (activity counts / days /
+#: n_chars) — their flat rows are the point: the boundedness argument
+#:  holds even when the raw value domain grows.
+#: budgets = r9 measured (SCALE_GATE_r09_jitter.json: ks 2.96, mwu 2.21,
+#: psi 1.72, cusum 1.94, gini 1.96, qns 1.26 — min-of-2, probes clean)
+#: x ~2 headroom; these queries run in single-digit seconds where JVM
+#: startup noise dominates, so the margin is against noise, not shape.
+JITTER_GATE: dict[str, tuple[float, str]] = {
+    "ks_two_sample": (6.0, "events"),
+    "mann_whitney_u": (5.0, "events"),
+    "psi_drift": (4.0, "events"),
+    "cusum_changepoint": (4.0, "events"),
+    "gini_activity_concentration": (4.0, "orders"),
+    "quantile_normalize_sources": (3.0, "documents"),
 }
 
 
@@ -201,18 +235,27 @@ def main() -> int:
         "default 32) — a 100x input on a 32-way shuffle carries ~7.5M "
         "rows/partition, a sizing no real cluster would run",
     )
+    ap.add_argument(
+        "--jitter",
+        action="store_true",
+        help="use the value-jittered replica (events.value perturbed per "
+        "copy so distinct counts scale with rows) and the JITTER_GATE "
+        "budgets — the distinct-domain-growth probe the plain copier "
+        "cannot express",
+    )
     args = ap.parse_args()
 
-    names = list(GATE) if not args.queries else args.queries.split(",")
-    unknown = [n for n in names if n not in GATE]
+    gate = JITTER_GATE if args.jitter else GATE
+    names = list(gate) if not args.queries else args.queries.split(",")
+    unknown = [n for n in names if n not in gate]
     if unknown:
         print(f"not gated (add to GATE first): {unknown}", file=sys.stderr)
         return 2
 
-    tables = sorted({t for n in names for t in GATE[n][1].split(",")})
+    tables = sorted({t for n in names for t in gate[n][1].split(",")})
     from tools.scaleup_bench import build
 
-    replica = build(args.copies, tables)
+    replica = build(args.copies, tables, jitter=args.jitter)
 
     runs: dict[str, dict[str, list[float]]] = {"base": {}, "scaled": {}}
     probes: dict[str, list[float]] = {"base": [], "scaled": []}
@@ -233,7 +276,7 @@ def main() -> int:
         b, ss = min(runs["base"][q]), runs["scaled"][q]
         s = min(ss)
         ratio = s / b if b > 0 else float("inf")
-        budget = GATE[q][0]
+        budget = gate[q][0]
         ok = ratio <= budget
         if not ok:
             breached.append(q)
@@ -251,12 +294,25 @@ def main() -> int:
             f"spread_{args.copies}x": round(max(ss) / s, 2) if s > 0 else None,
             f"runs_{args.copies}x": [round(v, 1) for v in ss],
         }
+    # machine-attributed per-run verdict (VERDICT r8 #7): the canary runs
+    # ~0.2 s on an uncontended core; a run bracketed by probes past 1.5x
+    # that is flagged "contended" so a slow sample is attributed to the
+    # microVM's episodic vCPU stalls by the gate itself, not eyeballed.
+    _CLEAN_PROBE_SEC = 0.30
+    verdicts = {
+        label: [
+            "clean" if p <= _CLEAN_PROBE_SEC else "contended" for p in ps
+        ]
+        for label, ps in probes.items()
+    }
     print(json.dumps({"copies": args.copies, "runs": args.runs,
+                      "jitter": args.jitter,
                       "queries": report, "breached": breached,
                       # machine-speed canary bracketing each run (see
                       # cpu_probe): a slow bench run next to a slow probe
                       # is host contention, not a regression
-                      "probe_sec": probes}))
+                      "probe_sec": probes,
+                      "probe_verdicts": verdicts}))
     return 1 if breached else 0
 
 
