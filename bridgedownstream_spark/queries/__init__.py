@@ -99,6 +99,11 @@ from bridgedownstream_spark.queries import (
 #: zorder_box_query, attribution_position, bpe_learned_segmentation,
 #: domain_mix_kl, kcore_peeling, portable_cms_heavy_hitters.
 #: Round-10 rotation backlog (never driver-certified, rough priority):
+#: cohens_kappa + chao1_vocab_richness + conformal_anomaly_bound (NEW
+#: r9, oracle-certified at all three scales: chance-corrected rater
+#: agreement; Chao1/Good-Turing vocabulary coverage estimation;
+#: split-conformal distribution-free anomaly bound riding the r9
+#: prefix-scan order-statistic selection),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +
@@ -139,17 +144,15 @@ _CERTIFYING: tuple[str, ...] = (
     # that certify whole SURVEY §2 clusters in one row each, kept green
     # in-window every round ---
     "projection_pushdown",      # S6 pruned parquet scan, P1
-    "intersect_keys",           # P2/A1 projection+distinct, §2.7 intersect
-    "q6_forecast_revenue",      # P4 conjunctive range filter, A6 (TPC-H Q6;
-                                # the TPC-H remainder q2/q15/q16/q17/q19/q20
-                                # ALL r8-green, rotated out — J1/P5 stay via
-                                # this + the ingest/pipeline/bucketed joins)
     "sql_view_query",           # S7 SQL surface
     "relationalize_child",      # N3/N4 key inheritance, N5/F4 naming
-    "dedup_latest",             # A2 + §2.5 row_number window
-    "asof_join_events",         # P3 closest-match as the single-exchange
-                                # union-trick as-of join
     "adaptive_skew_join",       # skew: diagnose-then-salt auto-remediation
+    # (intersect_keys P2/A1/§2.7, q6_forecast_revenue P4/A6 + the TPC-H
+    # remainder, dedup_latest A2/§2.5, asof_join_events P3 — ALL r8-green,
+    # rotated out mid-r9 for the four NEW r9 oracles below; P3's as-of
+    # operator stays in-window via scd2_point_in_time_join, §2.5 windows
+    # via quantile_normalize/scd2/cusum, J1/P5/A2 via the
+    # ingest/pipeline/bucketed rows + r8 history)
     "listing_scan",             # S9 listing source
     "workflow_properties",      # S10 manifest-from-messages source
     "ingest_e2e_events",        # S1/S4/J5/F2/N6/V1-V3 + F1/F6/F9 (scalar
@@ -212,6 +215,17 @@ _CERTIFYING: tuple[str, ...] = (
     "ann_matryoshka_curve",     # recall-vs-truncation sweep (ANN window
                                 # survivor with ivfpq; ann_matryoshka_recall
                                 # r8-green, rotated out)
+    # --- NEW r9 oracles (first driver rows this round) ---
+    "curation_pipeline_e2e",    # ingest→dedup→quality→rebalance→split in
+                                # ONE lineage; id_sum certifies the exact
+                                # surviving row set (VERDICT r8 #8a)
+    "exact_substring_dedup",    # stride-1 sliding fingerprints + exact
+                                # span union — ExactSubstr complement
+                                # (VERDICT r8 #8b)
+    "lsh_band_sweep_sampled",   # the sweep's executable fixed-size-sample
+                                # at-scale branch (VERDICT r8 #3)
+    "retrieval_eval_ndcg",      # NDCG@10 / MRR ranking-quality eval from
+                                # shared integer log2 literals (NEW family)
 )
 
 #: name -> (query_fn, oracle_sql_or_None)

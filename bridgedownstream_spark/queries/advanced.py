@@ -6424,3 +6424,132 @@ def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tvd_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal anomaly bound — distribution-free outlier gating
+# ---------------------------------------------------------------------------
+
+#: conformal miscoverage level: flag rate on exchangeable data is
+#: guaranteed <= alpha; 1 - alpha = 0.9 in exact tenths
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 9, 10
+
+
+@q(
+    "conformal_anomaly_bound",
+    f"""
+    WITH t AS (
+      SELECT value,
+             CASE WHEN {HASH60.format(x="CAST(event_id AS VARCHAR) || ':conf-v1'")}
+                       % 1000000000 < 500000000
+                  THEN 1 ELSE 0 END AS is_cal
+      FROM events
+    ),
+    n AS (SELECT CAST(sum(is_cal) AS BIGINT) AS n_cal,
+                 CAST(sum(1 - is_cal) AS BIGINT) AS n_test FROM t),
+    k AS (SELECT least(({_CONF_ALPHA_NUM} * (n_cal + 1)
+                        + {_CONF_ALPHA_DEN} - 1) // {_CONF_ALPHA_DEN},
+                       n_cal) AS k
+          FROM n),
+    thr AS (
+      SELECT value AS threshold FROM t WHERE is_cal = 1
+      ORDER BY value LIMIT 1 OFFSET (SELECT k - 1 FROM k)
+    )
+    SELECT n.n_cal, n.n_test, k.k AS cal_rank,
+           thr.threshold AS threshold_value,
+           CAST((SELECT count(*) FROM t
+                 WHERE is_cal = 0 AND value > thr.threshold) AS BIGINT)
+               AS n_flagged,
+           CAST((SELECT count(*) FROM t
+                 WHERE is_cal = 0 AND value > thr.threshold) * 1000000
+                // greatest(n.n_test, 1) AS BIGINT) AS flag_ppm
+    FROM n, k, thr
+    """,
+)
+def conformal_anomaly_bound(spark, sf_dir):
+    """Split-conformal anomaly gating — the distribution-free outlier
+    bound a monitoring pipeline deploys when it cannot assume a value
+    distribution: a deterministic hash gate (md5 ppb, the split_assign
+    discipline) carves an exchangeable calibration half; the threshold
+    is the ceil((1-a)(n+1))-th smallest calibration value, and flagging
+    test values above it is GUARANTEED <= a miscoverage on exchangeable
+    data — no parametric assumption, unlike `zscore_anomalies`/
+    `mad_outliers`. Output audits the achieved flag rate in ppm. A NEW
+    conformal-prediction family.
+
+    Plan/scale: the k-th order statistic does NOT globally sort: the
+    calibration frame reduces to distinct (value, count) rows and the
+    rank is read off the same range-bucketed two-phase prefix scan the
+    monitor family uses (_value_prefix_sums — 64-way parallel, no
+    partition-less window), then TakeOrdered(1) ascending over the
+    qualifying values. Counts are map-side combined; the threshold
+    broadcasts back onto the test side as a 1-row frame.
+    """
+    e = tbl(spark, sf_dir, "events")
+    t = e.select(
+        "value",
+        F.when(
+            portable_hash60(
+                F.concat(F.col("event_id").cast("string"), F.lit(":conf-v1"))
+            )
+            % 1_000_000_000
+            < 500_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_cal"),
+    )
+    n = F.broadcast(
+        t.agg(
+            F.sum("is_cal").cast("bigint").alias("n_cal"),
+            F.sum(F.lit(1) - F.col("is_cal")).cast("bigint").alias("n_test"),
+        )
+    )
+    k = F.broadcast(
+        n.select(
+            "n_cal",
+            "n_test",
+            F.expr(
+                f"least(({_CONF_ALPHA_NUM} * (n_cal + 1)"
+                f" + {_CONF_ALPHA_DEN - 1}) div {_CONF_ALPHA_DEN}, n_cal)"
+            ).alias("k"),
+        )
+    )
+    vc = (
+        t.where(F.col("is_cal") == 1)
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cum = _value_prefix_sums(vc, ["c"], inclusive=True)
+    thr = F.broadcast(
+        cum.crossJoin(k.select("k"))
+        .where(F.col("cum_c") >= F.col("k"))
+        .orderBy("value")
+        .limit(1)
+        .select(F.col("value").alias("threshold"))
+    )
+    flagged = (
+        t.where(F.col("is_cal") == 0)
+        .crossJoin(thr)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("value") > F.col("threshold"), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.max("threshold").alias("threshold_value"),
+        )
+    )
+    return (
+        k.crossJoin(flagged)
+        .select(
+            "n_cal",
+            "n_test",
+            F.col("k").alias("cal_rank"),
+            "threshold_value",
+            "n_flagged",
+            F.expr(
+                "CAST(n_flagged * 1000000 div greatest(n_test, 1) AS BIGINT)"
+            ).alias("flag_ppm"),
+        )
+    )

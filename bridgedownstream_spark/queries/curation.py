@@ -2629,3 +2629,85 @@ def exact_substring_dedup(spark, sf_dir):
 
 
 exact_substring_dedup.__doc__ = exact_substring_dedup.__doc__.format(w=_XSUB_W)
+
+
+# -- vocabulary coverage estimation (Chao1 / Good-Turing) ---------------------
+
+_CHAO1_DUCK = f"""
+    WITH toks AS (SELECT {_NORM_TOKS_SQL} AS t FROM documents),
+    tc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+    ),
+    fof AS (SELECT c, CAST(count(*) AS BIGINT) AS f FROM tc GROUP BY 1),
+    s AS (
+      SELECT CAST(sum(f) AS BIGINT) AS v,
+             CAST(sum(c * f) AS BIGINT) AS n,
+             CAST(COALESCE(sum(CASE WHEN c = 1 THEN f END), 0) AS BIGINT) AS f1,
+             CAST(COALESCE(sum(CASE WHEN c = 2 THEN f END), 0) AS BIGINT) AS f2
+      FROM fof
+    )
+    SELECT v AS vocab_size, n AS total_tokens, f1 AS n_hapax, f2 AS n_dis,
+           CAST(v + f1::HUGEINT * (f1 - 1) // (2 * (f2 + 1)) AS BIGINT)
+               AS chao1_est,
+           CAST(f1::HUGEINT * 1000000 // greatest(n, 1) AS BIGINT)
+               AS unseen_mass_ppm,
+           CAST(f1::HUGEINT * 1000000 // greatest(v, 1) AS BIGINT)
+               AS hapax_ppm
+    FROM s
+"""
+
+
+@q("chao1_vocab_richness", _CHAO1_DUCK)
+def chao1_vocab_richness(spark, sf_dir):
+    """Vocabulary coverage estimation — the "how much unseen vocabulary
+    is left" audit a tokenizer/data-mix team runs before freezing a
+    vocab: Chao1 richness (bias-corrected: V + f1(f1-1)/(2(f2+1)))
+    estimates TOTAL vocabulary including never-seen types from the
+    singleton/doubleton counts, and the Good-Turing mass f1/N estimates
+    the probability the NEXT token is a new type (in exact ppm), plus
+    the hapax share of the observed vocabulary. Complements
+    `vocab_growth_curve` (Heaps' law fits the trajectory; Chao1 bounds
+    the asymptote) — a NEW coverage-estimation family.
+
+    Plan/scale: one corpus-sized token explode feeding a map-side
+    combined vocabulary-sized count (the zipf_slope wire), then the
+    frequency-of-frequencies table (at most ~sqrt(2N) distinct counts —
+    tiny), then a 1-row exact HUGEINT/DECIMAL(38,0) reduction. No
+    sorts, no windows, nothing corpus-sized after the first aggregate.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(F.expr(_NORM_TOKS_EXPR)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    fof = tc.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    s = fof.agg(
+        F.sum("f").cast("bigint").alias("v"),
+        F.sum(F.col("c") * F.col("f")).cast("bigint").alias("n"),
+        F.coalesce(F.sum(F.when(F.col("c") == 1, F.col("f"))), F.lit(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.coalesce(F.sum(F.when(F.col("c") == 2, F.col("f"))), F.lit(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    return s.select(
+        F.col("v").alias("vocab_size"),
+        F.col("n").alias("total_tokens"),
+        F.col("f1").alias("n_hapax"),
+        F.col("f2").alias("n_dis"),
+        F.expr(
+            "CAST(v + CAST(f1 AS DECIMAL(38,0)) * (f1 - 1)"
+            " div (2 * (f2 + 1)) AS BIGINT)"
+        ).alias("chao1_est"),
+        F.expr(
+            "CAST(CAST(f1 AS DECIMAL(38,0)) * 1000000"
+            " div greatest(n, 1) AS BIGINT)"
+        ).alias("unseen_mass_ppm"),
+        F.expr(
+            "CAST(CAST(f1 AS DECIMAL(38,0)) * 1000000"
+            " div greatest(v, 1) AS BIGINT)"
+        ).alias("hapax_ppm"),
+    )

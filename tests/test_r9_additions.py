@@ -160,3 +160,33 @@ def test_band_sweep_sampled_gates_fixed_size(spark):
             for r in similarity.lsh_band_sweep_sampled(spark, sf).collect()}
     assert samp[(8, 1)] < full[(8, 1)]
     assert samp[(8, 1)] > 0
+
+
+def test_chao1_hand_computed(spark, tmp_path_factory):
+    """tokens {a:2, b:1}: V=2, N=3, f1=1, f2=1 -> chao1 = V + f1(f1-1)/
+    (2(f2+1)) = 2; Good-Turing unseen mass = f1/N; hapax share = f1/V."""
+    path = str(tmp_path_factory.mktemp("chao1") / "lake")
+    _write_docs(spark, path, [(1, "a a b", "en", "s", 5)])
+    r = curation.chao1_vocab_richness(spark, path).collect()[0]
+    assert (r.vocab_size, r.total_tokens, r.n_hapax, r.n_dis) == (2, 3, 1, 1)
+    assert r.chao1_est == 2
+    assert r.unseen_mass_ppm == 1_000_000 // 3
+    assert r.hapax_ppm == 500_000
+
+
+def test_conformal_bound_invariants(spark):
+    """On real events: the split partitions the corpus; the rank follows
+    ceil((1-a)(n_cal+1)) clamped; the empirical flag rate respects the
+    distribution-free <= alpha guarantee (with sampling slack)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    r = advanced.conformal_anomaly_bound(spark, sf).collect()[0]
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    assert r.n_cal + r.n_test == n_events
+    assert r.cal_rank == min((9 * (r.n_cal + 1) + 9) // 10, r.n_cal)
+    # exchangeable halves: flag rate concentrates at <= 10%; allow slack
+    assert 0 <= r.flag_ppm <= 170_000
+    assert r.n_flagged <= r.n_test
