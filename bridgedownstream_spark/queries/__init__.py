@@ -103,7 +103,10 @@ from bridgedownstream_spark.queries import (
 #: r9, oracle-certified at all three scales: chance-corrected rater
 #: agreement; Chao1/Good-Turing vocabulary coverage estimation;
 #: split-conformal distribution-free anomaly bound riding the r9
-#: prefix-scan order-statistic selection),
+#: prefix-scan order-statistic selection), split_contamination +
+#: embedding_anisotropy (NEW r9 wave 2: 8-gram decontamination audit of
+#: the certified md5 split itself; embedding-geometry anisotropy +
+#: rogue-dimension diagnostics in exact integer micro-units),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +

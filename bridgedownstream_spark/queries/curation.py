@@ -2711,3 +2711,101 @@ def chao1_vocab_richness(spark, sf_dir):
             " div greatest(v, 1) AS BIGINT)"
         ).alias("hapax_ppm"),
     )
+
+
+# -- split decontamination audit ----------------------------------------------
+
+_SPLIT_CONTAM_DUCK = f"""
+    WITH toks AS (SELECT doc_id, {_NORM_TOKS_SQL} AS t FROM documents),
+    sp AS (
+      SELECT doc_id, t,
+             CASE WHEN g < 800000000 THEN 'train'
+                  WHEN g < 900000000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, t,
+                   {HASH60.format(x="CAST(doc_id AS VARCHAR) || ':split-v1'")}
+                       % 1000000000 AS g
+            FROM toks)
+    ),
+    grams AS (
+      SELECT doc_id, split, unnest(list_distinct({_grams_sql("t", 8)})) AS g8
+      FROM sp
+    ),
+    tr AS (SELECT DISTINCT g8 FROM grams WHERE split = 'train'),
+    te AS (SELECT doc_id, g8 FROM grams WHERE split = 'test'),
+    j AS (
+      SELECT te.doc_id, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(count(tr.g8) AS BIGINT) AS n_hit
+      FROM te LEFT JOIN tr USING (g8) GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_test_docs,
+           CAST(COALESCE(sum(n_g), 0) AS BIGINT) AS n_test_grams,
+           CAST(COALESCE(sum(n_hit), 0) AS BIGINT) AS n_contaminated_grams,
+           CAST(COALESCE(count(CASE WHEN n_hit > 0 THEN 1 END), 0) AS BIGINT)
+               AS n_contaminated_docs,
+           CAST(COALESCE(sum(n_hit), 0) * 1000000
+                // greatest(COALESCE(sum(n_g), 0), 1) AS BIGINT)
+               AS gram_contamination_ppm,
+           CAST(COALESCE(count(CASE WHEN n_hit > 0 THEN 1 END), 0) * 1000000
+                // greatest(count(*), 1) AS BIGINT)
+               AS doc_contamination_ppm
+    FROM j
+"""
+
+
+@q("split_contamination", _SPLIT_CONTAM_DUCK)
+def split_contamination(spark, sf_dir):
+    """Decontamination audit of the train/test split ITSELF: distinct
+    8-grams of every TEST document checked against the train split's
+    gram set (the GPT-3 appendix-C pass, but pointed at the certified
+    md5 split instead of an external benchmark — `contamination_check`
+    audits eval suites; THIS audits the randomized split, which near-dup
+    documents contaminate by construction). Reports corpus-level gram
+    and document contamination in exact ppm — the number a curation
+    pipeline must publish before trusting held-out loss.
+
+    Plan/scale: gram sets are per-doc DISTINCT'd before anything wide
+    (the contamination_check wire rule); the train side reduces to
+    DISTINCT grams; the join key is the gram string and both sides stay
+    gram-sized — bodies never shuffle, and the train side carries no
+    broadcast hint (it is data-proportional; AQE decides).
+    """
+    from bridgedownstream_spark.operators.sampling import split_assign
+
+    d = tbl(spark, sf_dir, "documents")
+    toks = split_assign(
+        d.select("doc_id", F.expr(_NORM_TOKS_EXPR).alias("t")), "doc_id"
+    )
+    grams = toks.select(
+        "doc_id",
+        "split",
+        F.explode(F.array_distinct(F.expr(_grams_expr("t", 8)))).alias("g8"),
+    )
+    tr = grams.where(F.col("split") == "train").select("g8").distinct()
+    te = grams.where(F.col("split") == "test").select("doc_id", "g8")
+    j = (
+        te.join(tr.withColumnRenamed("g8", "tg"), te.g8 == F.col("tg"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.count("tg").cast("bigint").alias("n_hit"),
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_docs"),
+        F.coalesce(F.sum("n_g"), F.lit(0)).cast("bigint").alias("n_test_grams"),
+        F.coalesce(F.sum("n_hit"), F.lit(0))
+        .cast("bigint")
+        .alias("n_contaminated_grams"),
+        F.coalesce(F.count(F.when(F.col("n_hit") > 0, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_contaminated_docs"),
+        F.expr(
+            "CAST(coalesce(sum(n_hit), 0) * 1000000"
+            " div greatest(coalesce(sum(n_g), 0), 1) AS BIGINT)"
+        ).alias("gram_contamination_ppm"),
+        F.expr(
+            "CAST(coalesce(count(CASE WHEN n_hit > 0 THEN 1 END), 0)"
+            " * 1000000 div greatest(count(1), 1) AS BIGINT)"
+        ).alias("doc_contamination_ppm"),
+    )

@@ -2960,3 +2960,107 @@ def _band_sweep_impl(spark, sf_dir, sampled: bool):
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+# -- embedding geometry diagnostics -------------------------------------------
+
+_ANISO_DUCK = """
+    WITH q AS (
+      SELECT list_transform(embedding,
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    sq AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(list_sum(list_transform(qv, v -> v::HUGEINT * v)))
+                  AS HUGEINT) AS ssq
+      FROM q
+    ),
+    comp AS (
+      SELECT pos, CAST(sum(v) AS HUGEINT) AS s
+      FROM (SELECT unnest(qv) AS v,
+                   unnest(generate_series(1, len(qv))) AS pos
+            FROM q)
+      GROUP BY 1
+    ),
+    m AS (SELECT CAST(sum(s * s) AS HUGEINT) AS msq,
+                 CAST(count(*) AS INT) AS dim FROM comp),
+    dom AS (SELECT pos, s FROM comp ORDER BY abs(s) DESC, pos LIMIT 1)
+    SELECT sq.n AS n_vectors, m.dim,
+           CAST(m.msq * 1000000 // greatest(sq.n::HUGEINT * sq.ssq, 1)
+                AS BIGINT) AS anisotropy_ppm,
+           CAST(dom.pos AS INT) AS dominant_dim,
+           CAST(dom.s * dom.s * 1000000 // greatest(m.msq, 1) AS BIGINT)
+               AS dominant_share_ppm
+    FROM sq, m, dom
+"""
+
+
+@q("embedding_anisotropy", _ANISO_DUCK)
+def embedding_anisotropy(spark, sf_dir):
+    """Embedding-space geometry diagnostics — the anisotropy audit an
+    embedding pipeline runs before trusting cosine similarity: the ratio
+    ||mean(x)||^2 / mean(||x||^2) in ppm (0 = perfectly centered cloud;
+    near 1e6 = all vectors share a dominant direction — the classic
+    "anisotropic embeddings make every cosine look similar" failure,
+    Ethayarajh-style), plus the single dimension carrying the largest
+    mean-component mass (the "rogue dimension" diagnostic). A NEW
+    embedding-geometry family next to the ANN stack.
+
+    Portability: components quantize to exact integer micro-units
+    (round(x*1e6) — float widens to the same double in both engines), so
+    every sum/square is exact HUGEINT/DECIMAL(38,0) arithmetic — no
+    order-dependent float reductions cross the wire (corpus-level float
+    sums are NOT associative; this is why the quantization is load-
+    bearing, not cosmetic).
+
+    Plan/scale: Σ||x||^2 is a row-local HOF fold into one
+    map-side-combined 1-row aggregate; the per-dimension mean vector is
+    a posexplode into a DIM-sized (64-row) shuffle; everything after is
+    dimension-cardinality. The corpus never sorts, never joins. At
+    extreme corpus sizes (>10^12 rows) the micro^2 sums approach the
+    DECIMAL(38)/HUGEINT ceiling — rescale the quantization step, the
+    ratio is scale-invariant.
+    """
+    e = tbl(spark, sf_dir, "embeddings")
+    q_v = e.select(
+        F.expr(
+            "transform(embedding, x -> CAST(round(x * 1000000) AS BIGINT))"
+        ).alias("qv")
+    ).localCheckpoint(eager=False)
+    sq = q_v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                "aggregate(qv, CAST(0 AS DECIMAL(38,0)),"
+                " (acc, v) -> acc + CAST(v AS DECIMAL(38,0)) * v)"
+            )
+        ).alias("ssq"),
+    )
+    comp = (
+        q_v.select(F.posexplode("qv").alias("pos0", "v"))
+        .groupBy((F.col("pos0") + 1).alias("pos"))
+        .agg(F.sum("v").cast("decimal(38,0)").alias("s"))
+    )
+    m = comp.agg(
+        F.sum(F.col("s") * F.col("s")).alias("msq"),
+        F.count(F.lit(1)).cast("int").alias("dim"),
+    )
+    dom = comp.orderBy(F.abs(F.col("s")).desc(), "pos").limit(1)
+    return (
+        F.broadcast(sq)
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(dom))
+        .select(
+            F.col("n").alias("n_vectors"),
+            "dim",
+            F.expr(
+                "CAST(msq * 1000000 div greatest(CAST(n AS DECIMAL(38,0))"
+                " * ssq, 1) AS BIGINT)"
+            ).alias("anisotropy_ppm"),
+            F.col("pos").cast("int").alias("dominant_dim"),
+            F.expr(
+                "CAST(s * s * 1000000 div greatest(msq, 1) AS BIGINT)"
+            ).alias("dominant_share_ppm"),
+        )
+    )

@@ -190,3 +190,40 @@ def test_conformal_bound_invariants(spark):
     # exchangeable halves: flag rate concentrates at <= 10%; allow slack
     assert 0 <= r.flag_ppm <= 170_000
     assert r.n_flagged <= r.n_test
+
+
+def test_split_contamination_counts_shared_grams(spark, tmp_path_factory):
+    """All-identical docs: every test doc's grams exist in train (as long
+    as both splits are populated), so gram contamination is 1e6."""
+    path = str(tmp_path_factory.mktemp("contam") / "lake")
+    body = " ".join(f"t{i}" for i in range(12))
+    _write_docs(spark, path, [(i, body, "en", "s", 60) for i in range(60)])
+    r = curation.split_contamination(spark, path).collect()[0]
+    assert r.n_test_docs > 0          # md5 split lands some of 60 in test
+    assert r.n_test_grams == r.n_test_docs * 5  # 12 toks -> 5 distinct 8-grams
+    assert r.gram_contamination_ppm == 1_000_000
+    assert r.doc_contamination_ppm == 1_000_000
+
+
+def test_embedding_anisotropy_extremes(spark, tmp_path_factory):
+    """Identical vectors -> anisotropy 1e6 and the dominant dim carries
+    its exact share; antipodal pairs -> mean 0 -> anisotropy 0."""
+    path = str(tmp_path_factory.mktemp("aniso") / "lake")
+
+    def write(vecs):
+        spark.createDataFrame(
+            [(i, v, 0) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>, label int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+        return path
+
+    same = [[1.0, 2.0, 0.0]] * 4
+    r = similarity.embedding_anisotropy(spark, write(same)).collect()[0]
+    assert (r.n_vectors, r.dim) == (4, 3)
+    assert r.anisotropy_ppm == 1_000_000
+    assert r.dominant_dim == 2          # component 2.0 dominates (1-based)
+    assert r.dominant_share_ppm == 4 * 1_000_000 // 5  # 2^2 / (1+4)
+
+    anti = [[1.0, -1.0, 0.5], [-1.0, 1.0, -0.5]]
+    r2 = similarity.embedding_anisotropy(spark, write(anti)).collect()[0]
+    assert r2.anisotropy_ppm == 0
