@@ -774,3 +774,167 @@ def cohens_kappa(spark, sf_dir):
             f" CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("kappa_ppm"),
     )
+
+
+# -- language-label quality: confusion matrix ----------------------------------
+
+_LANG_PRED_SQL = f"""CASE
+             WHEN {_langid_score_sql("de")} >= {_langid_score_sql("en")}
+              AND {_langid_score_sql("de")} >= {_langid_score_sql("fr")}
+              AND {_langid_score_sql("de")} >= {_langid_score_sql("es")}
+              AND {_langid_score_sql("de")} > 0 THEN 'de'
+             WHEN {_langid_score_sql("fr")} >= {_langid_score_sql("en")}
+              AND {_langid_score_sql("fr")} >= {_langid_score_sql("es")}
+              AND {_langid_score_sql("fr")} > 0 THEN 'fr'
+             WHEN {_langid_score_sql("es")} >= {_langid_score_sql("en")}
+              AND {_langid_score_sql("es")} > 0 THEN 'es'
+             WHEN {_langid_score_sql("en")} > 0 THEN 'en'
+             ELSE 'und'
+           END"""
+
+
+@q(
+    "lang_confusion_matrix",
+    f"""
+    WITH p AS (
+      SELECT lang AS declared, {_LANG_PRED_SQL} AS predicted FROM documents
+    ),
+    cell AS (
+      SELECT declared, predicted, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+                   CAST(sum(CASE WHEN declared = predicted THEN n END)
+                        AS BIGINT) AS hit
+            FROM cell)
+    SELECT declared, predicted, n,
+           CAST(n * 1000000 // t AS BIGINT) AS share_ppm,
+           CAST(COALESCE(hit, 0) * 1000000 // t AS BIGINT) AS accuracy_ppm
+    FROM cell CROSS JOIN tot
+    ORDER BY declared, predicted
+    """,
+)
+def lang_confusion_matrix(spark, sf_dir):
+    """Label-quality confusion matrix: the corpus's DECLARED language
+    column cross-tabulated against the engine's stopword language
+    detector (`language_id` verbatim) — the audit that catches mislabeled
+    crawl slices before a language-stratified sample inherits the error.
+    Each cell carries its corpus share and every row repeats the global
+    diagonal accuracy (both in exact ppm), so one table answers "how
+    wrong are the labels and in which direction".
+
+    Plan/scale: the detector is a row-local HOF projection inside the
+    scan; the only shuffle is the (declared, predicted) cell aggregate —
+    at most |langs|^2 cells; totals are a broadcast 1-row frame."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    def score(lang: str):
+        arr = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    de, fr, es, en = score("de"), score("fr"), score("es"), score("en")
+    pred = (
+        F.when((de >= en) & (de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= en) & (fr >= es) & (fr > 0), "fr")
+        .when((es >= en) & (es > 0), "es")
+        .when(en > 0, "en")
+        .otherwise("und")
+    )
+    cell = (
+        d.select(F.col("lang").alias("declared"), pred.alias("predicted"))
+        .groupBy("declared", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = F.broadcast(
+        cell.agg(
+            F.sum("n").cast("bigint").alias("t"),
+            F.sum(F.when(F.col("declared") == F.col("predicted"), F.col("n")))
+            .cast("bigint")
+            .alias("hit"),
+        )
+    )
+    return (
+        cell.crossJoin(tot)
+        .select(
+            "declared",
+            "predicted",
+            "n",
+            F.expr("CAST(n * 1000000 div t AS BIGINT)").alias("share_ppm"),
+            F.expr(
+                "CAST(coalesce(hit, 0) * 1000000 div t AS BIGINT)"
+            ).alias("accuracy_ppm"),
+        )
+        .orderBy("declared", "predicted")
+    )
+
+
+# -- context-budget truncation loss curve --------------------------------------
+
+_TRUNC_BUDGETS = (64, 128, 256)
+
+
+@q(
+    "context_truncation_loss",
+    f"""
+    WITH t AS (
+      SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    b AS ({" UNION ALL ".join(f"SELECT {c} AS budget" for c in _TRUNC_BUDGETS)})
+    SELECT b.budget,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN n > b.budget THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_over_budget,
+           CAST(sum(greatest(n - b.budget, 0)) AS BIGINT) AS lost_tokens,
+           CAST(sum(greatest(n - b.budget, 0)) * 1000000
+                // greatest(sum(n), 1) AS BIGINT) AS lost_ppm
+    FROM t CROSS JOIN b
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def context_truncation_loss(spark, sf_dir):
+    """Context-budget truncation loss curve: for each candidate context
+    length the token mass a truncate-at-budget policy would discard and
+    the share of documents it would cut (exact ppm) — the one-scan audit
+    that decides between truncation and chunking (`doc_chunking`) and
+    sizes the packing budget (`pack_sequences`) before a training run.
+
+    Plan/scale: token counts are a scan-stage projection; the budget
+    grid is a {len(_TRUNC_BUDGETS)}-row literal, so the cross join is a
+    broadcast replicate and the whole curve map-side combines into
+    {len(_TRUNC_BUDGETS)} groups. One corpus pass for every budget."""
+    d = tbl(spark, sf_dir, "documents")
+    t = d.select(
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n")
+    )
+    b = spark.createDataFrame(
+        [(c,) for c in _TRUNC_BUDGETS], "budget int"
+    )
+    return (
+        t.crossJoin(F.broadcast(b))
+        .groupBy("budget")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("n") > F.col("budget"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_over_budget"),
+            F.sum(F.greatest(F.col("n") - F.col("budget"), F.lit(0)))
+            .cast("bigint")
+            .alias("lost_tokens"),
+        )
+        .select(
+            "budget",
+            "n_docs",
+            "total_tokens",
+            "docs_over_budget",
+            "lost_tokens",
+            F.expr(
+                "CAST(lost_tokens * 1000000"
+                " div greatest(total_tokens, 1) AS BIGINT)"
+            ).alias("lost_ppm"),
+        )
+        .orderBy("budget")
+    )
