@@ -107,6 +107,9 @@ from bridgedownstream_spark.queries import (
 #: embedding_anisotropy (NEW r9 wave 2: 8-gram decontamination audit of
 #: the certified md5 split itself; embedding-geometry anisotropy +
 #: rogue-dimension diagnostics in exact integer micro-units),
+#: lang_confusion_matrix + context_truncation_loss (NEW r9 wave 3:
+#: declared-vs-detected language label audit; context-budget truncation
+#: loss curve over a literal budget grid),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +

@@ -473,23 +473,23 @@ def test_certifying_prefix_is_stable():
         # queries/__init__.py)
         "ivfpq_residual_search", "adaptive_skew_join",
         "pipeline_compaction_equiv",
-        # r8 promotions: the six never-certified r7 tail operators
-        "bootstrap_ci_revenue", "fixed_width_roundtrip", "kfold_assign",
-        "bpe_learned_segmentation", "attribution_position",
-        "ann_matryoshka_recall",
-        # r8 NEW lifecycle oracles (the last zero-oracle families)
+        # r8 lifecycle oracles (the last zero-oracle families) keep their
+        # slots through the r9 rotation
         "archive_restore_equiv", "workflow_e2e_equiv",
-        # family survivors that must hold their window slot
-        "kcore_peeling", "domain_mix_kl",
-        "portable_cms_heavy_hitters",
+        # family survivors that must hold their window slot post-r9
+        # (kcore/domain_mix_kl/portable_cms/zorder and the TPC-H
+        # remainder are ALL r8-driver-green and rotated out; their
+        # families' in-window survivors are below — mapping inline in
+        # queries/__init__.py)
         "bucketed_join_no_shuffle", "multimodal_real_codec",
-        "zorder_box_query",
-        # TPC-H shape reps (q21 rotated out r8; the Q2/Q15/Q17/Q19/Q20
-        # remainder promoted)
-        "q16_supplier_part_counts", "q6_forecast_revenue",
-        "q2_min_cost_supplier", "q15_top_supplier",
-        "q17_small_quantity_revenue", "q19_disjunctive_revenue",
-        "q20_potential_promotion",
+        "ipf_raking", "clustering_coefficient", "cms_join_size_estimate",
+        "scd2_point_in_time_join", "quantile_normalize_sources",
+        # r9 promotions that must hold until driver-certified: the two
+        # re-planned monitor queries + the fixed benford + the four NEW
+        # r9 oracles
+        "ks_two_sample", "mann_whitney_u", "benford_deviation",
+        "psi_drift", "curation_pipeline_e2e", "exact_substring_dedup",
+        "lsh_band_sweep_sampled", "retrieval_eval_ndcg",
     }
     missing = must_have - set(_CERTIFYING)
     assert not missing, f"certifying window lost: {missing}"
