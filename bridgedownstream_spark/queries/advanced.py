@@ -6553,3 +6553,80 @@ def conformal_anomaly_bound(spark, sf_dir):
             ).alias("flag_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information — the dependence measure behind feature selection
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "mutual_information",
+    """
+    WITH j AS (
+      SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS seg,
+             e.event_type AS et
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    ),
+    cell AS (SELECT seg, et, CAST(count(*) AS BIGINT) AS o
+             FROM j GROUP BY 1, 2),
+    rm AS (SELECT seg, CAST(sum(o) AS BIGINT) AS r FROM cell GROUP BY 1),
+    cm AS (SELECT et, CAST(sum(o) AS BIGINT) AS c FROM cell GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cell)
+    SELECT seg, et, o,
+           round((CAST(o AS DOUBLE) / n)
+                 * ln((CAST(o AS DOUBLE) * n)
+                      / (CAST(r AS DOUBLE) * cm.c)), 9) AS mi_term
+    FROM cell JOIN rm USING (seg) JOIN cm USING (et), tot
+    ORDER BY seg, et
+    """,
+)
+def mutual_information(spark, sf_dir):
+    """Mutual information between customer market segment and event type
+    — the dependence measure feature selection and mix design run next
+    to `chi_square_independence` (chi2 tests IF dependent; MI measures
+    HOW MUCH, in nats: Σ mi_term = I(seg; event)). Per-cell terms
+    localize WHICH (segment, event) pairs carry the dependence; terms
+    sum to ~0 under independence.
+
+    Portability: the domain_mix_kl ln discipline — exact BIGINT cell
+    counts combined in IEEE-exact double divisions into ln, rounded at
+    9, so both engines evaluate libm on bit-identical arguments.
+
+    Plan/scale: the dim join broadcasts; cells map-side combine to
+    |segments|x|event types| rows; marginals and the total are
+    cell-frame aggregates that broadcast back. Nothing after the first
+    aggregate is corpus-sized."""
+    e = tbl(spark, sf_dir, "events")
+    c = tbl(spark, sf_dir, "customer")
+    j = e.join(
+        F.broadcast(c), e.user_id == c.c_custkey, "left"
+    ).select(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("seg"),
+        F.col("event_type").alias("et"),
+    )
+    cell = j.groupBy("seg", "et").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rm = cell.groupBy("seg").agg(F.sum("o").cast("bigint").alias("r"))
+    cm = cell.groupBy("et").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = F.broadcast(cell.agg(F.sum("o").cast("bigint").alias("n")))
+    return (
+        cell.join(F.broadcast(rm), "seg")
+        .join(F.broadcast(cm), "et")
+        .crossJoin(tot)
+        .select(
+            "seg",
+            "et",
+            "o",
+            F.round(
+                (F.col("o").cast("double") / F.col("n"))
+                * F.log(
+                    (F.col("o").cast("double") * F.col("n"))
+                    / (F.col("r").cast("double") * F.col("c"))
+                ),
+                9,
+            ).alias("mi_term"),
+        )
+        .orderBy("seg", "et")
+    )

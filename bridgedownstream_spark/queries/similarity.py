@@ -3064,3 +3064,115 @@ def embedding_anisotropy(spark, sf_dir):
             ).alias("dominant_share_ppm"),
         )
     )
+
+
+# -- label-centroid similarity (class separability audit) ---------------------
+
+_CENTROID_DUCK = """
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding,
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1),
+    comp AS (
+      SELECT label, pos, CAST(sum(v) AS HUGEINT) AS s
+      FROM (SELECT label, unnest(qv) AS v,
+                   unnest(generate_series(1, len(qv))) AS pos
+            FROM q)
+      GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT a.label AS label_a, b.label AS label_b, sum(a.s * b.s) AS dot
+      FROM comp a JOIN comp b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2
+    ),
+    nrm AS (
+      SELECT label, sqrt(CAST(sum(s * s) AS DOUBLE)) AS nr FROM comp GROUP BY 1
+    )
+    SELECT label_a, label_b,
+           ca.n AS n_vectors_a, cb.n AS n_vectors_b,
+           round(CAST(dot AS DOUBLE) / (na.nr * nb.nr), 4) AS centroid_cosine
+    FROM cent JOIN nrm na ON na.label = cent.label_a
+              JOIN nrm nb ON nb.label = cent.label_b
+              JOIN cnt ca ON ca.label = cent.label_a
+              JOIN cnt cb ON cb.label = cent.label_b
+    ORDER BY label_a, label_b
+"""
+
+
+@q("label_centroid_similarity", _CENTROID_DUCK)
+def label_centroid_similarity(spark, sf_dir):
+    """Class-separability audit: pairwise cosine between per-label
+    embedding CENTROIDS — near-1 pairs are labels an embedding model
+    cannot distinguish (merge candidates / labeling-noise suspects), the
+    domain-level complement of the vector-level dedup stack. Centroid
+    direction = the per-label component-sum vector (same direction as
+    the mean; the scale cancels in cosine), accumulated in exact integer
+    micro-units so the only floats are the final cosine's IEEE-exact
+    divisions, rounded to 4 (the ann_* discipline).
+
+    Plan/scale: one (label, dim)-keyed map-side-combined aggregate
+    (|labels|x64 rows — the corpus never shuffles raw vectors); the
+    pairwise join runs on that tiny frame (broadcast by size);
+    |labels|^2/2 output rows."""
+    e = tbl(spark, sf_dir, "embeddings")
+    q_v = e.select(
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(round(x * 1000000) AS BIGINT))"
+        ).alias("qv"),
+    )
+    cnt = q_v.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    comp = (
+        q_v.select("label", F.posexplode("qv").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.sum("v").cast("decimal(38,0)").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    a = comp.select(
+        F.col("label").alias("label_a"),
+        F.col("pos").alias("pos"),
+        F.col("s").alias("sa"),
+    )
+    b = comp.select(
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("s").alias("sb"),
+    )
+    cent = (
+        a.join(
+            b,
+            (F.col("pos") == F.col("pos_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    nrm = comp.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("s") * F.col("s")).cast("double")).alias("nr")
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("nr").alias("nr_a"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("nr").alias("nr_b"))
+    ca = cnt.select(F.col("label").alias("label_a"), F.col("n").alias("n_vectors_a"))
+    cb = cnt.select(F.col("label").alias("label_b"), F.col("n").alias("n_vectors_b"))
+    return (
+        cent.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .join(F.broadcast(ca), "label_a")
+        .join(F.broadcast(cb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_vectors_a",
+            "n_vectors_b",
+            F.round(
+                F.col("dot").cast("double") / (F.col("nr_a") * F.col("nr_b")),
+                4,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
