@@ -109,7 +109,11 @@ from bridgedownstream_spark.queries import (
 #: rogue-dimension diagnostics in exact integer micro-units),
 #: lang_confusion_matrix + context_truncation_loss (NEW r9 wave 3:
 #: declared-vs-detected language label audit; context-budget truncation
-#: loss curve over a literal budget grid),
+#: loss curve over a literal budget grid), label_centroid_similarity +
+#: mutual_information + hits_scores (NEW r9 wave 4: class-separability
+#: centroid cosines; per-cell I(segment; event) in nats; HITS
+#: hubs/authorities over the directed customer→part graph — exact
+#: integer sum-normalized power iteration, 3x-unrolled oracle),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +

@@ -6630,3 +6630,117 @@ def mutual_information(spark, sf_dir):
         )
         .orderBy("seg", "et")
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities — the directed-graph companion to pagerank
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+_HITS_SCALE = 10**12
+
+
+def _hits_round_cte(k: int) -> str:
+    s = _HITS_SCALE
+    return f"""
+    ar{k} AS (SELECT e.p, CAST(sum(h.hs) AS HUGEINT) AS raw
+              FROM e JOIN h{k - 1} h ON h.c = e.c GROUP BY 1),
+    at{k} AS (SELECT CAST(sum(raw) AS HUGEINT) AS t FROM ar{k}),
+    a{k} AS (SELECT p, CAST(raw * {s} // (SELECT t FROM at{k}) AS BIGINT)
+                    AS ascore
+             FROM ar{k}),
+    hr{k} AS (SELECT e.c, CAST(sum(a.ascore) AS HUGEINT) AS raw
+              FROM e JOIN a{k} a ON a.p = e.p GROUP BY 1),
+    ht{k} AS (SELECT CAST(sum(raw) AS HUGEINT) AS t FROM hr{k}),
+    h{k} AS (SELECT c, CAST(raw * {s} // (SELECT t FROM ht{k}) AS BIGINT)
+                    AS hs
+             FROM hr{k})"""
+
+
+_HITS_SQL = (
+    """
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    h0 AS (SELECT DISTINCT c, CAST(1 AS BIGINT) AS hs FROM e),"""
+    + ",".join(_hits_round_cte(k) for k in range(1, _HITS_ITERS + 1))
+    + f"""
+    SELECT p AS p_partkey, ascore AS auth_scaled
+    FROM a{_HITS_ITERS}
+    ORDER BY auth_scaled DESC, p_partkey
+    LIMIT 20
+    """
+)
+
+
+@q("hits_scores", _HITS_SQL)
+def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (hubs & authorities) over the DIRECTED customer→part purchase
+    graph — pagerank's companion for bipartite endorsement structure:
+    authorities are parts bought by the best collector-customers, hubs
+    are customers buying the most authoritative parts, mutually
+    reinforcing over {k} power-iteration rounds. Top-20 authorities.
+    (The co-purchase graph pagerank walks is symmetric, where hubs ≡
+    authorities — HITS needs this directed graph to say anything.)
+
+    Arithmetic is deterministic-integer end to end: each half-round is
+    an exact integer sum followed by sum-normalization to parts-per-10^12
+    (``raw * 1e12 div total`` — the pagerank scaled-integer discipline;
+    normalization choice doesn't change the fixed-point direction), so
+    Spark and the {k}x-unrolled DuckDB oracle agree bit for bit.
+
+    Plan/scale: the edge list (ONE orders⋈lineitem fact join, distinct
+    (customer, part) pairs) localCheckpoints once and is reused by all
+    {k2} half-rounds; score state is NODE-cardinality (customer / part
+    dimensions) and BROADCASTS into map-side joins over the cached edge
+    partitions — the edge table never re-shuffles; each half-round's
+    only exchange is the map-side-combined integer aggregate on its
+    node key. Totals are broadcast 1-row frames. The pagerank
+    degradation note applies verbatim: node sets past the broadcast
+    ceiling fall back to shuffle hash joins, arithmetic unchanged."""
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    s_lit = f"CAST({_HITS_SCALE} AS DECIMAL(38,0))"
+    h = e.select("c").distinct().withColumn("hs", F.lit(1).cast("bigint"))
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            e.join(F.broadcast(h), "c")
+            .groupBy("p")
+            .agg(F.sum("hs").cast("decimal(38,0)").alias("raw"))
+        )
+        at = F.broadcast(ar.agg(F.sum("raw").alias("t")))
+        a = ar.crossJoin(at).select(
+            "p",
+            F.expr(f"CAST(raw * {s_lit} div t AS BIGINT)").alias("ascore"),
+        )
+        hr = (
+            e.join(F.broadcast(a), "p")
+            .groupBy("c")
+            .agg(F.sum("ascore").cast("decimal(38,0)").alias("raw"))
+        )
+        ht = F.broadcast(hr.agg(F.sum("raw").alias("t")))
+        h = hr.crossJoin(ht).select(
+            "c",
+            F.expr(f"CAST(raw * {s_lit} div t AS BIGINT)").alias("hs"),
+        )
+    return (
+        a.select(
+            F.col("p").alias("p_partkey"),
+            F.col("ascore").alias("auth_scaled"),
+        )
+        .orderBy(F.desc("auth_scaled"), "p_partkey")
+        .limit(20)
+    )
+
+
+hits_scores.__doc__ = hits_scores.__doc__.format(
+    k=_HITS_ITERS, k2=2 * _HITS_ITERS
+)
