@@ -119,6 +119,11 @@ GATE: dict[str, tuple[float, str]] = {
     # mwu 2.21 under distinct-values-x100 — the harder config).
     "ks_two_sample": (6.0, "events"),
     "mann_whitney_u": (5.0, "events"),
+    # r9 wave 4: HITS on the directed customer->part graph — edge build
+    # is ONE fact join (the corpus-linear cost); 6 half-rounds run on
+    # broadcast node-sized state. Measured 8.39x at 100x (min-of-2,
+    # spread 1.04, probes clean — SCALE_GATE_r09_hits.json); x ~1.8.
+    "hits_scores": (15.0, "lineitem,orders"),
 }
 
 #: the monitor family re-gated under the VALUE-JITTERED replica
