@@ -6711,10 +6711,14 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = e.select("c").distinct().withColumn("hs", F.lit(1).cast("bigint"))
     a = None
     for _ in range(_HITS_ITERS):
+        # each raw frame feeds TWO consumers (its total and its
+        # normalized projection): checkpoint so the edge join + agg run
+        # once per half-round, not twice (node-sized state — cheap)
         ar = (
             e.join(F.broadcast(h), "c")
             .groupBy("p")
             .agg(F.sum("hs").cast("decimal(38,0)").alias("raw"))
+            .localCheckpoint(eager=False)
         )
         at = F.broadcast(ar.agg(F.sum("raw").alias("t")))
         a = ar.crossJoin(at).select(
@@ -6725,6 +6729,7 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.join(F.broadcast(a), "p")
             .groupBy("c")
             .agg(F.sum("ascore").cast("decimal(38,0)").alias("raw"))
+            .localCheckpoint(eager=False)
         )
         ht = F.broadcast(hr.agg(F.sum("raw").alias("t")))
         h = hr.crossJoin(ht).select(
