@@ -2809,3 +2809,101 @@ def split_contamination(spark, sf_dir):
             " * 1000000 div greatest(count(1), 1) AS BIGINT)"
         ).alias("doc_contamination_ppm"),
     )
+
+
+# -- corpus novelty curve ------------------------------------------------------
+
+_NOVELTY_BUCKETS = 10
+
+
+_NOVELTY_DUCK = f"""
+    WITH toks AS (SELECT doc_id, {_NORM_TOKS_SQL} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct({_grams_sql("t", 8)})) AS g
+      FROM toks
+    ),
+    fl AS (
+      SELECT doc_id,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY g)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM grams
+    ),
+    mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS m FROM toks),
+    b AS (
+      SELECT least(CAST(doc_id * {_NOVELTY_BUCKETS} // (m + 1) AS INT),
+                   {_NOVELTY_BUCKETS - 1}) AS bucket,
+             is_new
+      FROM fl CROSS JOIN mx
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(is_new) AS BIGINT) AS n_new_grams,
+           CAST(sum(is_new) * 1000000 // greatest(count(*), 1) AS BIGINT)
+               AS novelty_ppm
+    FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+@q("gram_novelty_curve", _NOVELTY_DUCK)
+def gram_novelty_curve(spark, sf_dir):
+    """Corpus novelty curve — the "is new data still adding anything"
+    audit (the marginal-utility companion to `chao1_vocab_richness`'s
+    asymptote and `vocab_growth_curve`'s trajectory): docs are ordered
+    by doc_id (= ingestion order in this corpus), each distinct 8-gram
+    is NEW only in the first document containing it, and the corpus is
+    cut into {b} ingestion-order buckets reporting the fraction of their
+    gram mass that is first-seen (exact ppm). A flattening curve means
+    additional crawl batches mostly repeat the corpus — the signal that
+    triggers source re-weighting.
+
+    Plan/scale: per-doc DISTINCT'd grams (the contamination_check wire
+    rule — bodies never shuffle); first-seen is ONE exchange keyed on
+    the gram (an unordered min window over duplicate-set-sized groups,
+    the exact_substring_dedup discipline); the bucket cut is a
+    broadcast 1-row max and the curve map-side combines to {b} rows."""
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(_NORM_TOKS_EXPR).alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_grams_expr("t", 8)))).alias("g"),
+    )
+    fl = grams.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") == F.min("doc_id").over(W.partitionBy("g")), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    mx = F.broadcast(toks.agg(F.max("doc_id").cast("bigint").alias("m")))
+    b = fl.crossJoin(mx).select(
+        F.least(
+            F.expr(f"CAST(doc_id * {_NOVELTY_BUCKETS} div (m + 1) AS INT)"),
+            F.lit(_NOVELTY_BUCKETS - 1),
+        ).alias("bucket"),
+        "is_new",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("is_new").cast("bigint").alias("n_new_grams"),
+        )
+        .select(
+            "bucket",
+            "n_grams",
+            "n_new_grams",
+            F.expr(
+                "CAST(n_new_grams * 1000000"
+                " div greatest(n_grams, 1) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+gram_novelty_curve.__doc__ = gram_novelty_curve.__doc__.format(
+    b=_NOVELTY_BUCKETS
+)
