@@ -114,6 +114,10 @@ from bridgedownstream_spark.queries import (
 #: centroid cosines; per-cell I(segment; event) in nats; HITS
 #: hubs/authorities over the directed customer→part graph — exact
 #: integer sum-normalized power iteration, 3x-unrolled oracle),
+#: gram_novelty_curve + classifier_auc + cumulative_gains (NEW r9 wave
+#: 5: first-seen 8-gram rate by ingestion decile; exact midrank AUC of
+#: the punct score vs the language-known label; 10-band cumulative
+#: gains/lift table),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +

@@ -938,3 +938,207 @@ def context_truncation_loss(spark, sf_dir):
         )
         .orderBy("budget")
     )
+
+
+# -- classifier discrimination: exact AUC + cumulative gains -------------------
+
+#: integer basis-point punctuation score — the "rater" under evaluation
+_PUNCT_BP_SQL = (
+    "CAST(10000 * length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))"
+    " // greatest(length(text), 1) AS BIGINT)"
+)
+
+
+@q(
+    "classifier_auc",
+    f"""
+    WITH f AS (
+      SELECT {_PUNCT_BP_SQL} AS s,
+             CASE WHEN {_LANG_KNOWN_SQL} THEN 0 ELSE 1 END AS y
+      FROM documents
+    ),
+    vc AS (
+      SELECT s, CAST(sum(y) AS BIGINT) AS cp,
+             CAST(sum(1 - y) AS BIGINT) AS cn
+      FROM f GROUP BY 1
+    ),
+    cum AS (
+      SELECT s, cp, cn,
+             COALESCE(sum(cp + cn) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+      FROM vc
+    ),
+    agg AS (
+      SELECT CAST(sum(cp) AS BIGINT) AS np,
+             CAST(sum(cn) AS BIGINT) AS nn,
+             CAST(sum(cp::HUGEINT * (2 * tb + cp + cn + 1)) AS HUGEINT)
+                 AS rs2
+      FROM cum
+    )
+    SELECT np AS n_positive, nn AS n_negative,
+           CAST((rs2 - np::HUGEINT * (np + 1)) * 1000000
+                // greatest(2::HUGEINT * np * nn, 1) AS BIGINT) AS auc_ppm
+    FROM agg
+    """,
+)
+def classifier_auc(spark, sf_dir):
+    """Exact AUC of the punctuation-ratio score as a detector of
+    language-UNKNOWN documents — the threshold-free discrimination
+    metric an eval harness reports next to `cohens_kappa`'s agreement
+    and `retrieval_eval_ndcg`'s ranking quality: AUC = P(score of a
+    random positive > random negative) + ties/2, computed via the
+    midrank rank-sum identity in exact integers (the `mann_whitney_u`
+    algebra — AUC ≡ U/(n⁺n⁻) — over the score domain), in ppm.
+
+    Plan/scale: the score is an integer BASIS-POINT projection, so the
+    distinct-score frame is GENUINELY bounded (≤10001 rows at any
+    corpus size — the gini/cusum bounded-domain argument, not the
+    ks/mwu corpus-proportional case); one map-side-combined (score,
+    pos, neg) aggregate, one bounded window, a 1-row HUGEINT reduction.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    def hits(lang: str):
+        arr = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    known = (hits("en") + hits("de") + hits("fr") + hits("es")) > 0
+    punct = F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
+    s = F.expr(
+        "CAST(10000 * length(regexp_replace(text, '[a-z0-9 ]', ''))"
+        " div greatest(length(text), 1) AS BIGINT)"
+    )
+    f = d.select(
+        s.alias("s"),
+        F.when(known, 0).otherwise(1).alias("y"),
+    )
+    vc = f.groupBy("s").agg(
+        F.sum("y").cast("bigint").alias("cp"),
+        F.sum(F.lit(1) - F.col("y")).cast("bigint").alias("cn"),
+    )
+    wv = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    cum = vc.select(
+        "s",
+        "cp",
+        "cn",
+        F.coalesce(F.sum(F.col("cp") + F.col("cn")).over(wv), F.lit(0)).alias(
+            "tb"
+        ),
+    )
+    agg = cum.agg(
+        F.sum("cp").cast("bigint").alias("np"),
+        F.sum("cn").cast("bigint").alias("nn"),
+        F.sum(
+            F.col("cp").cast("decimal(38,0)")
+            * (2 * F.col("tb") + F.col("cp") + F.col("cn") + 1)
+        ).alias("rs2"),
+    )
+    return agg.select(
+        F.col("np").alias("n_positive"),
+        F.col("nn").alias("n_negative"),
+        F.expr(
+            "CAST((rs2 - CAST(np AS DECIMAL(38,0)) * (np + 1)) * 1000000"
+            " div greatest(CAST(2 AS DECIMAL(38,0)) * np * nn, 1) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+@q(
+    "cumulative_gains",
+    f"""
+    WITH f AS (
+      SELECT least({_PUNCT_BP_SQL} // 1000, 9) AS bucket,
+             CASE WHEN {_LANG_KNOWN_SQL} THEN 0 ELSE 1 END AS y
+      FROM documents
+    ),
+    b AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM f GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+                   CAST(sum(n_pos) AS BIGINT) AS tp FROM b),
+    c AS (
+      SELECT bucket, n_docs, n_pos,
+             sum(n_docs) OVER (ORDER BY bucket DESC) AS cum_docs,
+             sum(n_pos) OVER (ORDER BY bucket DESC) AS cum_pos
+      FROM b
+    )
+    SELECT CAST(bucket AS INT) AS bucket, n_docs, n_pos,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST(cum_pos * 1000000 // greatest(tp, 1) AS BIGINT)
+               AS gain_ppm,
+           CAST(cum_docs * 1000000 // greatest(td, 1) AS BIGINT)
+               AS pop_share_ppm
+    FROM c CROSS JOIN tot ORDER BY bucket DESC
+    """,
+)
+def cumulative_gains(spark, sf_dir):
+    """Cumulative-gains table for the punctuation score as a
+    language-unknown detector — the "top X% of scores capture Y% of
+    positives" chart every targeting/triage pipeline publishes: docs
+    bucket into 10 equal-width score bands, scanned highest-score-first
+    with cumulative positive capture and population share in exact ppm
+    (gain_ppm ≫ pop_share_ppm = useful lift; equal = random).
+
+    Plan/scale: one row-local bucket/label projection, one map-side-
+    combined ≤10-row aggregate; the cumulative window rides the 10-row
+    bucket frame and totals broadcast. One corpus pass."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    def hits(lang: str):
+        arr = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    known = (hits("en") + hits("de") + hits("fr") + hits("es")) > 0
+    f = d.select(
+        F.least(
+            F.expr(
+                "CAST(10000 * length(regexp_replace(text, '[a-z0-9 ]', ''))"
+                " div greatest(length(text), 1) AS BIGINT)"
+            )
+            / 1000,
+            F.lit(9),
+        )
+        .cast("int")
+        .alias("bucket"),
+        F.when(known, 0).otherwise(1).alias("y"),
+    )
+    b = f.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    tot = F.broadcast(
+        b.agg(
+            F.sum("n_docs").cast("bigint").alias("td"),
+            F.sum("n_pos").cast("bigint").alias("tp"),
+        )
+    )
+    wd = W.orderBy(F.col("bucket").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    c = b.select(
+        "bucket",
+        "n_docs",
+        "n_pos",
+        F.sum("n_docs").over(wd).alias("cum_docs"),
+        F.sum("n_pos").over(wd).alias("cum_pos"),
+    )
+    return (
+        c.crossJoin(tot)
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_docs",
+            "n_pos",
+            F.col("cum_pos").cast("bigint").alias("cum_pos"),
+            F.expr(
+                "CAST(cum_pos * 1000000 div greatest(tp, 1) AS BIGINT)"
+            ).alias("gain_ppm"),
+            F.expr(
+                "CAST(cum_docs * 1000000 div greatest(td, 1) AS BIGINT)"
+            ).alias("pop_share_ppm"),
+        )
+        .orderBy(F.col("bucket").desc())
+    )
