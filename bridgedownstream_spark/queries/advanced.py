@@ -25,6 +25,7 @@ from bridgedownstream_spark.queries.util import (
     portable_hash60,
     tbl,
     ts_str,
+    wide,
 )
 
 #: Storage level for FACT-derived checkpointed state (graph edge lists):
@@ -1859,7 +1860,14 @@ def metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     float expression; sqrt is IEEE-correctly-rounded in both engines so
     identical exact inputs give identical rounded output.
     """
-    li = tbl(spark, sf_dir, "lineitem")
+    li = wide(
+        spark,
+        tbl(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        ),
+        sf_dir,
+        "lineitem",
+    )
     d24 = lambda c: F.col(c).cast("decimal(24,10)")  # noqa: E731
     s = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
@@ -2703,8 +2711,11 @@ def portable_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = tbl(spark, sf_dir, "documents")
+    # scan-width floor before the shingle explode + per-shingle md5
+    # (single-task on one-row-group local inputs; cluster no-op)
     h = (
-        docs.selectExpr("source", f"{_WORDS_SPARK} AS words")
+        wide(spark, docs.select("source", "text"), sf_dir, "documents")
+        .selectExpr("source", f"{_WORDS_SPARK} AS words")
         .selectExpr("source", f"explode({_SHINGLES_SPARK}) AS s")
         .select("source", portable_hash60(F.col("s")).alias("hv"))
         .distinct()
@@ -4544,8 +4555,11 @@ def kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = tbl(spark, sf_dir, "documents")
+    # scan-width floor before the shingle explode + per-shingle md5
+    # (single-task on one-row-group local inputs; cluster no-op)
     h = (
-        docs.selectExpr("source", f"{_WORDS_SPARK} AS words")
+        wide(spark, docs.select("source", "text"), sf_dir, "documents")
+        .selectExpr("source", f"{_WORDS_SPARK} AS words")
         .selectExpr("source", f"explode({_SHINGLES_SPARK}) AS s")
         .select("source", portable_hash60(F.col("s")).alias("hv"))
         .distinct()
@@ -5379,6 +5393,9 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = tbl(spark, sf_dir, "customer")
 
     def sketch(df: DataFrame, key: str) -> DataFrame:
+        # measured r9-opt: widening this side cost more than the xD md5
+        # saved (the exchange + extra codegen stage outweigh ~600k md5
+        # calls) — deliberately left narrow
         return (
             df.select(
                 F.explode(F.expr(f"sequence(0, {_CMS_JS_D - 1})")).alias("r"),

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bridgedownstream_spark.operators import relationalize
-from bridgedownstream_spark.queries.util import TS_STR, tbl, ts_str
+from bridgedownstream_spark.queries.util import TS_STR, tbl, ts_str, wide
 
 QUERIES: dict = {}
 
@@ -581,7 +581,14 @@ def cube_revenue(spark, sf_dir):
     # full CUBE over the pricing dimensions. DECIMAL sum: exact under any
     # partial-agg merge order.
     return (
-        tbl(spark, sf_dir, "lineitem")
+        wide(
+            spark,
+            tbl(spark, sf_dir, "lineitem").select(
+                "l_returnflag", "l_linestatus", "l_extendedprice"
+            ),
+            sf_dir,
+            "lineitem",
+        )
         .cube("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum(F.col("l_extendedprice").cast("decimal(24,10)")), 2)

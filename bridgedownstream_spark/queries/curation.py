@@ -16,7 +16,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from bridgedownstream_spark.queries.util import HASH60, portable_hash60, tbl
+from bridgedownstream_spark.queries.util import (
+    HASH60,
+    portable_hash60,
+    tbl,
+    wide,
+)
 
 QUERIES: dict = {}
 
@@ -605,12 +610,30 @@ def lm_perplexity(spark, sf_dir):
     engines at well under 1e-7 for these count ratios.
     """
     d = tbl(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.expr(_NORM_TOKS_EXPR).alias("t"))
+    # scan-width floor: toks feeds FOUR passes (c2, c1, V, scoring) and
+    # each re-runs the tokenize+explode over the scan — on a single-row-
+    # group input all four ran on one task (see util.wide; cluster no-op)
+    toks = wide(spark, d.select("doc_id", "text"), sf_dir, "documents").select(
+        "doc_id", F.expr(_NORM_TOKS_EXPR).alias("t")
+    )
     big = toks.select(
         "doc_id", F.explode(F.expr(_grams_expr("t", 2))).alias("g")
     ).withColumn("w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
-    c2 = big.groupBy("g").agg(F.count("*").alias("c2"))
-    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    # bigram model: vocabulary-sized, two consumers (the unigram marginal
+    # + the scoring join) — checkpoint so the corpus explode+aggregate
+    # runs once, and derive the unigram counts by REAGGREGATING it
+    # (count of bigrams starting with w ≡ Σ c2 over grams with that left
+    # word) instead of a second corpus pass
+    c2 = (
+        big.groupBy("g")
+        .agg(
+            F.count("*").alias("c2"),
+            F.any_value(F.col("w1")).alias("w1"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    c2 = c2.drop("w1")
     v = toks.select(F.explode("t").alias("w")).agg(
         F.countDistinct("w").alias("v")
     )
@@ -931,8 +954,10 @@ def _bpe_train(spark, sf_dir):
     loop state is vocab-sized; see bpe_vocab_induction for the scale
     argument."""
     docs = tbl(spark, sf_dir, "documents")
+    # scan-width floor before the word explode (util.wide — cluster no-op)
     words = (
-        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        wide(spark, docs.select("text"), sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("cnt"))
@@ -1174,9 +1199,11 @@ def dsir_select(spark, sf_dir):
 
     Spark shape (the 100 TB argument): featurization and scoring are
     ROW-LOCAL — each doc folds its own grams against the broadcast
-    64-element log-ratio array (built from two one-pass bucket counts
-    whose wire is (bucket, partial count) after map-side combine, then
-    collected into ONE row via array_sort(collect_list(struct))) — so
+    64-element log-ratio array (built from ONE one-pass bucket count
+    carrying raw+target partials — r9-opt merged the r8 form's three
+    separate corpus passes — whose wire is (bucket, partial counts)
+    after map-side combine, then collected into ONE row via
+    array_sort(collect_list(struct))) — so
     the corpus is scanned once with zero gram-string shuffles and zero
     doc-keyed exchanges; the only data-sized movement is the final
     TakeOrdered(K). The DuckDB oracle states the same spec relationally
@@ -1184,7 +1211,12 @@ def dsir_select(spark, sf_dir):
     decimal-exact answer. Log ratios round to 7 decimals into DECIMAL
     before any summation (the lm_perplexity ln-parity discipline)."""
     d = tbl(spark, sf_dir, "documents")
-    toks = d.select(
+    # scan-width floor BEFORE the tokenize/gram/md5 expressions so the
+    # per-gram work runs machine-wide (single-row-group local input
+    # serializes the scan; no-op on cluster-wide layouts — see util.wide)
+    toks = wide(
+        spark, d.select("doc_id", "lang", "text"), sf_dir, "documents"
+    ).select(
         "doc_id", "lang", F.expr(_NORM_TOKS_EXPR).alias("t")
     ).withColumn(
         "grams", F.expr(f"concat(t, {_grams_expr('t', 2)})")
@@ -1197,22 +1229,23 @@ def dsir_select(spark, sf_dir):
         "lang",
         F.explode("grams").alias("g"),
     ).select("doc_id", "lang", F.expr(bucket_of.format(g="g")).alias("b"))
-    raw_c = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    tgt_c = (
-        bucketed.where(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    # ONE corpus pass for the whole model: raw + target bucket counts as
+    # two aggregates of the same map-side-combined groupBy (the r8 form
+    # ran THREE separate corpus-sized explode+md5 passes — raw counts,
+    # target counts, totals; the totals now reduce the 64-row frame)
+    bc = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
     )
     grid = spark.range(_DSIR_B).select(F.col("id").cast("bigint").alias("b"))
     totals = F.broadcast(
-        bucketed.agg(
-            F.count(F.lit(1)).alias("nr"),
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+        bc.agg(
+            F.sum("rc").alias("nr"),
+            F.sum("tc").alias("nt"),
         )
     )
     ratio = (
-        grid.join(F.broadcast(raw_c), "b", "left")
-        .join(F.broadcast(tgt_c), "b", "left")
+        grid.join(F.broadcast(bc), "b", "left")
         .crossJoin(totals)
         .select(
             "b",
@@ -1543,12 +1576,16 @@ def char_entropy_quality(spark, sf_dir):
     expression over exact inputs, rounded at 4.
     """
     d = tbl(spark, sf_dir, "documents")
-    chars = d.select(
+    # scan-width floor before the per-character explode (util.wide);
+    # lower() hoisted out of the lambda so it runs once per doc, and the
+    # char at i comes from a pre-split array instead of substring(,i,1)
+    # — substring walks from the string head each call, making the old
+    # per-doc cost quadratic in doc length; the values are identical.
+    chars = wide(spark, d.select("doc_id", "text"), sf_dir, "documents").select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, length(lower(text))),"
-                " i -> substring(lower(text), i, 1))"
+                "filter(split(lower(text), ''), c -> c != '')"
             )
         ).alias("ch"),
     )
@@ -1627,7 +1664,10 @@ def collocation_pmi(spark, sf_dir):
     at 7 (the lm_perplexity ln-parity discipline).
     """
     d = tbl(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.expr(_NORM_TOKS_EXPR).alias("t"))
+    # scan-width floor before the tokenize+gram explode (util.wide)
+    toks = wide(spark, d.select("doc_id", "text"), sf_dir, "documents").select(
+        "doc_id", F.expr(_NORM_TOKS_EXPR).alias("t")
+    )
     big = toks.select(
         F.explode(F.expr(_grams_expr("t", 2))).alias("g")
     ).select(
@@ -1635,14 +1675,26 @@ def collocation_pmi(spark, sf_dir):
         F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
     )
-    cxy = big.groupBy("g").agg(
-        F.any_value("w1").alias("w1"),
-        F.any_value("w2").alias("w2"),
-        F.count(F.lit(1)).alias("pair_count"),
+    cxy = (
+        big.groupBy("g")
+        .agg(
+            F.any_value("w1").alias("w1"),
+            F.any_value("w2").alias("w2"),
+            F.count(F.lit(1)).alias("pair_count"),
+        )
+        # vocabulary-sized state with four consumers (cx, cy, n, the
+        # scored join): checkpoint so the corpus explode+aggregate runs
+        # once (the BPE/kmeans small-state discipline)
+        .localCheckpoint(eager=False)
     )
-    cx = big.groupBy("w1").agg(F.count(F.lit(1)).alias("left_count"))
-    cy = big.groupBy("w2").agg(F.count(F.lit(1)).alias("right_count"))
-    n = big.agg(F.count(F.lit(1)).alias("n"))
+    # marginal counts and the total REAGGREGATE the vocabulary-sized gram
+    # table instead of re-scanning the corpus: count of bigram instances
+    # with left word w ≡ Σ pair_count over grams with that left word (the
+    # r8 form ran the tokenize+explode pipeline four times — cxy, cx, cy,
+    # n — each a separate corpus pass; 4 corpus-sized passes → 1)
+    cx = cxy.groupBy("w1").agg(F.sum("pair_count").alias("left_count"))
+    cy = cxy.groupBy("w2").agg(F.sum("pair_count").alias("right_count"))
+    n = cxy.agg(F.sum("pair_count").alias("n"))
     pmi = F.round(
         F.log(
             F.col("n").cast("double")
@@ -2165,14 +2217,25 @@ def ipf_raking(spark, sf_dir):
                     " div s AS BIGINT)"
                 ).alias("f"),
             )
-            w = w.join(F.broadcast(f_), axis).select(
-                "lang",
-                "source",
-                "n",
-                F.expr(
-                    "CAST(CAST(w AS DECIMAL(38,0)) * f div 1000000000"
-                    " AS BIGINT)"
-                ).alias("w"),
+            w = (
+                w.join(F.broadcast(f_), axis)
+                .select(
+                    "lang",
+                    "source",
+                    "n",
+                    F.expr(
+                        "CAST(CAST(w AS DECIMAL(38,0)) * f div 1000000000"
+                        " AS BIGINT)"
+                    ).alias("w"),
+                )
+                # each step references w TWICE (marginal sum + factor
+                # join), so without truncation the logical plan doubles
+                # per half-round — 2^6 copies of the contingency
+                # aggregate by round 3, all planning cost. The state is
+                # |langs| x |sources| cells: checkpointing it per step
+                # is the BPE/kmeans small-state discipline (guide §3.3:
+                # materialize to truncate a growing plan).
+                .localCheckpoint(eager=False)
             )
     return w.select(
         "lang",

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from bridgedownstream_spark.queries.util import tbl
+from bridgedownstream_spark.queries.util import tbl, wide
 
 QUERIES: dict = {}
 
@@ -106,8 +106,18 @@ _SIG_CTE_DUCK = (
 
 
 def _shingled(spark, sf_dir):
-    """(doc_id, sh): word-3-gram shingles — cheap, no hashing."""
-    d = tbl(spark, sf_dir, "documents")
+    """(doc_id, sh): word-3-gram shingles — cheap, no hashing.
+
+    Scan-width floor before the split/shingle expressions (util.wide):
+    on single-row-group local inputs every downstream consumer — minhash
+    signatures, posting-list builds, verify re-shingles — otherwise runs
+    its whole map side on one task; cluster-wide layouts are untouched."""
+    d = wide(
+        spark,
+        tbl(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+        "documents",
+    )
     return (
         d.withColumn("words", F.expr(_WORDS_SPARK))
         .withColumn("sh", F.expr(_SHINGLES_SPARK))
@@ -122,6 +132,9 @@ def _shingled_for(spark, sf_dir, doc_ids):
     d = tbl(spark, sf_dir, "documents").join(
         F.broadcast(doc_ids.select("doc_id")), "doc_id", "semi"
     )
+    # the semi filter is row-local on the scan; widen the survivors
+    # before the shingle expressions (util.wide — cluster no-op)
+    d = wide(spark, d.select("doc_id", "text"), sf_dir, "documents")
     return (
         d.withColumn("words", F.expr(_WORDS_SPARK))
         .withColumn("sh", F.expr(_SHINGLES_SPARK))
@@ -522,7 +535,11 @@ _DOT_DUCK = "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] *
 
 
 def _emb_norms(spark, sf_dir):
-    e = tbl(spark, sf_dir, "embeddings").withColumn(
+    # scan-width floor before the per-vector transform/norm fold and the
+    # dot-product consumers downstream (util.wide — cluster no-op)
+    e = wide(
+        spark, tbl(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
+    ).withColumn(
         "emb", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     )
     return e.withColumn(
@@ -2791,6 +2808,9 @@ def _signatures_sampled(spark, sf_dir):
         )
         .drop("c")
     )
+    # the ppb gate is a cheap row-local filter on the (single-task) scan;
+    # widen the surviving sample before the shingle/minhash expressions
+    gated = wide(spark, gated.select("doc_id", "text"), sf_dir, "documents")
     return (
         gated.withColumn("words", F.expr(_WORDS_SPARK))
         .withColumn("sh", F.expr(_SHINGLES_SPARK))
@@ -2818,12 +2838,14 @@ def lsh_band_sweep(spark, sf_dir):
     agreeing on each of its sub-bands), so 8x1 is the family's recall
     ceiling.
 
-    Plan shape: signatures compute once; each config is a band-hash
-    self-join (collision-bounded, never all-pairs) feeding a distinct
-    pair set; truth verifies exact Jaccard over the 8x1 superset's
-    candidates only (re-shingling candidate docs, the
-    near_dup_lsh_pairs discipline); per-config stats are LeftSemi
-    counts. At 100 TB the sweep runs on a corpus SAMPLE — the
+    Plan shape (r9-opt): signatures compute once into ONE stacked frame
+    holding every config's band hashes under globally distinct band ids,
+    so a SINGLE collision-bounded self-join prices all three configs
+    together (the r8 form ran one corpus-rescanning self-join per
+    config — 3 corpus passes → 1); truth verifies exact Jaccard over the
+    8x1 superset's candidates only (re-shingling candidate docs, the
+    near_dup_lsh_pairs discipline); per-config stats slice the shared
+    candidate frame. At 100 TB the sweep runs on a corpus SAMPLE — the
     executable sampled branch is `lsh_band_sweep_sampled` (fixed-size
     ppb-gated sample, work ~constant in corpus size); THIS full-corpus
     form is the calibration-tool branch, where the 1-row-band config's
@@ -2860,35 +2882,48 @@ def _band_sweep_impl(spark, sf_dir, sampled: bool):
         _signatures_sampled(spark, sf_dir) if sampled else _signatures(spark, sf_dir)
     ).drop("sh")
 
-    def cand_for(nb: int, r: int):
-        bands = sig.selectExpr(
-            "doc_id",
-            "stack("
-            + str(nb)
-            + ", "
-            + ", ".join(f"{b}, {_cfg_band_spark(b, r)}" for b in range(nb))
-            + ") AS (band, bh)",
+    # ONE stacked frame holding EVERY config's band hashes (2+4+8 rows per
+    # doc, globally distinct band ids), so ONE collision self-join prices
+    # all three configs together — the r8 form ran a separate self-join
+    # per config, and each re-ran the signature pipeline over the corpus
+    # (3 corpus-sized Exchanges → 1). Collision semantics are untouched:
+    # a pair collides for config c iff it agrees on one of c's bands, and
+    # bands of different configs can never meet across the join because
+    # their global ids differ.
+    gid_rows, bounds, gid = [], [], 0
+    for nb, r in _SWEEP_CFGS:
+        for b in range(nb):
+            gid_rows.append(f"{gid}, {_cfg_band_spark(b, r)}")
+            gid += 1
+        bounds.append((gid, nb))
+    bands = sig.selectExpr(
+        "doc_id",
+        f"stack({gid}, " + ", ".join(gid_rows) + ") AS (band, bh)",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cfg_expr = "CASE"
+    for hi, nb in bounds:
+        cfg_expr += f" WHEN band < {hi} THEN {nb}"
+    cfg_expr += " END"
+    allc = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        a, b = bands.alias("a"), bands.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bh") == F.col("b.bh"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
+        .select(
+            F.col("a.band").alias("band"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
-
-    cands = {nb: cand_for(nb, r) for nb, r in _SWEEP_CFGS}
-    # stamped per-corpus cache for the superset + truth frames (each is
-    # consumed by several config branches; a bare per-invocation persist
-    # would leak one block set per call — the r3 lesson); sampled and
-    # full branches cache separately
+        .select(F.expr(cfg_expr).cast("int").alias("cfg"), "doc_a", "doc_b")
+        .distinct()
+    )
+    # stamped per-corpus cache for the all-config candidate + truth frames
+    # (each is consumed by several config branches; a bare per-invocation
+    # persist would leak one block set per call — the r3 lesson); sampled
+    # and full branches cache separately
     key = _corpus_stamp(sf_dir) + ("|sweep_sampled" if sampled else "")
     if key not in _SWEEP_CACHE:
         from pyspark.storagelevel import StorageLevel
@@ -2896,7 +2931,8 @@ def _band_sweep_impl(spark, sf_dir, sampled: bool):
         for stale in [k for k in _SWEEP_CACHE if k.startswith(f"{sf_dir}|")]:
             for frame in _SWEEP_CACHE.pop(stale):
                 frame.unpersist()
-        sup = cands[8].persist(StorageLevel.MEMORY_AND_DISK)
+        allc = allc.persist(StorageLevel.MEMORY_AND_DISK)
+        sup = allc.where(F.col("cfg") == 8).select("doc_a", "doc_b")
         ids = (
             sup.select(F.col("doc_a").alias("doc_id"))
             .union(sup.select(F.col("doc_b").alias("doc_id")))
@@ -2924,13 +2960,12 @@ def _band_sweep_impl(spark, sf_dir, sampled: bool):
             .select("doc_a", "doc_b")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        _SWEEP_CACHE[key] = (sup, truth)
-    sup, truth = _SWEEP_CACHE[key]
-    cands[8] = sup
+        _SWEEP_CACHE[key] = (allc, truth)
+    allc, truth = _SWEEP_CACHE[key]
     t_n = truth.groupBy().agg(F.count(F.lit(1)).alias("tn"))
     rows = None
     for nb, r in _SWEEP_CFGS:
-        c = cands[nb]
+        c = allc.where(F.col("cfg") == nb).select("doc_a", "doc_b")
         stats = c.join(
             truth.withColumn("hit", F.lit(1)),
             ["doc_a", "doc_b"],

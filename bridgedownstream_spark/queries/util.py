@@ -79,6 +79,75 @@ def ts_str(col: str | Column) -> Column:
 TS_STR = "strftime({col}, '%Y-%m-%d %H:%M:%S.%f')"
 
 
+#: (file path, size, mtime) → parquet row-group count; footer-only reads,
+#: driver-side planning metadata (never row data), so caching it is the
+#: same class of state as Spark's own file-index cache.
+_SCAN_UNITS: dict[tuple, int] = {}
+
+
+def _scan_units(path: str) -> int:
+    """Independently readable units (row groups summed across files) under
+    ``path`` — the map-side parallelism ceiling of a parquet scan. Returns
+    a large number on any error so callers treat unknown layouts as
+    already-wide (no plan change)."""
+    import os
+
+    try:
+        files = []
+        if os.path.isdir(path):
+            for root, _dirs, names in os.walk(path):
+                files += [
+                    os.path.join(root, n)
+                    for n in names
+                    if n.endswith(".parquet") and not n.startswith((".", "_"))
+                ]
+        else:
+            files = [path]
+        total = 0
+        for f in files:
+            st = os.stat(f)
+            key = (f, st.st_size, int(st.st_mtime))
+            if key not in _SCAN_UNITS:
+                import pyarrow.parquet as pq
+
+                _SCAN_UNITS[key] = pq.ParquetFile(f).metadata.num_row_groups
+            total += _SCAN_UNITS[key]
+        return total
+    except Exception:  # noqa: BLE001 — unknown layout: assume wide
+        return 1 << 30
+
+
+def wide(
+    spark: SparkSession, df: DataFrame, sf_dir: str, *tables: str
+) -> DataFrame:
+    """Floor a scan's map-side parallelism at the session default.
+
+    A parquet scan cannot run wider than its row-group count (each row
+    group is read whole by the split holding its midpoint), and local
+    test corpora ship ONE row group per table — so without this, every
+    row-local-heavy stage (per-gram md5, per-char explode, decimal
+    folds) runs on a single task regardless of core count. When the
+    combined input layout of ``tables`` is narrower than the session's
+    ``defaultParallelism``, insert one deterministic round-robin
+    repartition (sort-before-repartition is on, so retried tasks
+    reproduce the same placement — guide §2.5) carrying only the columns
+    already projected. At cluster scale the same input has thousands of
+    row groups, the condition is false, and the plan is UNCHANGED — this
+    is a scan-width floor derived from input metadata (the
+    ``spark.sql.files.minPartitionNum`` idea, applied where extra byte
+    splits cannot help), not a local[32] tuning constant.
+    """
+    import os
+
+    par = spark.sparkContext.defaultParallelism
+    units = sum(
+        _scan_units(os.path.join(sf_dir, f"{t}.parquet")) for t in tables
+    )
+    if units >= par:
+        return df
+    return df.repartition(par)
+
+
 def portable_hash60(col: Column) -> Column:
     """Deterministic 60-bit hash computable identically in Spark and DuckDB.
 
