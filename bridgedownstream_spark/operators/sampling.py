@@ -111,6 +111,7 @@ def rebalance_domains(
     domain_col: str,
     key_col: str,
     target_bp: dict[str, int] | None = None,
+    rates: DataFrame | None = None,
 ) -> DataFrame:
     """Rows of ``df`` surviving the rebalance: each row kept iff
     ``hash60(key) % 10^9 < rate_ppb(domain)``. Deterministic in the row
@@ -122,8 +123,15 @@ def rebalance_domains(
     silently dropping data: a targeted domain with no rows raises, and a
     domain whose computed rate truncates to 0 warns (the caller would
     otherwise see it vanish from the output).
+
+    ``rates`` lets a caller that already materialized the rate table
+    (e.g. to report it alongside the survivors) share ONE counting scan
+    instead of recomputing it here; it must be the
+    ``domain_rates(df, domain_col, target_bp)`` frame, ideally
+    checkpointed.
     """
-    rates = domain_rates(df, domain_col, target_bp)
+    if rates is None:
+        rates = domain_rates(df, domain_col, target_bp)
     # bounded collect: one row per domain (see docstring)
     rate_rows = rates.collect()
     if target_bp is not None:

@@ -14,7 +14,13 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-__all__ = ["path_exists", "list_dirs", "delete_path", "has_data_files"]
+__all__ = [
+    "path_exists",
+    "list_dirs",
+    "list_data_files",
+    "delete_path",
+    "has_data_files",
+]
 
 
 def _fs_and_path(spark: SparkSession, path: str):
@@ -37,6 +43,31 @@ def list_dirs(spark: SparkSession, path: str) -> list[str]:
     return sorted(
         s.getPath().getName() for s in fs.listStatus(p) if s.isDirectory()
     )
+
+
+def list_data_files(spark: SparkSession, path: str) -> list[str]:
+    """Fully-qualified URIs of every VISIBLE file under ``path``,
+    recursively, applying Spark's hidden-path rule (any component starting
+    with ``_`` or ``.`` hides its whole subtree) — i.e. exactly the files a
+    ``spark.read`` over the directory would scan. File-count-scale driver
+    metadata, one FS traversal: this is what lets the ledger prune work at
+    the LISTING instead of anti-joining parsed rows (a no-op incremental
+    run then touches zero data bytes, like a Glue bookmark)."""
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return []
+    out: list[str] = []
+    stack = [p]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue  # hidden file OR hidden subtree
+            if st.isDirectory():
+                stack.append(st.getPath())
+            else:
+                out.append(st.getPath().toString())
+    return sorted(out)
 
 
 def delete_path(spark: SparkSession, path: str) -> bool:

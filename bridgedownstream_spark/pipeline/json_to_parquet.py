@@ -120,6 +120,7 @@ def read_json_dataset(
     dataset: Dataset,
     conform: bool = True,
     keep_corrupt: bool = False,
+    paths: list[str] | None = None,
 ) -> DataFrame:
     """Read one partitioned JSON dataset with its declared schema.
 
@@ -141,8 +142,13 @@ def read_json_dataset(
     corrupt line silently becomes an all-NULL row, indistinguishable from
     a legitimately empty record. Stage-1 validation normally guarantees
     none exist; the stage-2 quarantine split (``run_json_to_parquet``)
-    still checks, because lakes are written by more than one producer."""
+    still checks, because lakes are written by more than one producer.
+
+    ``paths`` restricts the scan to an explicit file list (the ledger's
+    file-level pruning); ``basePath`` stays the dataset root so partition
+    columns still resolve from the directory layout."""
     path = os.path.join(json_root, f"dataset={dataset.name}")
+    source = paths if paths is not None else path
     corrupt = (
         [T.StructField(CORRUPT_COL, T.StringType())] if keep_corrupt else []
     )
@@ -156,7 +162,7 @@ def read_json_dataset(
             # partition columns stay declared (they come from the layout)
             + list(dataset.partition_schema().fields)
         )
-        df = spark.read.schema(widened).option("basePath", path).json(path)
+        df = spark.read.schema(widened).option("basePath", path).json(source)
         out_schema = dataset.full_schema()
         if keep_corrupt:
             out_schema = T.StructType(
@@ -164,7 +170,7 @@ def read_json_dataset(
             )
         return conform_to_schema(df, out_schema)
     schema = T.StructType(list(dataset.full_schema().fields) + corrupt)
-    return spark.read.schema(schema).option("basePath", path).json(path)
+    return spark.read.schema(schema).option("basePath", path).json(source)
 
 
 def write_parquet_dataset(
@@ -228,17 +234,54 @@ def run_json_to_parquet(
     """
     from pyspark.storagelevel import StorageLevel
 
+    from bridgedownstream_spark.pipeline.fsutil import (
+        list_data_files,
+        path_exists,
+    )
+
     ds = registry[dataset_name]
     keep_corrupt = corrupt_root is not None and source_df is None
+    new_paths: list[str] | None = None
+    file_pruned = False
     if source_df is not None:
         df = source_df
     else:
-        df = read_json_dataset(spark, json_root, ds, keep_corrupt=keep_corrupt)
+        paths = None
+        if ledger is not None:
+            # File-level bookmark pruning (the Glue-bookmark shape): diff
+            # the dataset LISTING against the ledger driver-side and read
+            # ONLY unprocessed files. File-count-scale metadata — a no-op
+            # re-run touches zero data bytes, and an incremental run scans
+            # delta files instead of scan-everything-then-anti-join. (An
+            # all-empty batch is not committed — the isEmpty probe below
+            # returns before the sinks; an empty file in a mixed batch IS
+            # committed, which the row-level anti-join never did — strictly
+            # more bookmark-like: it contributes no rows and needs no
+            # rescan.)
+            dataset_dir = os.path.join(json_root, f"dataset={ds.name}")
+            if path_exists(spark, dataset_dir):
+                done = {
+                    r["file_path"]
+                    for r in ledger.processed_files(dataset_name).collect()
+                }
+                new_paths = [
+                    p
+                    for p in list_data_files(spark, dataset_dir)
+                    if p not in done
+                ]
+                if not new_paths:
+                    return {}
+                paths = new_paths
+                file_pruned = True
+        df = read_json_dataset(
+            spark, json_root, ds, keep_corrupt=keep_corrupt, paths=paths
+        )
 
-    new_paths: list[str] | None = None
-    if ledger is not None:
-        # the ledger filter runs BEFORE the corrupt split so quarantine
-        # rows are incremental too: filtering after would re-append every
+    if ledger is not None and not file_pruned:
+        # caller-supplied frames carry no file listing to prune against —
+        # fall back to the row-level anti-join on input_file_name(). The
+        # ledger filter runs BEFORE the corrupt split so quarantine rows
+        # are incremental too: filtering after would re-append every
         # already-ledgered file's corrupt rows on each run
         df = df.withColumn("_source_file", F.input_file_name())
         df = ledger.filter_new(df, dataset_name)
@@ -258,7 +301,7 @@ def run_json_to_parquet(
         df.persist(StorageLevel.MEMORY_AND_DISK) if own_frame else df
     )
     try:
-        if ledger is not None:
+        if ledger is not None and not file_pruned:
             # file-count-scale collect: the paths to commit after the
             # writes. This job also fills the cache, and its result decides
             # emptiness for free (every row carries a source file) — no

@@ -293,9 +293,15 @@ def duplicate_spans(spark, sf_dir):
     explode zero rows)."""
     from pyspark.sql import Window as W
 
-    d = tbl(spark, sf_dir, "documents").withColumn(
-        "t", F.expr(_NORM_TOKS_EXPR)
-    )
+    # widen BEFORE the tokenize: the gram explode + per-gram md5 is the
+    # dominant map stage and otherwise runs at the scan's row-group width
+    # (1 task locally); no-op at cluster layouts
+    d = wide(
+        spark,
+        tbl(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+        "documents",
+    ).withColumn("t", F.expr(_NORM_TOKS_EXPR))
     h = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(_grams_expr("t", 8)))).alias("g"),
@@ -343,27 +349,28 @@ def rebalance_domains(spark, sf_dir):
     doc_id (ppb, not bp: a bp gate zeroes any domain >10^4× the minority).
     The audited output is the per-domain plan + achieved counts;
     the oracle recomputes rates AND membership, so a pass certifies both
-    the rate derivation and the exact surviving-row set. At 100 TB: one
-    (domain, count) shuffle for the rates, then a broadcast-joined
-    projection-stage filter — bodies never shuffle."""
+    the rate derivation and the exact surviving-row set. At 100 TB: ONE
+    (domain, count) shuffle learns the rates (checkpointed — the
+    domain-sized table feeds the operator's gate, its validation
+    collect, AND the report join without recounting the corpus), then a
+    broadcast-joined projection-stage filter — bodies never shuffle."""
     from bridgedownstream_spark.operators.sampling import (
         domain_rates,
         rebalance_domains as _rebalance,
     )
 
     d = tbl(spark, sf_dir, "documents")
-    kept = _rebalance(d, "source", "doc_id").groupBy("source").agg(
-        F.count("*").alias("n_kept")
+    rates = domain_rates(d, "source").localCheckpoint(eager=False)
+    kept = (
+        _rebalance(d, "source", "doc_id", rates=rates)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
     )
-    return (
-        domain_rates(d, "source")
-        .join(kept, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            "rate_ppb",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "rate_ppb",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
     )
 
 
@@ -2836,8 +2843,12 @@ def split_contamination(spark, sf_dir):
     from bridgedownstream_spark.operators.sampling import split_assign
 
     d = tbl(spark, sf_dir, "documents")
+    # widen BEFORE the tokenize (scan-width floor; no-op at cluster scale)
     toks = split_assign(
-        d.select("doc_id", F.expr(_NORM_TOKS_EXPR).alias("t")), "doc_id"
+        wide(spark, d.select("doc_id", "text"), sf_dir, "documents").select(
+            "doc_id", F.expr(_NORM_TOKS_EXPR).alias("t")
+        ),
+        "doc_id",
     )
     grams = toks.select(
         "doc_id",
@@ -2927,7 +2938,12 @@ def gram_novelty_curve(spark, sf_dir):
     from pyspark.sql import Window as W
 
     d = tbl(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.expr(_NORM_TOKS_EXPR).alias("t"))
+    # widen BEFORE the tokenize/explode: the 8-gram build is the query's
+    # only heavy map stage and otherwise runs at the scan's row-group
+    # width (1 task on the local corpus); no-op at cluster layouts
+    toks = wide(spark, d.select("doc_id", "text"), sf_dir, "documents").select(
+        "doc_id", F.expr(_NORM_TOKS_EXPR).alias("t")
+    )
     grams = toks.select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(_grams_expr("t", 8)))).alias("g"),
@@ -2940,7 +2956,9 @@ def gram_novelty_curve(spark, sf_dir):
         .otherwise(0)
         .alias("is_new"),
     )
-    mx = F.broadcast(toks.agg(F.max("doc_id").cast("bigint").alias("m")))
+    # max over the NARROW scan, not the widened token frame — pruning
+    # keeps this side one footer-cheap column read with no exchange
+    mx = F.broadcast(d.agg(F.max("doc_id").cast("bigint").alias("m")))
     b = fl.crossJoin(mx).select(
         F.least(
             F.expr(f"CAST(doc_id * {_NOVELTY_BUCKETS} div (m + 1) AS INT)"),

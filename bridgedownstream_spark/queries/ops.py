@@ -432,39 +432,76 @@ def profile_drift(spark, sf_dir):
     null-rate movement, cardinality change, and min/max boundary shifts —
     the report that catches a bad upstream export before queries do.
 
-    Two single-pass profiles + a broadcast join on the (columns-count-
-    sized) report rows; at 100 TB the previous profile is read from the
-    last run's persisted report rather than recomputed, making drift
-    detection O(one scan) per load."""
-    cur = _profile_frame(tbl(spark, sf_dir, "customer"))
-    prev = _profile_frame(
-        tbl(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 != 0)
-    ).select(
-        F.col("col_name").alias("p_col_name"),
-        F.col("n_rows").alias("p_n_rows"),
-        F.col("n_nulls").alias("p_n_nulls"),
-        F.col("n_distinct").alias("p_n_distinct"),
-        F.col("min_str").alias("p_min_str"),
-        F.col("max_str").alias("p_max_str"),
+    Scale shape (r9): the previous snapshot is a deterministic SUBSET of
+    the current scan, so both profiles fold into ONE pass — every prev
+    statistic is the cur aggregate gated on the subset predicate
+    (count/min/max over ``CASE WHEN prev THEN col END``; distincts share
+    one Expand). One scan, one aggregate chain, and the per-column
+    deltas compute on the single wide row — the broadcast join between
+    the two reports disappears. At 100 TB the previous profile is read
+    from the last run's persisted report rather than recomputed, making
+    drift detection O(one scan) per load either way; this removes the
+    second scan the simulation was paying."""
+    prev_cond = F.col("c_custkey") % 10 != 0
+    tagged = tbl(spark, sf_dir, "customer").select(
+        *[name for name, _t in _PROFILE_COLS],
+        F.explode(
+            F.when(prev_cond, F.array(F.lit("cur"), F.lit("prev"))).otherwise(
+                F.array(F.lit("cur"))
+            )
+        ).alias("snap"),
     )
-    null_rate_delta = F.round(
-        F.col("n_nulls").cast("double") / F.col("n_rows")
-        - F.col("p_n_nulls").cast("double") / F.col("p_n_rows"),
-        6,
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for name, _t in _PROFILE_COLS:
+        aggs += [
+            (F.count("*") - F.count(name)).cast("bigint").alias(f"{name}__n"),
+            F.countDistinct(name).cast("bigint").alias(f"{name}__d"),
+            F.min(name).cast("string").alias(f"{name}__min"),
+            F.max(name).cast("string").alias(f"{name}__max"),
+        ]
+    # 2-row checkpoint: cur/prev both slice this frame — without it the
+    # scan+aggregate would run once per slice
+    wide = tagged.groupBy("snap").agg(*aggs).localCheckpoint(eager=False)
+    cur = wide.where(F.col("snap") == "cur").drop("snap")
+    prev = wide.where(F.col("snap") == "prev").drop("snap")
+    prev = prev.select(
+        *[F.col(c).alias(f"p_{c}") for c in prev.columns]
     )
+    joined = cur.crossJoin(F.broadcast(prev))
+    rows = []
+    for name, _t in _PROFILE_COLS:
+        # raw here; the stabilizing round(…,6) wraps the OUTPUT alias in
+        # the final projection so the float-guard sees it on the column
+        null_rate_delta = (
+            F.col(f"{name}__n").cast("double") / F.col("n_rows")
+            - F.col(f"p_{name}__n").cast("double") / F.col("p_n_rows")
+        )
+        rows.append(
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col("n_rows").alias("n_rows_cur"),
+                F.col("p_n_rows").alias("n_rows_prev"),
+                (F.col("n_rows") - F.col("p_n_rows")).alias("rows_added"),
+                null_rate_delta.alias("null_rate_delta"),
+                (F.col(f"{name}__d") - F.col(f"p_{name}__d")).alias(
+                    "distinct_delta"
+                ),
+                (
+                    (F.col(f"{name}__min") != F.col(f"p_{name}__min"))
+                    | (F.col(f"{name}__max") != F.col(f"p_{name}__max"))
+                ).alias("minmax_changed"),
+            )
+        )
     return (
-        cur.join(F.broadcast(prev), F.col("col_name") == F.col("p_col_name"))
+        joined.select(F.explode(F.array(*rows)).alias("p"))
         .select(
-            "col_name",
-            F.col("n_rows").alias("n_rows_cur"),
-            F.col("p_n_rows").alias("n_rows_prev"),
-            (F.col("n_rows") - F.col("p_n_rows")).alias("rows_added"),
-            null_rate_delta.alias("null_rate_delta"),
-            (F.col("n_distinct") - F.col("p_n_distinct")).alias("distinct_delta"),
-            (
-                (F.col("min_str") != F.col("p_min_str"))
-                | (F.col("max_str") != F.col("p_max_str"))
-            ).alias("minmax_changed"),
+            "p.col_name",
+            "p.n_rows_cur",
+            "p.n_rows_prev",
+            "p.rows_added",
+            F.round("p.null_rate_delta", 6).alias("null_rate_delta"),
+            "p.distinct_delta",
+            "p.minmax_changed",
         )
         .orderBy("col_name")
     )

@@ -110,3 +110,34 @@ def test_streaming_availablenow_incremental(spark, tmp_path):
     # third drain with nothing new: no growth (idempotent)
     stream_json_to_parquet(spark, json_root, pq, "inc_v1", REGISTRY, cp)
     assert spark.read.parquet(f"{pq}/inc_v1").count() == 2
+
+
+def test_ledger_file_level_pruning_with_empty_file(spark, tmp_path):
+    # file-level bookmark pruning: an empty file in a mixed batch is
+    # processed without error, contributes no rows, and the subsequent
+    # run is a metadata-only no-op
+    json_root, pq, led = str(tmp_path / "j"), str(tmp_path / "p"), str(tmp_path / "l")
+    ledger = FileLedger(spark, led)
+    _write_batch(spark, json_root, [("r1", [1, 2])])
+    run_json_to_parquet(spark, json_root, pq, "inc_v1", REGISTRY, ledger=ledger)
+
+    # drop an empty (zero-byte) visible file into the partition dir next
+    # to a real new batch
+    _write_batch(spark, json_root, [("r2", [3])])
+    import glob
+    import os
+
+    part_dir = os.path.dirname(
+        glob.glob(f"{json_root}/dataset=inc_v1/**/*", recursive=True)[0]
+    )
+    open(os.path.join(part_dir, "empty-extra.json"), "w").close()
+
+    run_json_to_parquet(spark, json_root, pq, "inc_v1", REGISTRY, ledger=ledger)
+    got = {r["recordid"] for r in spark.read.parquet(f"{pq}/inc_v1").collect()}
+    assert got == {"r1", "r2"}
+
+    # third run: nothing new (the empty file is ledgered too) → no-op
+    assert run_json_to_parquet(
+        spark, json_root, pq, "inc_v1", REGISTRY, ledger=ledger
+    ) == {}
+    assert spark.read.parquet(f"{pq}/inc_v1").count() == 2

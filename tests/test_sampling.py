@@ -168,3 +168,16 @@ def test_split_assign_deterministic_and_bounded(spark):
         split_assign(docs, "doc_id", train_ppb=900_000_000, val_ppb=-100_000_000)
     with _pytest.raises(ValueError):
         split_assign(docs, "doc_id", train_ppb=0, val_ppb=100)
+
+
+def test_precomputed_rates_reuse_identical(spark):
+    # the rates-reuse hook (one counting scan shared between the gate and
+    # the caller's report) must keep the surviving-row set identical to
+    # the operator recomputing rates itself
+    d = _corpus(spark)
+    rates = domain_rates(d, "source").localCheckpoint(eager=False)
+    via_hook = rebalance_domains(d, "source", "doc_id", rates=rates)
+    default = rebalance_domains(d, "source", "doc_id")
+    assert {r["doc_id"] for r in via_hook.collect()} == {
+        r["doc_id"] for r in default.collect()
+    }
