@@ -1522,16 +1522,6 @@ def fuzzy_match_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
     )
 
-    def blocked(key_expr_d: str, key_expr_p: str) -> DataFrame:
-        d = dirty.withColumn("blk", F.expr(key_expr_d))
-        pp = p.withColumn("blk", F.expr(key_expr_p))
-        return d.join(pp, ["p_brand", "p_type", "p_size", "blk"]).select(
-            "d_key",
-            "d_name",
-            F.col("p_partkey").alias("m_key"),
-            F.col("p_name").alias("m_name"),
-        )
-
     # No distinct between the passes: a pair both blocks emit appears
     # twice, but duplicates of an identical (d_key, m_key, lev) row can
     # never displace the rn=1 winner under the deterministic (lev, m_key)
@@ -1539,10 +1529,44 @@ def fuzzy_match_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's UNION dedups and provably agrees. Dropping it removes a
     # full shuffle of candidate-pair name strings (the widest rows in the
     # query); the only remaining exchange is the d_key window.
+    #
+    # r9: both passes STACK into one join (the lsh_band_sweep trick) —
+    # each side explodes its (pass, block-key) pairs and joins once on
+    # (attrs, pass, blk). A pair matching under pass k still meets
+    # exactly once per matching pass, so the candidate multiset is
+    # unchanged, while the catalog is scanned once per side instead of
+    # once per side per pass (4 scans → 2) and the two joins become one.
+    def keyed(df: DataFrame, name_col: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("pass"),
+                        F.expr(f"substring({name_col}, 1, 4)").alias("blk"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("pass"),
+                        F.expr(f"substring({name_col}, -4, 4)").alias("blk"),
+                    ),
+                )
+            ).alias("pb"),
+        ).select(df.columns + ["pb.pass", "pb.blk"])
+
     cand = (
-        blocked("substring(d_name, 1, 4)", "substring(p_name, 1, 4)")
-        .unionByName(
-            blocked("substring(d_name, -4, 4)", "substring(p_name, -4, 4)")
+        keyed(dirty, "d_name")
+        .join(
+            keyed(p, "p_name").select(
+                "p_brand", "p_type", "p_size", "pass", "blk",
+                "p_partkey", "p_name",
+            ),
+            ["p_brand", "p_type", "p_size", "pass", "blk"],
+        )
+        .select(
+            "d_key",
+            "d_name",
+            F.col("p_partkey").alias("m_key"),
+            F.col("p_name").alias("m_name"),
         )
         .withColumn("lev", F.levenshtein("d_name", "m_name"))
         .where(F.col("lev") <= 2)
@@ -1603,13 +1627,22 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses the %11 keys "added later", new misses the %7 keys "deleted",
     and every 5th value drifted).
 
-    Scale shape: rows reduce to (key, 32-byte digest) BEFORE the full
-    outer join, so the only wide shuffle carries digests, not bodies —
-    the count-reconciliation pattern upgraded to row granularity. The
-    digest renders floats through a fixed-scale DECIMAL so both engines
-    hash identical bytes.
+    Scale shape (r9): both simulated snapshots derive row-for-row from
+    the SAME table on a unique key, so the full-outer join the oracle
+    writes is pure common-subexpression: each event_id meets only its
+    own row on the other side. The plan therefore classifies every row
+    LOCALLY (membership from the key residues, change from comparing the
+    two digests computed side by side) and the only shuffle left is the
+    |event_type|x|status| aggregate — one scan, zero joins, nothing
+    corpus-sized on the wire. When the snapshots really are two separate
+    tables this collapse is unavailable and the digest-join belongs to
+    `merkle_snapshot_diff`, the hierarchical scale path. The digest
+    renders floats through a fixed-scale DECIMAL so both engines hash
+    identical bytes.
     """
     e = tbl(spark, sf_dir, "events")
+    in_old = F.col("event_id") % 11 != 0
+    in_new = F.col("event_id") % 7 != 0
     dig_old = F.md5(
         F.concat_ws(
             "|",
@@ -1617,10 +1650,6 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.expr(_VAL_DIG_SPARK),
         )
-    )
-    old = (
-        e.where(F.col("event_id") % 11 != 0)
-        .select("event_id", "event_type", dig_old.alias("dig"))
     )
     mutated = F.when(F.col("event_id") % 5 == 0, F.col("value") + 1).otherwise(
         F.col("value")
@@ -1633,22 +1662,17 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(mutated, 2).cast("decimal(18,2)").cast("string"),
         )
     )
-    new = (
-        e.where(F.col("event_id") % 7 != 0)
-        .select("event_id", "event_type", dig_new.alias("dig"))
-    )
-    o, n = old.alias("o"), new.alias("n")
-    j = o.join(n, F.col("o.event_id") == F.col("n.event_id"), "full_outer")
     status = (
-        F.when(F.col("o.event_id").isNull(), "added")
-        .when(F.col("n.event_id").isNull(), "removed")
-        .when(F.col("o.dig") != F.col("n.dig"), "changed")
+        F.when(~in_old, "added")
+        .when(~in_new, "removed")
+        .when(dig_old != dig_new, "changed")
         .otherwise("unchanged")
     )
-    return j.groupBy(
-        F.coalesce(F.col("o.event_type"), F.col("n.event_type")).alias("event_type"),
-        status.alias("status"),
-    ).agg(F.count("*").cast("int").alias("n"))
+    return (
+        e.where(in_old | in_new)
+        .groupBy("event_type", status.alias("status"))
+        .agg(F.count("*").cast("int").alias("n"))
+    )
 
 
 @q(
@@ -1730,24 +1754,35 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id), then one global percentile over the per-user latency — the
     latency is floored to whole integer seconds BEFORE the percentile so
     the interpolation runs on exact integers in both engines.
+
+    Plan shape (r9): the oracle's two aggregate+join passes collapse to
+    ONE user_id exchange — a window computes each user's first-view time
+    t1 alongside every row, purchase rows after t1 then reduce to the
+    per-user first conversion in a groupBy on the SAME key, which reuses
+    the window's partitioning with no second shuffle (guide §2.4). The
+    events table is scanned once instead of three times and the two
+    user-keyed joins disappear; per-user (t1, min purchase ts > t1) is
+    definitionally the same pair the join form computed.
     """
     e = tbl(spark, sf_dir, "events")
-    v = (
-        e.where(F.col("event_type") == "view")
+    wv = W.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(wv)
+    lat = (
+        e.select("user_id", "event_type", "ts", t1.alias("t1"))
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("t1").isNotNull()
+            & (F.col("ts") > F.col("t1"))
+        )
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    pur = (
-        e.where(F.col("event_type") == "purchase")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    lat = pur.join(v, "user_id").select(
-        F.expr(
-            "(unix_micros(t2) - unix_micros(t1)) div 1000000"
-        ).alias("sec")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+        .select(
+            F.expr(
+                "(unix_micros(t2) - unix_micros(t1)) div 1000000"
+            ).alias("sec")
+        )
     )
     return lat.agg(
         F.count("*").cast("int").alias("n_converted"),
@@ -2196,11 +2231,16 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     live snapshot — highest-sequence op wins per key, and a terminal
     DELETE tombstones the key out of the table entirely.
 
-    One row_number window keyed on the CDC key does everything: ordering
-    (by the log sequence, not arrival), last-writer-wins, and tombstone
-    filtering — the same dedup-latest shape the lake upsert uses, which
-    is exactly the point: applying a day's change feed at 100 TB is ONE
-    exchange of the delta keyed by entity, never a per-op loop. The op
+    Last-writer-wins per key is a MAX_BY aggregate, not a window (r9):
+    the log sequence is unique per key, so "the rn=1 row of the
+    seq-descending window" and "the row carrying max(seq)" are the same
+    row — but the aggregate partial-aggregates map-side, so the exchange
+    carries one candidate row per key per mapper instead of the whole op
+    log (guide §2.3 "aggregate before you shuffle"; the window form
+    shuffles and sorts every operation). Applying a day's change feed at
+    100 TB is still ONE exchange keyed by entity — now delta-of-keys
+    sized, never a per-op loop. The tombstone filter runs after the
+    aggregate, exactly like the window form ran it after rn=1. The op
     log here derives deterministically from the events table so the
     oracle can rebuild it."""
     ev = tbl(spark, sf_dir, "events")
@@ -2216,16 +2256,16 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value"),
     )
-    rn = F.row_number().over(W.partitionBy("key").orderBy(F.desc("seq")))
-    return (
-        log.withColumn("rn", rn)
-        .where((F.col("rn") == 1) & (F.col("op") != "D"))
-        .select(
-            "key",
-            F.col("seq").cast("bigint").alias("last_seq"),
-            "event_type",
-            "value",
-        )
+    last = log.groupBy("key").agg(
+        F.max_by(
+            F.struct("seq", "op", "event_type", "value"), F.col("seq")
+        ).alias("r")
+    )
+    return last.where(F.col("r.op") != "D").select(
+        "key",
+        F.col("r.seq").cast("bigint").alias("last_seq"),
+        F.col("r.event_type").alias("event_type"),
+        F.col("r.value").alias("value"),
     )
 
 
@@ -2808,12 +2848,19 @@ def merkle_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     that a bucket containing any added/removed/changed key cannot have
     equal digests (equal sums would need a hash60-sum collision).
 
-    Scale shape: phase 1 is two scans reduced map-side to {_MERKLE_B}
-    (bucket, decimal, count) rows — effectively free at any scale; the
-    differing-bucket list broadcasts back as a semi-filter, so the
-    expensive row-level join touches only churned buckets. With churn
-    rate c, the wide join shrinks to ~c of the table — the same reason
-    log-shipping beats full-table compare.
+    Scale shape: phase 1 is ONE scan reduced map-side to {_MERKLE_B}
+    (bucket, decimal, count) rows per side — both snapshots' digests are
+    conditional sums over the same pass (they derive from one table
+    here; two physical snapshots would pay one scan each), so no
+    bucket-level join is needed at all: a bucket differs iff its
+    side-by-side counts or digest sums disagree. The {_MERKLE_B}-row
+    differing list is localCheckpointed once (it feeds BOTH row-level
+    semi-filters — unmaterialized, each broadcast would re-run phase 1)
+    and broadcasts back, so the expensive row-level full-outer join
+    touches only churned buckets. With churn rate c, the wide join
+    shrinks to ~c of the table — the same reason log-shipping beats
+    full-table compare. Corpus passes: 1 (phase 1) + 2 (row-level sides)
+    vs 6 before r9.
     """
     e = tbl(spark, sf_dir, "events")
     bucket = (F.col("event_id") % _MERKLE_B).cast("int").alias("bucket")
@@ -2843,26 +2890,38 @@ def merkle_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", bucket, dig_new.alias("dig")
     )
 
-    def bucket_digests(df):
-        return df.groupBy("bucket").agg(
-            F.sum(portable_hash60(F.col("dig")).cast("decimal(38,0)")).alias(
-                "bdig"
-            ),
-            F.count("*").alias("bn"),
-        )
-
-    ob, nb = bucket_digests(old).alias("ob"), bucket_digests(new).alias("nb")
-    differing = (
-        ob.join(nb, F.col("ob.bucket") == F.col("nb.bucket"), "full_outer")
-        .where(
-            F.col("ob.bucket").isNull()
-            | F.col("nb.bucket").isNull()
-            | (F.col("ob.bdig") != F.col("nb.bdig"))
-            | (F.col("ob.bn") != F.col("nb.bn"))
-        )
+    # phase 1, one conditional-aggregate scan: per bucket, each side's
+    # (digest sum, row count) accumulate side by side. A side with no
+    # rows in a bucket shows bn=0 / bdig=NULL — exactly the cases the
+    # old bucket-level full-outer join surfaced as a missing row, so the
+    # differing predicate below (count mismatch OR null-safe digest
+    # mismatch) selects the identical bucket set.
+    in_old = F.col("event_id") % 11 != 0
+    in_new = F.col("event_id") % 7 != 0
+    h_old = portable_hash60(dig_old).cast("decimal(38,0)")
+    h_new = portable_hash60(dig_new).cast("decimal(38,0)")
+    sides = (
+        e.where(in_old | in_new)
         .select(
-            F.coalesce(F.col("ob.bucket"), F.col("nb.bucket")).alias("bucket")
+            bucket,
+            F.when(in_old, h_old).alias("ho"),
+            F.when(in_new, h_new).alias("hn"),
         )
+        .groupBy("bucket")
+        .agg(
+            F.sum("ho").alias("bdig_o"),
+            F.count("ho").alias("bn_o"),
+            F.sum("hn").alias("bdig_n"),
+            F.count("hn").alias("bn_n"),
+        )
+    )
+    differing = (
+        sides.where(
+            (F.col("bn_o") != F.col("bn_n"))
+            | ~F.col("bdig_o").eqNullSafe(F.col("bdig_n"))
+        )
+        .select("bucket")
+        .localCheckpoint(eager=False)
     )
 
     o = old.join(F.broadcast(differing), "bucket", "left_semi").alias("o")
@@ -5169,7 +5228,16 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the ×32 explode is row-local and partial-aggregates
     map-side, so the ONLY shuffle carries groups × 32 aggregate states —
     the wire cost is independent of row count; the order-statistic window
-    runs on groups × 32 rows. At 100 TB that is still a few kilobytes."""
+    runs on groups × 32 rows. At 100 TB that is still a few kilobytes.
+
+    r9: the point estimate rides the SAME aggregate — each (flag, b)
+    group contains every lineitem row of that flag exactly once, so the
+    unweighted Σv and n accumulated alongside the bootstrap partials
+    equal the flag's totals, and est = round(Σv/n, 4) is identical in
+    every b-group. That removes the second lineitem scan, the separate
+    per-flag aggregate, and the broadcast join the oracle writes — one
+    corpus pass total (guide §1.2 step 1: don't recompute what a pass
+    already carries)."""
     li = tbl(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_orderkey", "l_linenumber",
         F.col("l_extendedprice").alias("v"),
@@ -5203,25 +5271,26 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum((F.col("w") * F.col("v")).cast("decimal(24,10)")).alias("swv"),
             F.sum("w").alias("sw"),
+            # unweighted totals: every lineitem row of the flag appears
+            # exactly once per b, so Σv/n here IS the point estimate —
+            # no second scan, no join (see docstring r9 note)
+            F.sum(F.col("v").cast("decimal(24,10)")).alias("sv"),
+            F.count("*").alias("nn"),
         )
         .select(
             "l_returnflag", "b",
             F.round(
                 F.col("swv").cast("double") / F.nullif(F.col("sw"), F.lit(0)), 4
             ).alias("m"),
+            F.round(
+                F.col("sv").cast("double") / F.col("nn"), 4
+            ).alias("est"),
         )
     )
     rn = F.row_number().over(W.partitionBy("l_returnflag").orderBy("m", "b"))
     ranked = rs.withColumn("rn", rn)
-    fm = li.groupBy("l_returnflag").agg(
-        F.round(
-            F.sum(F.col("v").cast("decimal(24,10)")).cast("double") / F.count("*"),
-            4,
-        ).alias("est")
-    )
     return (
-        ranked.join(F.broadcast(fm), "l_returnflag")
-        .groupBy("l_returnflag")
+        ranked.groupBy("l_returnflag")
         .agg(
             F.round(F.min("est"), 4).alias("est"),
             F.round(F.max(F.when(F.col("rn") == 2, F.col("m"))), 4).alias("ci_low"),

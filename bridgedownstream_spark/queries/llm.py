@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from bridgedownstream_spark.queries.util import HASH60, tbl
+from bridgedownstream_spark.queries.util import HASH60, tbl, wide
 
 QUERIES: dict = {}
 
@@ -901,43 +901,62 @@ def context_truncation_loss(spark, sf_dir):
     that decides between truncation and chunking (`doc_chunking`) and
     sizes the packing budget (`pack_sequences`) before a training run.
 
-    Plan/scale: token counts are a scan-stage projection; the budget
-    grid is a {len(_TRUNC_BUDGETS)}-row literal, so the cross join is a
-    broadcast replicate and the whole curve map-side combines into
-    {len(_TRUNC_BUDGETS)} groups. One corpus pass for every budget."""
+    Plan/scale (r9): the budgets are compile-time literals, so the curve
+    needs NO row replication at all — one aggregate computes every
+    budget's (docs_over, lost) as conditional sums side by side, and the
+    {len(_TRUNC_BUDGETS)}-row curve unpivots from the single result row.
+    The previous broadcast cross-join replicated every corpus row
+    |budgets|x before the partial aggregate ({len(_TRUNC_BUDGETS)}x the
+    map-side agg input for values derivable from one copy); folding it
+    away is guide-§2.3 "aggregate before you shuffle" taken to its
+    limit — the shuffle now carries one row of partials. The token-count
+    split is the only heavy map work, so the scan floors at core width
+    (`wide`, no-op on cluster layouts)."""
     d = tbl(spark, sf_dir, "documents")
-    t = d.select(
+    t = wide(spark, d.select("text"), sf_dir, "documents").select(
         F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n")
     )
-    b = spark.createDataFrame(
-        [(c,) for c in _TRUNC_BUDGETS], "budget int"
-    )
-    return (
-        t.crossJoin(F.broadcast(b))
-        .groupBy("budget")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n").cast("bigint").alias("total_tokens"),
-            F.sum(F.when(F.col("n") > F.col("budget"), 1).otherwise(0))
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+    ]
+    for c in _TRUNC_BUDGETS:
+        aggs += [
+            F.sum(F.when(F.col("n") > c, 1).otherwise(0))
             .cast("bigint")
-            .alias("docs_over_budget"),
-            F.sum(F.greatest(F.col("n") - F.col("budget"), F.lit(0)))
+            .alias(f"over_{c}"),
+            F.sum(F.greatest(F.col("n") - c, F.lit(0)))
             .cast("bigint")
-            .alias("lost_tokens"),
-        )
-        .select(
-            "budget",
-            "n_docs",
-            "total_tokens",
-            "docs_over_budget",
-            "lost_tokens",
-            F.expr(
-                "CAST(lost_tokens * 1000000"
-                " div greatest(total_tokens, 1) AS BIGINT)"
-            ).alias("lost_ppm"),
-        )
-        .orderBy("budget")
+            .alias(f"lost_{c}"),
+        ]
+    one = t.agg(*aggs)
+    curve = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).cast("int").alias("budget"),
+                        F.col("n_docs"),
+                        F.col("total_tokens"),
+                        F.col(f"over_{c}").alias("docs_over_budget"),
+                        F.col(f"lost_{c}").alias("lost_tokens"),
+                    )
+                    for c in _TRUNC_BUDGETS
+                ]
+            )
+        ).alias("r")
     )
+    return curve.select(
+        "r.budget",
+        "r.n_docs",
+        "r.total_tokens",
+        "r.docs_over_budget",
+        "r.lost_tokens",
+        F.expr(
+            "CAST(r.lost_tokens * 1000000"
+            " div greatest(r.total_tokens, 1) AS BIGINT)"
+        ).alias("lost_ppm"),
+    ).orderBy("budget")
 
 
 # -- classifier discrimination: exact AUC + cumulative gains -------------------

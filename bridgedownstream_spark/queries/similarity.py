@@ -1597,8 +1597,15 @@ def dedup_graph_triangles(spark, sf_dir):
     distributed-triangle trick — no node ever joins its full undirected
     neighborhood). Output is one row of exact integers.
     """
-    pairs = QUERIES["near_dup_lsh_pairs"][0](spark, sf_dir).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    # checkpoint the edge list: it feeds FIVE plan consumers (three
+    # triangle aliases + both degree unions), and without materialization
+    # each re-runs the whole MinHash-LSH candidate pipeline (46 parquet
+    # scans in the un-checkpointed plan, ~5x the band join). The edge
+    # list is pair-sized — duplicate-graph edges, not corpus rows.
+    pairs = (
+        QUERIES["near_dup_lsh_pairs"][0](spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint(eager=False)
     )
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     tri = (
@@ -2456,6 +2463,9 @@ def ann_matryoshka_curve(spark, sf_dir):
     # one shared truth: queries × k rows, computed once. It sits on the
     # LEFT of each scoring left-join (preserved side — not hintable), so
     # the broadcast belongs to the rerank side below.
+    # NOT checkpointed (measured r9): the truth table feeds all 4 dim
+    # branches, but AQE already reuses its exchange across the union arms
+    # — materializing it cost +0.3 s warm / +1.1 s build over the reuse
     brute = (
         pairs.select(
             "query_id", F.col("vec_id").alias("neighbor_id"), fcos.alias("full_cos")
@@ -2566,7 +2576,14 @@ def dedup_agreement_audit(spark, sf_dir):
     oracle splices both certified CTE chains behind each other — CTE
     namespaces are disjoint by construction."""
     sem = QUERIES["semdedup_prune"][0](spark, sf_dir)
-    pairs = QUERIES["near_dup_lsh_pairs"][0](spark, sf_dir)
+    # checkpoint the pair-sized edge list: both union branches slice it,
+    # and unmaterialized each would re-run the whole MinHash-LSH
+    # candidate pipeline (the dedup_graph_triangles fix, r9)
+    pairs = (
+        QUERIES["near_dup_lsh_pairs"][0](spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     text_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -2633,12 +2650,17 @@ def contrastive_pairs(spark, sf_dir):
     Scale shape: rides the certified SemDeDup structures verbatim — the
     ranked frame is shared (one checkpoint), candidates come from the
     same cell-keyed equi-join (Theta(n^1.5) with the sqrt(n)-balanced
-    cells, never all-pairs), and the argmax elections are two windows on
-    ONE anchor-keyed exchange. Cosines round to 4 before any comparison
+    cells, never all-pairs). Cosines round to 4 before any comparison
     (the ann_* discipline), so pair elections are identical across
-    engines; ties break on candidate id."""
-    from pyspark.sql import Window as W
+    engines; ties break on candidate id.
 
+    r9: both argmax elections are MAX-of-struct aggregates in ONE
+    groupBy(anchor) — ``max(struct(cos, -cand))`` picks exactly the
+    rn=1 row of the (cos DESC, cand ASC) window, but partial-aggregates
+    map-side, so the anchor exchange carries two candidate structs per
+    anchor per mapper instead of every scored pair twice (the oracle's
+    two windows + join shuffled the full pair set once per election,
+    then joined the winners — three exchanges collapsed into one)."""
     ranked = _sem_ranked(spark, sf_dir)
     a = ranked.select(
         F.col("cell"),
@@ -2664,30 +2686,33 @@ def contrastive_pairs(spark, sf_dir):
         .where(F.col("anchor_id") != F.col("cand"))
         .select("anchor_id", "cand", "ar", "br", cos.alias("cos"))
     )
-    wbest = W.partitionBy("anchor_id").orderBy(F.col("cos").desc(), "cand")
-    pos = (
-        cpair.where(
-            (F.col("cos") >= _SEMDEDUP_TAU) & (F.col("br") < F.col("ar"))
-        )
-        .withColumn("rn", F.row_number().over(wbest))
-        .where(F.col("rn") == 1)
+    # (cos DESC, cand ASC) argmax == max of (cos, -cand) struct: struct
+    # comparison is lexicographic, cand is unique per anchor, and max()
+    # ignores the NULLs the conditions produce
+    best = F.struct(F.col("cos"), (-F.col("cand")).alias("nc"), F.col("cand"))
+    agg = cpair.groupBy("anchor_id").agg(
+        F.max(
+            F.when(
+                (F.col("cos") >= _SEMDEDUP_TAU) & (F.col("br") < F.col("ar")),
+                best,
+            )
+        ).alias("p"),
+        F.max(F.when(F.col("cos") < _SEMDEDUP_TAU, best)).alias("n"),
+    )
+    return (
+        agg.where(F.col("p").isNotNull() & F.col("n").isNotNull())
         .select(
             "anchor_id",
-            F.col("cand").alias("positive_id"),
-            F.col("cos").alias("pos_cos"),
+            F.col("p.cand").alias("positive_id"),
+            # cos enters the struct already round(·,4)-ed; re-rounding at
+            # extraction is a bit-exact no-op that keeps the stabilized-
+            # float contract visible in the analyzed plan
+            F.round(F.col("p.cos"), 4).alias("pos_cos"),
+            F.col("n.cand").alias("negative_id"),
+            F.round(F.col("n.cos"), 4).alias("neg_cos"),
         )
+        .orderBy("anchor_id")
     )
-    neg = (
-        cpair.where(F.col("cos") < _SEMDEDUP_TAU)
-        .withColumn("rn", F.row_number().over(wbest))
-        .where(F.col("rn") == 1)
-        .select(
-            "anchor_id",
-            F.col("cand").alias("negative_id"),
-            F.col("cos").alias("neg_cos"),
-        )
-    )
-    return pos.join(neg, "anchor_id").orderBy("anchor_id")
 
 
 # -- LSH banding parameter sweep ---------------------------------------------

@@ -579,12 +579,17 @@ def test_kmv_pair_math_runs_on_sketches_only(spark):
 
 def test_merkle_diff_prunes_row_join_through_semi_filters(spark):
     # both snapshots must pass through a broadcast LeftSemi on the
-    # differing-bucket list BEFORE the row-level full outer join, and the
-    # bucket-digest phase must partial-aggregate map-side
+    # differing-bucket list BEFORE the row-level full outer join. r9: the
+    # bucket-digest phase is a single conditional-aggregate scan behind a
+    # localCheckpoint (it feeds BOTH semi-filters), so the visible plan
+    # shows the checkpointed list as a Scan ExistingRDD instead of the
+    # phase-1 partial aggregate, and only the two row-level sides scan
+    # the events parquet.
     plan = plan_of(spark, "merkle_snapshot_diff")
     assert plan.count("LeftSemi") >= 2
     assert "BroadcastExchange" in plan
-    assert "partial_sum" in plan or "partial" in plan.lower()
+    assert "Scan ExistingRDD" in plan  # the checkpointed differing list
+    assert plan.count("Scan parquet") <= 4  # 2 sides (x2 plan sections)
 
 
 def test_bfs_final_round_broadcasts_frontier(spark):
@@ -821,12 +826,14 @@ def test_matryoshka_funnel_fetches_vectors_only_for_shortlist(spark):
 def test_bootstrap_wire_carries_resample_states_not_draws(spark):
     """The x32 draw explode must partial-aggregate map-side so the only
     wide shuffle carries (flag, b) aggregate states — if the partial
-    vanishes, 32x the corpus crosses the wire. The full-mean side joins
-    broadcast; the width-fix repartition is the plan's only
-    REPARTITION_BY_NUM."""
+    vanishes, 32x the corpus crosses the wire. r9: the point estimate
+    rides the same aggregate (unweighted Σv/n per b-group), so the plan
+    must have NO join and ONE lineitem scan at all; the width-fix
+    repartition is the plan's only REPARTITION_BY_NUM."""
     plan = plan_of(spark, "bootstrap_ci_revenue")
     assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan  # point estimate folded into the agg (r9)
+    assert plan.count("Scan parquet") <= 2  # tree + details sections
     assert plan.count("REPARTITION_BY_NUM") == 1
     # anchor on the (flag, b) resample exchange specifically (NOT the
     # window/final-agg exchange on flag alone), then require a partial
