@@ -106,33 +106,14 @@ def main() -> int:
         .mapInPandas(_noop, schema="id long")
         .count()
     )
-    # Build (or load) the persisted PQ index outside the timed region: an
-    # ANN index is an offline build-once artifact — benchmarks time the
-    # search, not the index build (the build itself is measured by the
-    # train path in tests/test_pq.py). Keyed by the corpus file identity,
-    # so a regenerated corpus retrains rather than serving stale codes.
-    try:
-        from bridgedownstream_spark.queries.similarity import _pq_corpus
-
-        _pq_corpus(spark, sf_dir)
-        _pq_corpus(spark, sf_dir, iters=0)  # pq_adc_search's anchor index
-    except Exception:  # noqa: BLE001 — missing embeddings table
-        pass
-    try:
-        from bridgedownstream_spark.queries.similarity import _ivfpq_corpus
-
-        _ivfpq_corpus(spark, sf_dir, iters=0)  # ivfpq_residual_search's index
-    except Exception as e:  # noqa: BLE001 — missing embeddings table
-        print(f"warmup: _ivfpq_corpus failed: {e!r}", file=sys.stderr)
-    # The LSH candidate table is the same kind of offline artifact: built
-    # once per corpus version, loaded by every consumer.
-    try:
-        from bridgedownstream_spark.queries.similarity import _lsh_candidates
-
-        _lsh_candidates(spark, sf_dir)
-    except Exception as e:  # noqa: BLE001 — missing documents table
-        print(f"warmup: _lsh_candidates failed: {e!r}", file=sys.stderr)
-    # Likewise pre-build the /tmp lake fixtures (stage-1 ingest lake, ETL
+    # NOTE (r9): the PQ/IVF-PQ index and LSH candidate pre-builds that
+    # used to run here are GONE — they precomputed query results outside
+    # the timed region and persisted them keyed on the corpus file
+    # identity, so later runs (and every query after the first) read
+    # precomputed answers instead of computing from the parquet inputs.
+    # Each ANN/LSH query now pays its full pipeline inside its own timed
+    # region, every invocation.
+    # Pre-build the /tmp lake fixtures (stage-1 ingest lake, ETL
     # parquet lake, z-ordered layout, rollup) outside the timed region: the
     # lakes are write-once ETL artifacts the queries READ; the write→read
     # cycle itself is certified by the correctness gate and timed by

@@ -1829,41 +1829,36 @@ _BUCKETED: dict[str, tuple[str, str]] = {}
 
 def _build_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Register both fact tables bucketed+sorted on the join key (8
-    buckets) — write-once layout, exchange-free forever after. Bucketing
-    metadata lives in the session catalog, so a fresh session re-runs
-    saveAsTable (mode=overwrite) into the same stamped /tmp path."""
+    buckets) — the write-once layout premise the query demonstrates.
+    REBUILT FROM THE RAW TABLES once per process (r9: the former
+    existence gate on the /tmp files let later bench runs reuse a
+    previous run's derived layout — cross-run reuse of a testdata-keyed
+    intermediate, which the bench contract forbids). The per-process
+    memo below holds table NAMES only; the data is rewritten fresh every
+    invocation."""
     if sf_dir in _BUCKETED:
         return _BUCKETED[sf_dir]
-    from bridgedownstream_spark.pipeline.fsutil import has_data_files
-
     tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
     li_t, o_t = f"bds_bkt_lineitem_{tag}", f"bds_bkt_orders_{tag}"
     base = os.path.join(tempfile.gettempdir(), f"bds_bucketed_{tag}")
-    registered = {t.name for t in spark.catalog.listTables()}
-    # a catalog entry whose /tmp files were cleaned underneath it must
-    # rebuild, not fail at scan time
-    if {li_t, o_t} - registered or not (
-        has_data_files(spark, os.path.join(base, "lineitem"))
-        and has_data_files(spark, os.path.join(base, "orders"))
-    ):
-        li = tbl(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice", "l_discount"
-        )
-        o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-        (
-            li.write.mode("overwrite")
-            .bucketBy(8, "l_orderkey")
-            .sortBy("l_orderkey")
-            .option("path", os.path.join(base, "lineitem"))
-            .saveAsTable(li_t)
-        )
-        (
-            o.write.mode("overwrite")
-            .bucketBy(8, "o_orderkey")
-            .sortBy("o_orderkey")
-            .option("path", os.path.join(base, "orders"))
-            .saveAsTable(o_t)
-        )
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(base, "lineitem"))
+        .saveAsTable(li_t)
+    )
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(base, "orders"))
+        .saveAsTable(o_t)
+    )
     _BUCKETED[sf_dir] = (li_t, o_t)
     return _BUCKETED[sf_dir]
 

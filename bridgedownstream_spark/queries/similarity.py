@@ -182,10 +182,10 @@ def _signatures(spark, sf_dir):
     """(doc_id, sh, m0..m7) — narrow projection over one scan.
 
     Deliberately NOT persisted here: the one consumer that reads it more
-    than once (the band self-join) is itself materialized exactly once per
-    corpus into the persisted `_LSH_CACHE` candidate frame, and everything
-    downstream reads that. This mirrors the at-scale design: checkpoint
-    the candidate set, keep signatures and raw shingles virtual."""
+    than once (the band self-join) is materialized per invocation into
+    the `_lsh_candidates` localCheckpoint, and everything downstream
+    reads that. This mirrors the at-scale design: checkpoint the
+    candidate set, keep signatures and raw shingles virtual."""
     return (
         _shingled(spark, sf_dir)
         .withColumn("hv", F.expr(_HV_SPARK))
@@ -221,84 +221,42 @@ def _band_hash_duck(b: int) -> str:
     return _H60_DUCK.format(x=parts)
 
 
-#: per-corpus LSH candidate cache: stamped corpus key → persisted candidate
-#: pair frame. One invocation persisted (and leaked) a fresh signature +
-#: candidate frame each call — and the pair query runs at least twice per
-#: session (directly and via near_dup_components) — so the cache both
-#: bounds the persisted-block footprint at one frame per corpus and makes
-#: the second consumer free. The key stamps the corpus file's identity, so
-#: a regenerated corpus recomputes instead of serving stale candidates.
-_LSH_CACHE: dict[str, object] = {}
-
-
-def _corpus_stamp(sf_dir: str, table: str = "documents") -> str:
-    import os
-
-    src = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        st = os.stat(src)
-        return f"{sf_dir}|{table}|{st.st_size}_{int(st.st_mtime)}"
-    except OSError:
-        return f"{sf_dir}|{table}|nostat"
-
-
 def _lsh_candidates(spark, sf_dir):
-    """Persisted (doc_a, doc_b) LSH candidate pairs for the corpus.
+    """(doc_a, doc_b) LSH candidate pairs, computed FROM THE PARQUET
+    INPUTS on every invocation (r9: the former stamped /tmp parquet +
+    module-level memo made later bench runs read a precomputed pair
+    table instead of running the band self-join — result caching across
+    runs, which the bench contract forbids).
 
-    The candidate set is consumed by several plan branches per query (pair
-    broadcast, id-set broadcast, verify join) and by every query built on
-    the pairs — persisting it is the "checkpoint the candidate set" step
-    every LSH dedup pipeline has. Like the PQ index, the checkpoint is
-    ALSO an offline on-disk artifact (parquet keyed by the corpus file's
-    identity): a dedup pipeline computes signatures + bands once per
-    corpus version and every later consumer — including fresh processes —
-    loads the pair table instead of re-running the band self-join."""
-    key = _corpus_stamp(sf_dir)
-    if key not in _LSH_CACHE:
-        import os
-        import tempfile
-
-        from pyspark.storagelevel import StorageLevel
-
-        from bridgedownstream_spark.pipeline.fsutil import has_data_files
-
-        for stale in [k for k in _LSH_CACHE if k.startswith(f"{sf_dir}|")]:
-            _LSH_CACHE.pop(stale).unpersist()
-        sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
-        stamp = key.rsplit("|", 1)[1]
-        disk = os.path.join(
-            tempfile.gettempdir(), f"bds_lshcand_{sf_name}_{stamp}"
+    The localCheckpoint is within-invocation only: the candidate set is
+    consumed by several plan branches per query (pair broadcast, id-set
+    broadcast, verify join), so one materialization per query replaces
+    one band self-join per branch — the "checkpoint the candidate set"
+    step every LSH dedup pipeline has, paid inside the timed region."""
+    sig = _signatures(spark, sf_dir)
+    bands = sig.selectExpr(
+        "doc_id",
+        "stack("
+        + str(_BANDS)
+        + ", "
+        + ", ".join(f"{b}, {_band_hash_spark(b)}" for b in range(_BANDS))
+        + ") AS (band, bh)",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        if not has_data_files(spark, disk):
-            sig = _signatures(spark, sf_dir)
-            bands = sig.selectExpr(
-                "doc_id",
-                "stack("
-                + str(_BANDS)
-                + ", "
-                + ", ".join(f"{b}, {_band_hash_spark(b)}" for b in range(_BANDS))
-                + ") AS (band, bh)",
-            )
-            a, b = bands.alias("a"), bands.alias("b")
-            (
-                a.join(
-                    b,
-                    (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.bh") == F.col("b.bh"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")),
-                )
-                .select(
-                    F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                )
-                .distinct()
-                .write.mode("overwrite")
-                .parquet(disk)
-            )
-        _LSH_CACHE[key] = spark.read.parquet(disk).persist(
-            StorageLevel.MEMORY_AND_DISK
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
-    return _LSH_CACHE[key]
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
 
 @q(
@@ -658,37 +616,20 @@ _BUCKET_SPARK = _bucket_expr([_plane_dot_spark(j) for j in range(_N_PLANES)])
 _BUCKET_DUCK = _bucket_expr([_plane_dot_duck(j) for j in range(_N_PLANES)])
 
 
-#: stamped corpus key → the ONE persisted bucketed-embeddings frame.
-#: Un-memoized, every ann_lsh_bucketed / embedding_near_dup / ann_recall
-#: invocation persisted (and leaked) a fresh copy — the same hazard the
-#: _LSH_CACHE comment documents for candidate pairs.
-_BUCKETED_CACHE: dict[str, object] = {}
-
-
 def _bucketed(spark, sf_dir):
     """(vec_id, emb, nrm, bucket) — signed random-hyperplane LSH bucket,
-    derived from the deterministic md5 hyperplanes. Persisted once per
-    corpus: both sides of the bucket join (and the query subset, and every
-    query built on the buckets) reuse one computation of the
-    384-md5-per-row projection instead of one per branch."""
-    key = _corpus_stamp(sf_dir, "embeddings")
-    if key not in _BUCKETED_CACHE:
-        from pyspark.storagelevel import StorageLevel
-
-        # evict same-corpus entries with a DIFFERENT stamp only (a
-        # current-stamp |ivf sibling entry is live, not stale)
-        for stale in [
-            k
-            for k in _BUCKETED_CACHE
-            if k.startswith(f"{sf_dir}|embeddings|") and not k.startswith(key)
-        ]:
-            _BUCKETED_CACHE.pop(stale).unpersist()
-        _BUCKETED_CACHE[key] = (
-            _emb_norms(spark, sf_dir)
-            .withColumn("bucket", F.expr(_BUCKET_SPARK))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-    return _BUCKETED_CACHE[key]
+    derived from the deterministic md5 hyperplanes. Computed from the
+    parquet inputs on every invocation (r9: the former stamped
+    module-level memo served later queries a precomputed projection —
+    cross-query result caching the bench contract forbids); the
+    localCheckpoint is within-invocation reuse only — both sides of the
+    bucket join (and the query subset) read one computation of the
+    384-md5-per-row projection instead of one per plan branch."""
+    return (
+        _emb_norms(spark, sf_dir)
+        .withColumn("bucket", F.expr(_BUCKET_SPARK))
+        .localCheckpoint(eager=False)
+    )
 
 
 _BUCKET_CTE_DUCK = (
@@ -775,34 +716,25 @@ def _ivf_ccos():
 
 
 def _ivf_assign(spark, sf_dir):
-    """The cached 1-cell corpus assignment (vec_id, emb, nrm, cent_id) —
-    the IVF index; built once per corpus version, shared by 1-probe and
-    multi-probe searches."""
+    """The 1-cell corpus assignment (vec_id, emb, nrm, cent_id) — the IVF
+    index, computed from the parquet inputs on every invocation (r9: the
+    former stamped memo served later queries a precomputed assignment).
+    The localCheckpoint covers within-invocation reuse: probe and corpus
+    branches of one search read one assignment pass."""
     from pyspark.sql import Window as W
 
-    key = _corpus_stamp(sf_dir, "embeddings") + "|ivf"
-    if key not in _BUCKETED_CACHE:  # shared stamped store; see _bucketed
-        for stale in [
-            k
-            for k in _BUCKETED_CACHE
-            if k.startswith(f"{sf_dir}|embeddings|")
-            and k.endswith("|ivf")
-            and k != key
-        ]:
-            _BUCKETED_CACHE.pop(stale).unpersist()
-        e, cent = _ivf_cent(spark, sf_dir)
-        wa = W.partitionBy("vec_id").orderBy(
-            F.col("ccos").desc(), F.col("cent_id")
-        )
-        _BUCKETED_CACHE[key] = (
-            e.crossJoin(cent)
-            .withColumn("ccos", _ivf_ccos())
-            .withColumn("rc", F.row_number().over(wa))
-            .where(F.col("rc") == 1)
-            .select("vec_id", "emb", "nrm", "cent_id")
-            .persist()
-        )
-    return _BUCKETED_CACHE[key]
+    e, cent = _ivf_cent(spark, sf_dir)
+    wa = W.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id")
+    )
+    return (
+        e.crossJoin(cent)
+        .withColumn("ccos", _ivf_ccos())
+        .withColumn("rc", F.row_number().over(wa))
+        .where(F.col("rc") == 1)
+        .select("vec_id", "emb", "nrm", "cent_id")
+        .localCheckpoint(eager=False)
+    )
 
 
 @q(
@@ -1280,62 +1212,25 @@ def ann_recall(spark, sf_dir):
     )
 
 
-#: per-corpus PQ index cache: sf_dir -> (codebook, codes). Training is the
-#: expensive phase (2 Lloyd rounds over the corpus) and is a build-once
-#: artifact: like every real ANN index, it is built OFFLINE and persisted
-#: next to the corpus (here: parquet under the temp dir, keyed by the
-#: corpus file's identity so a regenerated corpus invalidates the index),
-#: then searches — including fresh processes — load it instead of
-#: retraining. At 100 TB the codebook additionally trains on a sample,
-#: never the full corpus. In-process, the frames are also memoized.
-_PQ_INDEX: dict[str, tuple] = {}
-
-
-def _pq_index_dir(sf_dir: str) -> str:
-    import os
-    import tempfile
-
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{st.st_size}_{int(st.st_mtime)}"
-    except OSError:
-        stamp = "nostat"
-    sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(tempfile.gettempdir(), f"bds_pq_{sf}_{stamp}")
-
-
 def _pq_corpus(spark, sf_dir, iters: int = 2):
-    import os
+    """(codebook, codes) PQ index, TRAINED FROM THE PARQUET INPUTS on
+    every invocation (r9: the former stamped /tmp parquet + module memo
+    let every search after the first — including fresh bench processes —
+    load precomputed codes instead of training, which is result caching
+    across runs; each search now pays its index build inside the timed
+    region). In production an ANN index is an offline build-once
+    artifact and the codebook trains on a sample, never the full corpus;
+    the docstrings keep that scale story, the bench pays the honest
+    cost. iters=0 is the anchor (unrefined) codebook pq_adc_search's
+    oracle reconstructs. localCheckpoints are within-invocation only:
+    the codebook feeds encode + every lookup-table branch, the codes
+    feed shortlist + re-rank."""
+    from bridgedownstream_spark.operators.pq import encode_pq, train_pq
 
-    # memo key = the STAMPED index dir, not sf_dir: keying by sf_dir would
-    # bypass the mtime/size invalidation for the rest of the process once
-    # an entry is cached — a corpus regenerated in place at the same path
-    # would keep serving the stale codebook with no error. iters=0 is the
-    # anchor (unrefined) codebook pq_adc_search's oracle reconstructs — a
-    # distinct index variant, so it gets its own subdirectory.
-    base = _pq_index_dir(sf_dir)
-    if iters != 2:
-        base = os.path.join(base, f"iters{iters}")
-    if base not in _PQ_INDEX:
-        from bridgedownstream_spark.operators.pq import encode_pq, train_pq
-        from bridgedownstream_spark.pipeline.fsutil import has_data_files
-
-        cb_path = os.path.join(base, "codebook")
-        codes_path = os.path.join(base, "codes")
-        if not (
-            has_data_files(spark, cb_path) and has_data_files(spark, codes_path)
-        ):
-            emb = tbl(spark, sf_dir, "embeddings")
-            train_pq(emb, iters=iters).write.mode("overwrite").parquet(cb_path)
-            encode_pq(emb, spark.read.parquet(cb_path)).write.mode(
-                "overwrite"
-            ).parquet(codes_path)
-        _PQ_INDEX[base] = (
-            spark.read.parquet(cb_path),
-            spark.read.parquet(codes_path),
-        )
-    return _PQ_INDEX[base]
+    emb = tbl(spark, sf_dir, "embeddings")
+    cb = train_pq(emb, iters=iters).localCheckpoint(eager=False)
+    codes = encode_pq(emb, cb).localCheckpoint(eager=False)
+    return cb, codes
 
 
 @q("pq_ann_shortlist", None)  # rows-only: iterative k-means training is
@@ -1347,8 +1242,9 @@ def pq_ann_shortlist(spark, sf_dir):
     query vectors. The plan never shuffles or re-materializes the float
     corpus: codes join a broadcast (query × subspace × centroid) lookup
     table and one aggregation sums the partial dots. The codebook + code
-    table come from the per-corpus index cache (_pq_corpus) — train once,
-    search many."""
+    table are trained from the parquet inputs inside this invocation
+    (_pq_corpus); in production the index is an offline train-once
+    artifact, and the bench pays the honest per-run build cost."""
     from bridgedownstream_spark.operators.pq import pq_shortlist
 
     emb = tbl(spark, sf_dir, "embeddings")
@@ -1986,32 +1882,18 @@ _IVFPQ_DUCK = f"""
       FROM adc) WHERE rnk <= 10
 """
 
-#: stamped-dir memo for the IVF-PQ index (same invalidation discipline as
-#: _PQ_INDEX)
-_IVFPQ_INDEX: dict = {}
-
-
 def _ivfpq_corpus(spark, sf_dir, iters: int = 0):
-    import os
+    """(coarse, codebook, codes) IVF-PQ index, built from the parquet
+    inputs on every invocation (r9: de-cached — see _pq_corpus). The
+    localCheckpoints cover within-invocation reuse across the coarse
+    probe, residual lookup-table, and code-join branches."""
+    from bridgedownstream_spark.operators.pq import ivfpq_index
 
-    base = _pq_index_dir(sf_dir).replace("bds_pq_", "bds_ivfpq_")
-    if iters:
-        base = os.path.join(base, f"iters{iters}")
-    if base not in _IVFPQ_INDEX:
-        from bridgedownstream_spark.operators.pq import ivfpq_index
-        from bridgedownstream_spark.pipeline.fsutil import has_data_files
-
-        paths = {n: os.path.join(base, n) for n in ("coarse", "codebook", "codes")}
-        if not all(has_data_files(spark, p) for p in paths.values()):
-            emb = tbl(spark, sf_dir, "embeddings")
-            coarse, cb, codes = ivfpq_index(emb, iters=iters)
-            coarse.write.mode("overwrite").parquet(paths["coarse"])
-            cb.write.mode("overwrite").parquet(paths["codebook"])
-            codes.write.mode("overwrite").parquet(paths["codes"])
-        _IVFPQ_INDEX[base] = tuple(
-            spark.read.parquet(paths[n]) for n in ("coarse", "codebook", "codes")
-        )
-    return _IVFPQ_INDEX[base]
+    emb = tbl(spark, sf_dir, "embeddings")
+    coarse, cb, codes = ivfpq_index(emb, iters=iters)
+    return tuple(
+        df.localCheckpoint(eager=False) for df in (coarse, cb, codes)
+    )
 
 
 @q("ivfpq_residual_search", _IVFPQ_DUCK)
@@ -2030,8 +1912,9 @@ def ivfpq_residual_search(spark, sf_dir):
     codebooks (closed-form for BOTH quantizers), making the entire
     pipeline — coarse assign, residuals, residual-PQ encode,
     per-probed-cell query residuals, decimal-exact ADC, shortlist rank —
-    a full rows+schema+hash certification. The index is built once per
-    corpus (stamped cache) and persisted: search never re-touches float
+    a full rows+schema+hash certification. The index is built from the
+    parquet inputs inside this invocation (offline train-once in
+    production); after encoding, search never re-touches float
     vectors. 100 TB: corpus codes are 17 B/vector and never shuffle; the
     (queries × probes × m × k) lookup table broadcasts; only the probed
     cells' codes survive the join."""
@@ -2720,10 +2603,6 @@ def contrastive_pairs(spark, sf_dir):
 _SWEEP_CFGS = [(2, 4), (4, 2), (8, 1)]  # (bands, rows) over the 8 minhashes
 _SWEEP_TAU = 0.5  # the near_dup_lsh_pairs verify threshold
 
-#: corpus stamp -> (superset candidate frame, verified truth frame)
-_SWEEP_CACHE: dict[str, tuple] = {}
-
-
 def _cfg_band_spark(b: int, r: int) -> str:
     parts = ", '_', ".join(f"CAST(m{b * r + i} AS STRING)" for i in range(r))
     return _H60_SPARK.format(x=f"concat({parts})")
@@ -2945,48 +2824,42 @@ def _band_sweep_impl(spark, sf_dir, sampled: bool):
         .select(F.expr(cfg_expr).cast("int").alias("cfg"), "doc_a", "doc_b")
         .distinct()
     )
-    # stamped per-corpus cache for the all-config candidate + truth frames
-    # (each is consumed by several config branches; a bare per-invocation
-    # persist would leak one block set per call — the r3 lesson); sampled
-    # and full branches cache separately
-    key = _corpus_stamp(sf_dir) + ("|sweep_sampled" if sampled else "")
-    if key not in _SWEEP_CACHE:
-        from pyspark.storagelevel import StorageLevel
-
-        for stale in [k for k in _SWEEP_CACHE if k.startswith(f"{sf_dir}|")]:
-            for frame in _SWEEP_CACHE.pop(stale):
-                frame.unpersist()
-        allc = allc.persist(StorageLevel.MEMORY_AND_DISK)
-        sup = allc.where(F.col("cfg") == 8).select("doc_a", "doc_b")
-        ids = (
-            sup.select(F.col("doc_a").alias("doc_id"))
-            .union(sup.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
+    # within-invocation checkpoints ONLY (r9: the former stamped
+    # cross-query cache let the second sweep query — and every later
+    # bench rep — reuse the first's candidate + truth frames, which is
+    # result memoization the bench contract forbids): the all-config
+    # candidate frame and the verified truth frame are each consumed by
+    # every config branch of THIS query's plan, so one materialization
+    # per invocation replaces one band self-join / verify join per config
+    allc = allc.localCheckpoint(eager=False)
+    sup = allc.where(F.col("cfg") == 8).select("doc_a", "doc_b")
+    ids = (
+        sup.select(F.col("doc_a").alias("doc_id"))
+        .union(sup.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingled_for(spark, sf_dir, ids)
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    jac = F.col("n_common").cast("double") / F.greatest(
+        F.col("n_union"), F.lit(1)
+    )
+    truth = (
+        # no forced broadcast: the candidate set is data-proportional
+        # (it OOM'd the 100x gate as a broadcast build side) — AQE
+        # sizes the join; at 1x it still picks broadcast on its own
+        sup
+        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa.sh", "sb.sh")).alias("n_common"),
+            F.size(F.array_union("sa.sh", "sb.sh")).alias("n_union"),
         )
-        sh = _shingled_for(spark, sf_dir, ids)
-        sa, sb = sh.alias("sa"), sh.alias("sb")
-        jac = F.col("n_common").cast("double") / F.greatest(
-            F.col("n_union"), F.lit(1)
-        )
-        truth = (
-            # no forced broadcast: the candidate set is data-proportional
-            # (it OOM'd the 100x gate as a broadcast build side) — AQE
-            # sizes the join; at 1x it still picks broadcast on its own
-            sup
-            .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-            .select(
-                "doc_a",
-                "doc_b",
-                F.size(F.array_intersect("sa.sh", "sb.sh")).alias("n_common"),
-                F.size(F.array_union("sa.sh", "sb.sh")).alias("n_union"),
-            )
-            .where(jac >= _SWEEP_TAU)
-            .select("doc_a", "doc_b")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        _SWEEP_CACHE[key] = (allc, truth)
-    allc, truth = _SWEEP_CACHE[key]
+        .where(jac >= _SWEEP_TAU)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     t_n = truth.groupBy().agg(F.count(F.lit(1)).alias("tn"))
     rows = None
     for nb, r in _SWEEP_CFGS:
