@@ -13,9 +13,10 @@ All three phases are DataFrame ops:
 
 - **train**: per-subspace k-means (Lloyd), all m subspaces trained in ONE
   joint loop — vectors explode to (vec_id, sub, subvec) rows once, each
-  iteration is a broadcast join + window argmin + narrow-keyed mean, and
-  the codebook frame is localCheckpointed per round (O(1) lineage, same
-  pattern as connected components / kmeans_refine_centroids).
+  iteration is a broadcast join + map-side-combined struct-min argmin +
+  narrow-keyed mean, and the codebook frame is localCheckpointed per
+  round (O(1) lineage, same pattern as connected components /
+  kmeans_refine_centroids).
 - **encode**: final assignment kept in LONG format (vec_id, sub, code) —
   the layout that joins; a packed array is a projection away.
 - **search (ADC)**: per query, the q·centroid lookup table is
@@ -129,17 +130,31 @@ def train_pq(
 
 
 def _assign(sv: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest centroid per (vec_id, sub): broadcast join + window argmin
-    (distances rounded to 9 before the argmin; ties break on cent_id)."""
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("vec_id", "sub").orderBy("dist", "cent_id")
+    """Nearest centroid per (vec_id, sub): broadcast join + argmin as a
+    partial-aggregable min over struct(dist, cent_id, subvec) — struct
+    ordering compares dist then cent_id (unique per group), so the winner
+    is identical to the former row_number window, but the aggregate
+    combines map-side: the exchange carries ONE struct per (vec_id, sub)
+    instead of all k candidate rows through a window sort."""
     return (
         sv.join(F.broadcast(cent), "sub")
-        .withColumn("dist", F.round(F.expr(_L2), 9))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "sub", "subvec", "cent_id")
+        .select(
+            "vec_id",
+            "sub",
+            F.struct(
+                F.round(F.expr(_L2), 9).alias("dist"),
+                F.col("cent_id").alias("cent_id"),
+                F.col("subvec").alias("subvec"),
+            ).alias("s"),
+        )
+        .groupBy("vec_id", "sub")
+        .agg(F.min("s").alias("s"))
+        .select(
+            "vec_id",
+            "sub",
+            F.col("s.subvec").alias("subvec"),
+            F.col("s.cent_id").alias("cent_id"),
+        )
     )
 
 
@@ -210,19 +225,27 @@ def _coarse_assign(d: DataFrame, coarse: DataFrame, id_col: str = "vec_id"):
     embedding=emb−centroid). The n_cells-row centroid frame broadcasts
     into a nested-loop over the corpus (bounded: cells × rows), distances
     round to 9 before the argmin, ties break on cell_id — the same
-    determinism contract as PQ's _assign."""
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy(id_col).orderBy("dist", "cell_id")
+    determinism contract as PQ's _assign. The argmin is a map-side-
+    combinable min over struct(dist, cell_id, residual): candidate
+    residuals cost n_cells cheap zip_withs per vector, and in exchange
+    the shuffle carries ONE 64-dim struct per vector instead of n_cells
+    (emb, c_vec) pairs through a window sort."""
     return (
         d.crossJoin(F.broadcast(coarse))
-        .withColumn("dist", F.round(F.expr(_L2_EMB), 9))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
         .select(
             id_col,
-            "cell_id",
-            F.expr("zip_with(emb, c_vec, (x, y) -> x - y)").alias("embedding"),
+            F.struct(
+                F.round(F.expr(_L2_EMB), 9).alias("dist"),
+                F.col("cell_id").alias("cell_id"),
+                F.expr("zip_with(emb, c_vec, (x, y) -> x - y)").alias("embedding"),
+            ).alias("s"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("s").alias("s"))
+        .select(
+            id_col,
+            F.col("s.cell_id").alias("cell_id"),
+            F.col("s.embedding").alias("embedding"),
         )
     )
 

@@ -720,19 +720,34 @@ def _ivf_assign(spark, sf_dir):
     index, computed from the parquet inputs on every invocation (r9: the
     former stamped memo served later queries a precomputed assignment).
     The localCheckpoint covers within-invocation reuse: probe and corpus
-    branches of one search read one assignment pass."""
-    from pyspark.sql import Window as W
+    branches of one search read one assignment pass.
 
+    Argmax as a map-side-combinable max over struct(ccos, -cent_id,
+    payload): struct order compares ccos (desc via max), then -cent_id
+    (max of the negation = smallest cent_id — the former window's
+    tie-break), so the winner is identical to row_number(rc)=1, but the
+    exchange carries ONE struct per vector instead of n_cells candidate
+    rows (each with the full embedding) through a window sort."""
     e, cent = _ivf_cent(spark, sf_dir)
-    wa = W.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cent_id")
+    s = F.struct(
+        F.col("ccos").alias("ccos"),
+        (-F.col("cent_id")).alias("neg_cent"),
+        F.col("cent_id").alias("cent_id"),
+        F.col("emb").alias("emb"),
+        F.col("nrm").alias("nrm"),
     )
     return (
         e.crossJoin(cent)
         .withColumn("ccos", _ivf_ccos())
-        .withColumn("rc", F.row_number().over(wa))
-        .where(F.col("rc") == 1)
-        .select("vec_id", "emb", "nrm", "cent_id")
+        .select("vec_id", s.alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("s"))
+        .select(
+            "vec_id",
+            F.col("s.emb").alias("emb"),
+            F.col("s.nrm").alias("nrm"),
+            F.col("s.cent_id").alias("cent_id"),
+        )
         .localCheckpoint(eager=False)
     )
 
@@ -1052,8 +1067,9 @@ def kmeans_refine_centroids(spark, sf_dir):
 
     This is the *training* half of IVF that ann_ivf_topk's docstring
     defers to — expressed in DataFrame ops: assignment is a broadcast
-    join + window argmin (8 centroids ride along; the corpus never
-    shuffles), the mean is posexplode → one narrow-keyed aggregation, and
+    join + map-side-combined struct-min argmin (8 centroids ride along;
+    the corpus never shuffles candidate rows, only one winner struct per
+    vector), the mean is posexplode → one narrow-keyed aggregation, and
     each round's tiny centroid frame is localCheckpointed so iteration
     lineage stays O(1), exactly the connected-components pattern.
 
@@ -1063,23 +1079,35 @@ def kmeans_refine_centroids(spark, sf_dir):
     unrolled-CTE DuckDB twin matches hash-for-hash despite the two
     engines aggregating in different orders. A dyadic double can never be
     a decimal half-way case, so the double→decimal rounding agrees too."""
-    from pyspark.sql import Window as W
-
-    e = tbl(spark, sf_dir, "embeddings").select(
+    # scan-width floor before the per-iteration assign: the struct-min
+    # partial aggregate (and its candidate L2 folds) otherwise runs at
+    # the scan's single-row-group width (util.wide — cluster no-op)
+    e = wide(spark, tbl(spark, sf_dir, "embeddings"), sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
     )
     cent = e.where(
         (F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 250 * _N_CELLS)
     ).select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("c_emb"))
-    w = W.partitionBy("vec_id").orderBy("dist", "cent_id")
     means = None
     for _ in range(_KM_ITERS):
+        # argmin as a map-side-combinable min over struct(dist, cent_id,
+        # emb): identical winner to the former row_number window (struct
+        # order = dist then cent_id, the same tie-break), but the
+        # exchange carries ONE struct per vector instead of n_cells
+        # embedding-wide candidate rows through a window sort
         assign = (
             e.crossJoin(F.broadcast(cent))
-            .withColumn("dist", F.round(F.expr(_L2_SPARK), 6))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "emb", F.col("cent_id").alias("cell"))
+            .select(
+                "vec_id",
+                F.struct(
+                    F.round(F.expr(_L2_SPARK), 6).alias("dist"),
+                    F.col("cent_id").alias("cent_id"),
+                    F.col("emb").alias("emb"),
+                ).alias("s"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("s").alias("s"))
+            .select(F.col("s.cent_id").alias("cell"), F.col("s.emb").alias("emb"))
         )
         means = (
             assign.select("cell", F.posexplode("emb").alias("p", "x"))
@@ -1227,7 +1255,10 @@ def _pq_corpus(spark, sf_dir, iters: int = 2):
     feed shortlist + re-rank."""
     from bridgedownstream_spark.operators.pq import encode_pq, train_pq
 
-    emb = tbl(spark, sf_dir, "embeddings")
+    # scan-width floor before the subvector explode + assign folds: the
+    # train/encode partial aggregates otherwise run at the scan's
+    # single-row-group width (util.wide — cluster no-op)
+    emb = wide(spark, tbl(spark, sf_dir, "embeddings"), sf_dir, "embeddings")
     cb = train_pq(emb, iters=iters).localCheckpoint(eager=False)
     codes = encode_pq(emb, cb).localCheckpoint(eager=False)
     return cb, codes
@@ -1889,7 +1920,9 @@ def _ivfpq_corpus(spark, sf_dir, iters: int = 0):
     probe, residual lookup-table, and code-join branches."""
     from bridgedownstream_spark.operators.pq import ivfpq_index
 
-    emb = tbl(spark, sf_dir, "embeddings")
+    # scan-width floor (see _pq_corpus): coarse assign + residual PQ
+    # train/encode are row-local-heavy map stages
+    emb = wide(spark, tbl(spark, sf_dir, "embeddings"), sf_dir, "embeddings")
     coarse, cb, codes = ivfpq_index(emb, iters=iters)
     return tuple(
         df.localCheckpoint(eager=False) for df in (coarse, cb, codes)
@@ -2011,13 +2044,31 @@ def _sem_ranked(spark, sf_dir):
             F.col("nrm").alias("c_nrm"),
         )
     )
-    wa = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    # argmax as a map-side-combinable max over struct(ccos, -cent_id,
+    # payload) — identical winner to the former row_number window (ties
+    # break to the smallest cent_id via the negation), but the exchange
+    # carries ONE struct per vector instead of ~sqrt(n) candidate rows
+    # (each with the full embedding) through a window sort
+    s = F.struct(
+        F.col("ccos").alias("ccos"),
+        (-F.col("cent_id")).alias("neg_cent"),
+        F.col("cent_id").alias("cent_id"),
+        F.col("emb").alias("emb"),
+        F.col("nrm").alias("nrm"),
+    )
     assign = (
         e.crossJoin(cent)
         .withColumn("ccos", _ivf_ccos())
-        .withColumn("rc", F.row_number().over(wa))
-        .where(F.col("rc") == 1)
-        .select("vec_id", "emb", "nrm", F.col("cent_id").alias("cell"), "ccos")
+        .select("vec_id", s.alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("s"))
+        .select(
+            "vec_id",
+            F.col("s.emb").alias("emb"),
+            F.col("s.nrm").alias("nrm"),
+            F.col("s.cent_id").alias("cell"),
+            F.col("s.ccos").alias("ccos"),
+        )
     )
     wr = W.partitionBy("cell").orderBy(F.col("ccos").desc(), "vec_id")
     return (
