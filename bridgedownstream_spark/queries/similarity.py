@@ -1473,15 +1473,27 @@ def near_dup_keep_best(spark, sf_dir):
     )
     from pyspark.sql import Window as W
 
-    d = tbl(spark, sf_dir, "documents")
-    # same normalization as the LSH shingles (_WORDS_SPARK): quality must
-    # be measured over the tokenization the pairing actually used
-    qual = d.select(
-        "doc_id", F.expr(f"size(array_distinct({_WORDS_SPARK}))").alias("uq")
+    # quality is only ELECTED within clusters, so tokenize only cluster
+    # members: broadcast the (tiny, checkpoint-derived) component table
+    # into the documents scan and compute uq on the join SURVIVORS — the
+    # split/array_distinct expressions move from a corpus-wide pre-join
+    # projection to a post-join one in the same stage (zero extra
+    # operators); at 100 TB this is clusters vs corpus. Same
+    # normalization as the LSH shingles (_WORDS_SPARK): quality must be
+    # measured over the tokenization the pairing actually used.
+    qual = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .join(F.broadcast(comp), "doc_id")
+        .select(
+            "doc_id",
+            "component",
+            F.expr(f"size(array_distinct({_WORDS_SPARK}))").alias("uq"),
+        )
     )
     w = W.partitionBy("component").orderBy(F.desc("uq"), F.asc("doc_id"))
     return (
-        comp.join(qual, "doc_id")
+        qual
         .select(
             "doc_id",
             "component",
@@ -2912,38 +2924,48 @@ def _band_sweep_impl(spark, sf_dir, sampled: bool):
         .localCheckpoint(eager=False)
     )
     t_n = truth.groupBy().agg(F.count(F.lit(1)).alias("tn"))
-    rows = None
-    for nb, r in _SWEEP_CFGS:
-        c = allc.where(F.col("cfg") == nb).select("doc_a", "doc_b")
-        stats = c.join(
-            truth.withColumn("hit", F.lit(1)),
-            ["doc_a", "doc_b"],
-            "left",
+    # ONE pass prices every config: the former per-config loop ran three
+    # candidate⋈truth joins + three aggregates over the same two
+    # checkpointed frames (3× the join and 3× the generated stages for
+    # identical inputs); a single left join + groupBy(cfg) computes all
+    # three rows map-side-combined. The literal config grid left-joins
+    # the grouped stats so a config with ZERO candidates still emits its
+    # row with the exact semantics of the old empty aggregate
+    # (n_candidates 0, n_true/ppms NULL — sum over no rows is NULL).
+    grouped = (
+        allc.join(truth.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_true"),
         )
-        row = (
-            stats.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
-                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                .cast("bigint")
-                .alias("n_true"),
-            )
-            .crossJoin(F.broadcast(t_n))
-            .select(
-                F.lit(nb).cast("int").alias("bands"),
-                F.lit(r).cast("int").alias("rows_per_band"),
-                "n_candidates",
-                "n_true",
-                F.expr(
-                    "CAST(n_true * 1000000 div greatest(n_candidates, 1)"
-                    " AS BIGINT)"
-                ).alias("precision_ppm"),
-                F.expr(
-                    "CAST(n_true * 1000000 div greatest(tn, 1) AS BIGINT)"
-                ).alias("recall_vs_max_ppm"),
-            )
+    )
+    grid = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({nb}, {r})" for nb, r in _SWEEP_CFGS)
+        + " AS t(bands, rows_per_band)"
+    )
+    return (
+        grid.join(F.broadcast(grouped), grid.bands == grouped.cfg, "left")
+        .crossJoin(F.broadcast(t_n))
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce(F.col("n_candidates"), F.lit(0).cast("bigint")).alias(
+                "n_candidates"
+            ),
+            "n_true",
+            F.expr(
+                "CAST(n_true * 1000000 div greatest(coalesce(n_candidates, 0), 1)"
+                " AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(n_true * 1000000 div greatest(tn, 1) AS BIGINT)"
+            ).alias("recall_vs_max_ppm"),
         )
-        rows = row if rows is None else rows.unionByName(row)
-    return rows
+    )
 
 
 # -- embedding geometry diagnostics -------------------------------------------
