@@ -293,15 +293,15 @@ def duplicate_spans(spark, sf_dir):
     explode zero rows)."""
     from pyspark.sql import Window as W
 
-    # widen BEFORE the tokenize: the gram explode + per-gram md5 is the
-    # dominant map stage and otherwise runs at the scan's row-group width
-    # (1 task locally); no-op at cluster layouts
-    d = wide(
-        spark,
-        tbl(spark, sf_dir, "documents").select("doc_id", "text"),
-        sf_dir,
-        "documents",
-    ).withColumn("t", F.expr(_NORM_TOKS_EXPR))
+    # NO scan-width floor here — measured as a regression (r9, two
+    # interleaved A/B pairs: 2.44 s narrow vs 3.18 s widened, min-of-2
+    # each, controls flat): the count-window shuffle on gh dominates and
+    # the extra round-robin exchange of (doc_id, text) costs more than
+    # the single-task tokenize saves at bench scale. At cluster layouts
+    # wide() is a no-op anyway, so nothing is lost at 100 TB either.
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text").withColumn(
+        "t", F.expr(_NORM_TOKS_EXPR)
+    )
     h = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(_grams_expr("t", 8)))).alias("g"),
