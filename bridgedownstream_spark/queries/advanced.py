@@ -5247,19 +5247,22 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the md5 work would run 3-wide on 32 cores. One narrow repartition
     # widens it; on a real cluster the scan already has thousands of
     # splits and this exchange coalesces to a no-op under AQE.
+    # the row-constant "orderkey:linenumber" prefix of the draw key is
+    # hoisted ABOVE the x32 explode: one concat per ROW instead of per
+    # draw (the md5 itself must stay per-draw - it is the randomness)
     draws = li.repartition(
         spark.sparkContext.defaultParallelism, "l_orderkey"
     ).select(
-        "l_returnflag", "v", "l_orderkey", "l_linenumber",
-        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"),
-    )
-    u = portable_hash60(
+        "l_returnflag", "v",
         F.concat_ws(
             ":",
             F.col("l_orderkey").cast("string"),
             F.col("l_linenumber").cast("string"),
-            F.col("b").cast("string"),
-        )
+        ).alias("pfx"),
+        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"),
+    )
+    u = portable_hash60(
+        F.concat_ws(":", F.col("pfx"), F.col("b").cast("string"))
     )
     w = F.lit(8)
     for k in range(len(_POIS_T) - 1, -1, -1):
