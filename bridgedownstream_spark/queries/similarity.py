@@ -128,7 +128,17 @@ def _shingled(spark, sf_dir):
 def _shingled_for(spark, sf_dir, doc_ids):
     """Shingles for a SUBSET of docs: semi-join the raw table to the
     (broadcast) id set before the shingle expressions run, so the split/
-    transform work is proportional to the subset, not the corpus."""
+    transform work is proportional to the subset, not the corpus.
+
+    Deliberately NOT localCheckpointed even though every caller aliases
+    this frame twice (sa/sb, so the subtree executes once per pair
+    side): measured across three interleaved fresh-JVM A/B pairs at
+    sf0.1 (r9), materializing it cost +0.3-0.5 s on near_dup_lsh_pairs /
+    near_dup_incremental / jaccard_prefix_join and was neutral on
+    containment/sweep — the candidate-sized shingle table's checkpoint
+    barrier + double RDD read outweighs the duplicated (semi-filtered,
+    candidate-proportional) subtree at any scale where candidates ≪
+    corpus, which is the regime the semi-join already guarantees."""
     d = tbl(spark, sf_dir, "documents").join(
         F.broadcast(doc_ids.select("doc_id")), "doc_id", "semi"
     )
