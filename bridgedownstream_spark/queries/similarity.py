@@ -1483,27 +1483,25 @@ def near_dup_keep_best(spark, sf_dir):
     )
     from pyspark.sql import Window as W
 
-    # quality is only ELECTED within clusters, so tokenize only cluster
-    # members: broadcast the (tiny, checkpoint-derived) component table
-    # into the documents scan and compute uq on the join SURVIVORS — the
-    # split/array_distinct expressions move from a corpus-wide pre-join
-    # projection to a post-join one in the same stage (zero extra
-    # operators); at 100 TB this is clusters vs corpus. Same
-    # normalization as the LSH shingles (_WORDS_SPARK): quality must be
-    # measured over the tokenization the pairing actually used.
-    qual = (
-        tbl(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .join(F.broadcast(comp), "doc_id")
-        .select(
-            "doc_id",
-            "component",
-            F.expr(f"size(array_distinct({_WORDS_SPARK}))").alias("uq"),
-        )
+    # Corpus-wide uq + UNFORCED narrow join — deliberately NOT the
+    # "tokenize only cluster members via F.broadcast(comp) join-first"
+    # form, which was tried (r9) and REVERTED: isolated 100x runs
+    # measured the two forms EQUAL (17.6 s vs 18.0 s, clean probes), and
+    # the tried form force-broadcasts a corpus-PROPORTIONAL table — in a
+    # high-dup corpus (every doc clustered: the 100x copy replica, or
+    # any real crawl snapshot) "cluster members" IS the corpus, which is
+    # the data-proportional-broadcast anti-pattern the band sweep OOM'd
+    # on in r8. The corpus-linear tokenize with a narrow (doc_id, uq)
+    # join is the scale-robust shape at any dup rate. Same normalization
+    # as the LSH shingles (_WORDS_SPARK): quality must be measured over
+    # the tokenization the pairing actually used.
+    d = tbl(spark, sf_dir, "documents")
+    qual = d.select(
+        "doc_id", F.expr(f"size(array_distinct({_WORDS_SPARK}))").alias("uq")
     )
     w = W.partitionBy("component").orderBy(F.desc("uq"), F.asc("doc_id"))
     return (
-        qual
+        comp.join(qual, "doc_id")
         .select(
             "doc_id",
             "component",
