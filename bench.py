@@ -181,8 +181,12 @@ def main() -> int:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "sf_dir": sf_dir,
         "n_queries": len(per_query),
         "reps": reps,
+        # effective parallelism proof (VERDICT r9 #3)
+        "cpus": cpus,
+        "parallelism": spark.sparkContext.defaultParallelism,
     }
     if failures:
         full["failures"] = failures
@@ -194,12 +198,19 @@ def main() -> int:
                            artifact), "w") as fh:
         json.dump(full, fh, indent=1)
 
-    print(build_report_line(per_query, failures, sf))
+    print(build_report_line(
+        per_query, failures, sf,
+        cpus=cpus, parallelism=spark.sparkContext.defaultParallelism,
+    ))
     return 1 if failures else 0
 
 
 def build_report_line(
-    per_query: dict[str, float], failures: dict[str, str], sf: float | None
+    per_query: dict[str, float],
+    failures: dict[str, str],
+    sf: float | None,
+    cpus: int | None = None,
+    parallelism: int | None = None,
 ) -> str:
     """ONE JSON line ≤ _TAIL_WINDOW bytes: headline (certifying-window)
     queries only, compact separators, 2-decimal times — and a hard guard
@@ -213,6 +224,13 @@ def build_report_line(
         "unit": "sec",
         "sf": sf,
         "n_queries": len(per_query),
+        # prove the parallelism the run executed at (VERDICT r9 #3): cpus
+        # echoes $SPARK_GRAFT_CPUS, parallelism is the live
+        # sc.defaultParallelism of the local[cpus] master — a scaling
+        # block keyed on these can distinguish "env ignored" from
+        # "overhead-bound at this SF".
+        "cpus": cpus,
+        "parallelism": parallelism,
     }
     while True:
         report["queries"] = {n: round(per_query[n], 2) for n in headline}

@@ -1216,8 +1216,21 @@ def dsir_select(spark, sf_dir):
     TakeOrdered(K). The DuckDB oracle states the same spec relationally
     (explode → bucket join → group-by-doc sum) — two formulations, one
     decimal-exact answer. Log ratios round to 7 decimals into DECIMAL
-    before any summation (the lm_perplexity ln-parity discipline)."""
+    before any summation (the lm_perplexity ln-parity discipline).
+
+    r10 (VERDICT r9 #5): the model and scoring phases used to EACH run
+    the tokenize + per-gram md5 expressions (two corpus-sized passes of
+    the dominant per-task work). Now ONE pass folds each doc's grams to
+    an INT bucket array, localCheckpointed doc-keyed (doc_id, lang,
+    bs[]) — gram-order preserved, so the scoring fold's decimal
+    accumulation sequence is bit-identical — and both the model
+    aggregate (explode → groupBy(b)) and the row-local score fold read
+    that materialization: tokenize ×1, md5-per-gram ×1, and the scoring
+    branch's codegen no longer re-contains the tokenizer."""
     d = tbl(spark, sf_dir, "documents")
+    bucket_of = (
+        f"CAST(conv(substring(md5({{g}}), 1, 15), 16, 10) AS BIGINT) % {_DSIR_B}"
+    )
     # scan-width floor BEFORE the tokenize/gram/md5 expressions so the
     # per-gram work runs machine-wide (single-row-group local input
     # serializes the scan; no-op on cluster-wide layouts — see util.wide)
@@ -1227,24 +1240,27 @@ def dsir_select(spark, sf_dir):
         "doc_id", "lang", F.expr(_NORM_TOKS_EXPR).alias("t")
     ).withColumn(
         "grams", F.expr(f"concat(t, {_grams_expr('t', 2)})")
-    )
-    bucket_of = (
-        f"CAST(conv(substring(md5({{g}}), 1, 15), 16, 10) AS BIGINT) % {_DSIR_B}"
-    )
-    bucketed = toks.select(
+    ).select(
         "doc_id",
         "lang",
-        F.explode("grams").alias("g"),
-    ).select("doc_id", "lang", F.expr(bucket_of.format(g="g")).alias("b"))
+        F.expr(
+            f"transform(grams, g -> CAST({bucket_of.format(g='g')} AS INT))"
+        ).alias("bs"),
+    ).localCheckpoint(eager=False)
+    bucketed = toks.select(
+        "lang",
+        F.explode("bs").alias("b"),
+    )
     # ONE corpus pass for the whole model: raw + target bucket counts as
     # two aggregates of the same map-side-combined groupBy (the r8 form
     # ran THREE separate corpus-sized explode+md5 passes — raw counts,
-    # target counts, totals; the totals now reduce the 64-row frame)
+    # target counts, totals; the totals now reduce the 64-row frame).
+    # The explode reads the checkpointed bucket arrays — no md5 here.
     bc = bucketed.groupBy("b").agg(
         F.count(F.lit(1)).alias("rc"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
     )
-    grid = spark.range(_DSIR_B).select(F.col("id").cast("bigint").alias("b"))
+    grid = spark.range(_DSIR_B).select(F.col("id").cast("int").alias("b"))
     totals = F.broadcast(
         bc.agg(
             F.sum("rc").alias("nr"),
@@ -1281,14 +1297,17 @@ def dsir_select(spark, sf_dir):
             ).alias("ratios")
         )
     )
-    # row-local scoring fold: every doc dots its grams against the model
+    # row-local scoring fold: every doc dots its PRECOMPUTED bucket array
+    # against the model — same per-doc accumulation order as the former
+    # per-gram fold (transform preserves gram order), so the decimal sum
+    # is bit-identical, with zero md5/tokenize work left in this branch
     logw_expr = (
-        "aggregate(grams, CAST(0 AS DECIMAL(28,7)), "
+        "aggregate(bs, CAST(0 AS DECIMAL(28,7)), "
         # the merge re-casts to the accumulator type: decimal addition
         # widens (28,7)+(18,7) -> (29,7) and aggregate() requires the
         # lambda to return exactly the zero's type
-        "(acc, g) -> CAST(acc + element_at(ratios, "
-        f"CAST({bucket_of.format(g='g')} AS INT) + 1) AS DECIMAL(28,7)), "
+        "(acc, b) -> CAST(acc + element_at(ratios, b + 1) "
+        "AS DECIMAL(28,7)), "
         "acc -> acc)"
     )
     u = (

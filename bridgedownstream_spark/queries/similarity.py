@@ -739,10 +739,12 @@ def _ivf_assign(spark, sf_dir):
     exchange carries ONE struct per vector instead of n_cells candidate
     rows (each with the full embedding) through a window sort."""
     e, cent = _ivf_cent(spark, sf_dir)
+    # cent_id is derived as -neg_cent after the aggregate rather than
+    # carried as a second struct field: every shuffled winner struct is
+    # one long narrower (ADVICE r9).
     s = F.struct(
         F.col("ccos").alias("ccos"),
         (-F.col("cent_id")).alias("neg_cent"),
-        F.col("cent_id").alias("cent_id"),
         F.col("emb").alias("emb"),
         F.col("nrm").alias("nrm"),
     )
@@ -756,7 +758,7 @@ def _ivf_assign(spark, sf_dir):
             "vec_id",
             F.col("s.emb").alias("emb"),
             F.col("s.nrm").alias("nrm"),
-            F.col("s.cent_id").alias("cent_id"),
+            (-F.col("s.neg_cent")).alias("cent_id"),
         )
         .localCheckpoint(eager=False)
     )
@@ -2069,10 +2071,11 @@ def _sem_ranked(spark, sf_dir):
     # break to the smallest cent_id via the negation), but the exchange
     # carries ONE struct per vector instead of ~sqrt(n) candidate rows
     # (each with the full embedding) through a window sort
+    # cell is derived as -neg_cent after the aggregate rather than carried
+    # as a second struct field (one long narrower per winner, ADVICE r9)
     s = F.struct(
         F.col("ccos").alias("ccos"),
         (-F.col("cent_id")).alias("neg_cent"),
-        F.col("cent_id").alias("cent_id"),
         F.col("emb").alias("emb"),
         F.col("nrm").alias("nrm"),
     )
@@ -2086,7 +2089,7 @@ def _sem_ranked(spark, sf_dir):
             "vec_id",
             F.col("s.emb").alias("emb"),
             F.col("s.nrm").alias("nrm"),
-            F.col("s.cent_id").alias("cell"),
+            (-F.col("s.neg_cent")).alias("cell"),
             F.col("s.ccos").alias("ccos"),
         )
     )
@@ -2672,6 +2675,15 @@ def contrastive_pairs(spark, sf_dir):
 # -- LSH banding parameter sweep ---------------------------------------------
 
 _SWEEP_CFGS = [(2, 4), (4, 2), (8, 1)]  # (bands, rows) over the 8 minhashes
+# The single-pass sweep keys grouped stats on cfg (= band count) and joins
+# grid.bands == grouped.cfg, so band-count uniqueness across configs is
+# load-bearing in TWO places (band-id namespacing and the stats join). A
+# future config reusing a band count with a different rows_per_band would
+# silently merge two configs' stats — fail loudly at import instead.
+assert len({nb for nb, _ in _SWEEP_CFGS}) == len(_SWEEP_CFGS), (
+    "_SWEEP_CFGS band counts must be unique: the stacked sweep keys config "
+    "identity on the band count"
+)
 _SWEEP_TAU = 0.5  # the near_dup_lsh_pairs verify threshold
 
 def _cfg_band_spark(b: int, r: int) -> str:

@@ -67,6 +67,19 @@ def test_trimming_never_yields_unparseable_line():
     assert parsed["n_queries"] == 60
 
 
+def test_line_reports_effective_parallelism():
+    """VERDICT r9 #3: the line must prove which parallelism the run
+    executed at so the driver's scaling block can distinguish "env
+    ignored" from "overhead-bound at this SF"."""
+    line = bench.build_report_line(
+        _fake_times(REGISTRY), {}, 0.1, cpus=8, parallelism=8
+    )
+    assert len(line) <= bench._TAIL_WINDOW
+    parsed = json.loads(line)
+    assert parsed["cpus"] == 8
+    assert parsed["parallelism"] == 8
+
+
 def test_certifying_window_is_exactly_fifty():
     """The external harness checks the first 50 registry entries — the
     certifying prefix must fill that window exactly (every SURVEY §2

@@ -221,6 +221,31 @@ def test_every_query_plan_is_scale_clean(registry_dfs):
         assert "BatchEvalPython" not in plan, name
 
 
+def test_every_query_scans_only_declared_inputs(registry_dfs):
+    """De-cache invariant as CI (VERDICT r9 #9): every file path any
+    registry plan scans must be (a) the testdata dir itself, (b) a /tmp
+    fixture lake written by the declared pipeline builders (bds_* — the
+    write-once ETL artifacts the lake queries READ, rebuilt per process),
+    or (c) the local spark-warehouse. Anything else — in particular the
+    r3-r5-era stamped result caches (bds_lshcand_*, bds_pq_*,
+    bds_ivfpq_*) removed by the r9 de-cache — is result caching across
+    runs: gaming, not optimization."""
+    # substring tokens, not prefixes: plan text renders some locations as
+    # glob/regex patterns (e.g. ")?/*tmp/bds_compactlake_sf0\\.001/")
+    allowed = ("testdata/", "tmp/bds_", "spark-warehouse")
+    forbidden = ("bds_lshcand", "bds_pq_", "bds_ivfpq_")
+    bad = []
+    for name, df in registry_dfs.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for m in re.finditer(r"file:([^\s,\]]+)", plan):
+            path = m.group(1).rstrip(".")
+            if any(f in path for f in forbidden) or not any(
+                a in path for a in allowed
+            ):
+                bad.append(f"{name}: {path}")
+    assert not bad, f"plans scan undeclared paths: {bad}"
+
+
 def test_every_query_output_is_driver_canonicalizable(registry_dfs):
     """Global guard: the correctness harness materializes EVERY registry
     query's output (rows-only included) and canonicalizes it through a
