@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "train_pq",
     "encode_pq",
+    "pq_index",
     "pq_shortlist",
     "ivfpq_index",
     "ivfpq_shortlist",
@@ -85,6 +86,15 @@ def train_pq(
     yield exactly ``k`` centroids per subspace, which requires vec_ids
     dense enough to cover [0, seed_stride*k) — sparse ids would silently
     train fewer centroids and degrade recall with no signal."""
+    _check_dim(emb, m)
+    sv = _subvectors(emb, m).persist()
+    try:
+        return _train_from_sv(sv, m=m, k=k, iters=iters, seed_stride=seed_stride)
+    finally:
+        sv.unpersist()
+
+
+def _check_dim(emb: DataFrame, m: int) -> None:
     first = emb.select(F.size("embedding").alias("d")).first()
     if first is None:
         raise ValueError("train_pq: empty embeddings input")
@@ -93,7 +103,16 @@ def train_pq(
             f"train_pq: embedding dim {first['d']} not divisible by m={m}; "
             f"the trailing {first['d'] % m} dims would be dropped from every code"
         )
-    sv = _subvectors(emb, m).persist()
+
+
+def _train_from_sv(
+    sv: DataFrame, m: int, k: int, iters: int, seed_stride: int
+) -> DataFrame:
+    """The Lloyd loop over a caller-materialized subvector table — split
+    out so pq_index can share ONE sv materialization between training and
+    encoding (r10: encode_pq re-derived the whole subvector explode —
+    and, for IVF-PQ, the coarse-assign corpus pass under it — a second
+    time)."""
     cent = (
         sv.where((F.col("vec_id") % seed_stride == 0) & (F.col("vec_id") < seed_stride * k))
         .select(
@@ -104,7 +123,6 @@ def train_pq(
     )
     n_seeds = cent.count()  # tiny filtered frame; train is multi-job anyway
     if n_seeds != m * k:
-        sv.unpersist()
         raise ValueError(
             f"train_pq: seed selection yielded {n_seeds} centroids, expected "
             f"m*k={m * k}; vec_id must be dense over [0, {seed_stride * k})"
@@ -125,8 +143,28 @@ def train_pq(
             )
             .localCheckpoint(eager=True)
         )
-    sv.unpersist()
     return cent
+
+
+def pq_index(
+    emb: DataFrame, m: int = 16, k: int = 16, iters: int = 2, seed_stride: int = 31
+) -> tuple[DataFrame, DataFrame]:
+    """(codebook, codes) built over ONE materialized subvector table.
+
+    train_pq + encode_pq as separate calls each derive the (vec_id, sub,
+    subvec) explode from scratch — for the IVF-PQ residual index that
+    repeats the whole coarse-assign corpus pass. Here the explode
+    localCheckpoints once and feeds the seed filter, every Lloyd round,
+    AND the final encode assignment (within-invocation reuse only —
+    nothing persists across calls). Results are bit-identical to the
+    two-call form: same expressions, one materialization boundary."""
+    _check_dim(emb, m)
+    sv = _subvectors(emb, m).localCheckpoint(eager=False)
+    cb = _train_from_sv(sv, m=m, k=k, iters=iters, seed_stride=seed_stride)
+    codes = _assign(sv, cb).select(
+        "vec_id", "sub", F.col("cent_id").alias("code")
+    )
+    return cb, codes
 
 
 def _assign(sv: DataFrame, cent: DataFrame) -> DataFrame:
@@ -280,11 +318,16 @@ def ivfpq_index(
         (F.col("vec_id") / cell_stride).cast("int").alias("cell_id"),
         F.col("emb").alias("c_vec"),
     )
-    resid = _coarse_assign(d, coarse)
-    cb = train_pq(resid.select("vec_id", "embedding"), m=m, k=k, iters=iters)
-    codes = encode_pq(resid.select("vec_id", "embedding"), cb, m=m).join(
-        resid.select("vec_id", "cell_id"), "vec_id"
+    # r10: the residual table feeds FOUR consumers (the dim check, the
+    # Lloyd train, the encode assignment, and the cell-id join below) —
+    # un-materialized, each re-ran the coarse-assign corpus pass.
+    # Checkpoint it once (within-invocation), and build codebook + codes
+    # over ONE shared subvector explode (pq_index).
+    resid = _coarse_assign(d, coarse).localCheckpoint(eager=False)
+    cb, pcodes = pq_index(
+        resid.select("vec_id", "embedding"), m=m, k=k, iters=iters
     )
+    codes = pcodes.join(resid.select("vec_id", "cell_id"), "vec_id")
     return coarse, cb, codes
 
 

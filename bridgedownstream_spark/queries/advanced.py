@@ -2589,8 +2589,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic-identical either way.
     """
     raw = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    li = raw.distinct().localCheckpoint(eager=False, storageLevel=_FACT_STATE)
-    a, b = li.alias("a"), li.alias("b")
+    a, b = raw.alias("a"), raw.alias("b")
     # ONE pair-sized exchange total: the self-join's pairs repartition
     # by dst, after which dst-clustering satisfies EVERY later grouping
     # — the (src,dst) distinct needs no second exchange (a subset of the
@@ -2602,6 +2601,14 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r5 shape (distinct + deg-on-src + edges ⋈ deg) recomputed the
     # self-join twice and moved pair-sized data three times; at 100x
     # that dominated the whole query.
+    # r10: the pre-join distinct + pair checkpoint are GONE — the edge
+    # set's own distinct already dedups any (orderkey, partkey) repeat's
+    # pair copies, so the pre-distinct bought one whole exchange + agg +
+    # MEMORY_AND_DISK materialization of the pair table to drop a
+    # near-empty duplicate mass (lineitem rarely repeats a part within
+    # an order; the dup pairs ride the dst exchange and die in the
+    # distinct). The self-join's two sides stay ONE computation via
+    # ReusedExchange (identical scan -> Exchange(l_orderkey) subtrees).
     edges = (
         a.join(b, "l_orderkey")
         .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
@@ -2619,7 +2626,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("dst").alias("node"), "outdeg")
         .localCheckpoint(eager=False)  # node-sized, reused all rounds
     )
-    nodes = li.select(F.col("l_partkey").alias("node")).distinct()
+    nodes = raw.select(F.col("l_partkey").alias("node")).distinct()
 
     n = nodes.count()
     init = _PR_TOTAL // n
@@ -5237,7 +5244,17 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     every b-group. That removes the second lineitem scan, the separate
     per-flag aggregate, and the broadcast join the oracle writes — one
     corpus pass total (guide §1.2 step 1: don't recompute what a pass
-    already carries)."""
+    already carries).
+
+    r10 measured-and-REJECTED: folding the x32 explode into per-row
+    weight arrays (transform-built us/ws, 64 element_at aggregate
+    buffers keyed on flag alone, unpivot after) was bit-exact but
+    measured 5.0-5.1 s vs 4.07 s for this explode form in two
+    interleaved cold A/B pairs with flat controls — the (flag,b) hash
+    aggregate is fully map-side-combined, so the explode costs row
+    iteration only, which is cheaper than materializing two 32-wide
+    arrays per row and updating 66 aggregate buffers. The exchange
+    already carries groups x 32 states either way."""
     li = tbl(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_orderkey", "l_linenumber",
         F.col("l_extendedprice").alias("v"),

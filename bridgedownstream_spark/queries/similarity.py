@@ -1265,15 +1265,16 @@ def _pq_corpus(spark, sf_dir, iters: int = 2):
     oracle reconstructs. localCheckpoints are within-invocation only:
     the codebook feeds encode + every lookup-table branch, the codes
     feed shortlist + re-rank."""
-    from bridgedownstream_spark.operators.pq import encode_pq, train_pq
+    from bridgedownstream_spark.operators.pq import pq_index
 
     # scan-width floor before the subvector explode + assign folds: the
     # train/encode partial aggregates otherwise run at the scan's
     # single-row-group width (util.wide — cluster no-op)
     emb = wide(spark, tbl(spark, sf_dir, "embeddings"), sf_dir, "embeddings")
-    cb = train_pq(emb, iters=iters).localCheckpoint(eager=False)
-    codes = encode_pq(emb, cb).localCheckpoint(eager=False)
-    return cb, codes
+    # r10: codebook + codes share ONE materialized subvector explode
+    # (pq_index) instead of train_pq/encode_pq each deriving it
+    cb, codes = pq_index(emb, iters=iters)
+    return cb.localCheckpoint(eager=False), codes.localCheckpoint(eager=False)
 
 
 @q("pq_ann_shortlist", None)  # rows-only: iterative k-means training is
