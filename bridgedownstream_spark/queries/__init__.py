@@ -98,26 +98,34 @@ from bridgedownstream_spark.queries import (
 #: basename_extract, csv_export_roundtrip, fixed_width_roundtrip,
 #: zorder_box_query, attribution_position, bpe_learned_segmentation,
 #: domain_mix_kl, kcore_peeling, portable_cms_heavy_hitters.
-#: Round-10 rotation backlog (never driver-certified, rough priority):
-#: cohens_kappa + chao1_vocab_richness + conformal_anomaly_bound (NEW
-#: r9, oracle-certified at all three scales: chance-corrected rater
-#: agreement; Chao1/Good-Turing vocabulary coverage estimation;
-#: split-conformal distribution-free anomaly bound riding the r9
-#: prefix-scan order-statistic selection), split_contamination +
+#: Round-10 rotation EXECUTED (VERDICT r9 #10): promoted the eight
+#: never-driver-certified r9 additions the verdict names —
+#: classifier_auc, cumulative_gains, hits_scores, gram_novelty_curve
+#: (the verdict's "corpus_novelty_curve"), label_centroid_similarity,
+#: lang_confusion_matrix, context_truncation_loss,
+#: conformal_anomaly_bound. Rotated out (ALL r9-driver-green,
+#: CORRECTNESS_r09.json; §2/family survivor noted):
+#: mann_whitney_u (prefix-scan two-sample family → ks_two_sample),
+#: cusum_changepoint (changepoint/monitor → psi_drift + benford +
+#: incoming conformal_anomaly_bound), dow_seasonality (event-time
+#: stats → interarrival_burstiness), gini_activity_concentration
+#: (concentration curves → incoming cumulative_gains; gini stays
+#: scale-pinned via the jitter gate), clustering_coefficient (graph →
+#: incoming hits_scores + kcore/pagerank r8-green history — same
+#: incoming-survivor precedent as the r9 clustering promotion),
+#: readability_score (text QC → char_entropy_quality),
+#: vocab_growth_curve (vocabulary curves → incoming gram_novelty_curve
+#: + zipf_slope), tokenizer_fertility_by_lang (text/tokenizer →
+#: char_entropy_quality + collocation_pmi + zipf_slope).
+#: Round-11 rotation backlog (never driver-certified, rough priority):
+#: cohens_kappa + chao1_vocab_richness (NEW r9, oracle-certified at all
+#: three scales: chance-corrected rater agreement; Chao1/Good-Turing
+#: vocabulary coverage estimation), split_contamination +
 #: embedding_anisotropy (NEW r9 wave 2: 8-gram decontamination audit of
 #: the certified md5 split itself; embedding-geometry anisotropy +
 #: rogue-dimension diagnostics in exact integer micro-units),
-#: lang_confusion_matrix + context_truncation_loss (NEW r9 wave 3:
-#: declared-vs-detected language label audit; context-budget truncation
-#: loss curve over a literal budget grid), label_centroid_similarity +
-#: mutual_information + hits_scores (NEW r9 wave 4: class-separability
-#: centroid cosines; per-cell I(segment; event) in nats; HITS
-#: hubs/authorities over the directed customer→part graph — exact
-#: integer sum-normalized power iteration, 3x-unrolled oracle),
-#: gram_novelty_curve + classifier_auc + cumulative_gains (NEW r9 wave
-#: 5: first-seen 8-gram rate by ingestion decile; exact midrank AUC of
-#: the punct score vs the language-known label; 10-band cumulative
-#: gains/lift table),
+#: mutual_information (NEW r9 wave 4: per-cell I(segment; event) in
+#: nats),
 #: event_paths_topk,
 #: quantile_band_rollup, portable_hll_cardinality, portable_kmv_jaccard,
 #: bloom_semi_join + bloom_pruned_lookup, cdc_apply + ivm_agg_retract +
@@ -190,17 +198,16 @@ _CERTIFYING: tuple[str, ...] = (
     # are ALL r8-driver-green (CORRECTNESS_r08.json); family survivors
     # noted in the r9 rotation comment above ---
     "ks_two_sample",            # exact two-sample KS D — post r9
-                                # prefix-scan rewrite (VERDICT r8 #1)
-    "mann_whitney_u",           # exact midrank rank-sum U + CLES — post
-                                # r9 prefix-scan rewrite (VERDICT r8 #1)
+                                # prefix-scan rewrite (VERDICT r8 #1;
+                                # mann_whitney_u r9-green, rotated out —
+                                # prefix-scan family survivor is this row)
     "benford_deviation",        # first-digit forensic audit — post r9
                                 # TVD fix (ADVICE r8 high)
     "psi_drift",                # population stability index — post r9
-                                # aggregate-before-grid-join fix (ADVICE)
-    "gini_activity_concentration",  # grouped-data Gini, exact ppm
-    "cusum_changepoint",        # CUSUM level-shift locator, exact cents
+                                # aggregate-before-grid-join fix (ADVICE;
+                                # cusum/gini/dow r9-green, rotated out —
+                                # monitor-family survivor with benford)
     "interarrival_burstiness",  # exact-integer CV^2 burstiness
-    "dow_seasonality",          # ISO-weekday seasonal indices
     "k_anonymity_audit",        # k-anonymity / l-diversity release audit
     "loo_source_influence",     # closed-form leave-one-out valuation
     "temporal_split_leakage",   # temporal split + identity-leakage audit
@@ -211,14 +218,12 @@ _CERTIFYING: tuple[str, ...] = (
                                 # bpe_learned_segmentation + kcore_peeling
                                 # r8-green, rotated out — iterative-family
                                 # window survivor is this row)
-    "clustering_coefficient",   # degree-ordered local clustering (graph
-                                # family window survivor; kcore r8-green)
     "zipf_slope",               # Zipf rank-frequency drift fit
-    "vocab_growth_curve",       # Heaps'-law vocabulary growth
-    "tokenizer_fertility_by_lang",  # per-language subword fertility
     "char_entropy_quality",     # character-entropy gibberish QC
+                                # (readability/fertility/vocab_growth
+                                # r9-green, rotated out — text family
+                                # survivor with collocation_pmi + zipf)
     "collocation_pmi",          # PMI phrase mining
-    "readability_score",        # Flesch milli-unit readability
     "rendezvous_shards",        # HRW consistent sharding + resize audit
     "cms_join_size_estimate",   # CMS join-cardinality estimate (sketch
                                 # family window survivor;
@@ -240,6 +245,22 @@ _CERTIFYING: tuple[str, ...] = (
                                 # at-scale branch (VERDICT r8 #3)
     "retrieval_eval_ndcg",      # NDCG@10 / MRR ranking-quality eval from
                                 # shared integer log2 literals (NEW family)
+    # --- round-10 promotions (8): the never-driver-certified r9
+    # additions the r9 verdict names (VERDICT r9 #10). Rotated-out
+    # certifiers are ALL r9-driver-green; survivors in the r10 rotation
+    # comment above ---
+    "hits_scores",              # HITS hubs/authorities, directed
+                                # customer→part graph (graph family
+                                # window survivor with r8-green history
+                                # rows out-of-window)
+    "classifier_auc",           # exact midrank AUC of the punct score
+    "cumulative_gains",         # 10-band cumulative gains/lift table
+    "gram_novelty_curve",       # first-seen 8-gram rate by decile
+    "label_centroid_similarity",  # class-separability centroid cosines
+    "lang_confusion_matrix",    # declared-vs-detected language audit
+    "context_truncation_loss",  # context-budget truncation loss curve
+    "conformal_anomaly_bound",  # split-conformal anomaly bound (rides
+                                # the r9 prefix-scan order statistics)
 )
 
 #: name -> (query_fn, oracle_sql_or_None)
