@@ -168,30 +168,39 @@ def pq_index(
 
 
 def _assign(sv: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest centroid per (vec_id, sub): broadcast join + argmin as a
-    partial-aggregable min over struct(dist, cent_id, subvec) — struct
-    ordering compares dist then cent_id (unique per group), so the winner
-    is identical to the former row_number window, but the aggregate
-    combines map-side: the exchange carries ONE struct per (vec_id, sub)
-    instead of all k candidate rows through a window sort."""
-    return (
-        sv.join(F.broadcast(cent), "sub")
-        .select(
-            "vec_id",
-            "sub",
-            F.struct(
-                F.round(F.expr(_L2), 9).alias("dist"),
-                F.col("cent_id").alias("cent_id"),
-                F.col("subvec").alias("subvec"),
-            ).alias("s"),
+    """Nearest centroid per (vec_id, sub), ROW-LOCALLY (r10): the k
+    candidates of each subspace collect into ONE array per sub (a
+    16-row broadcast), each (vec_id, sub) row folds its own candidate
+    structs via array_min(transform(...)), and the assignment becomes a
+    pure map — ZERO exchange. array_min uses the same struct order
+    (dist, then cent_id) over the same round(L2, 9) values as the former
+    min() aggregate (and the window before it), so the winner is
+    bit-identical; the r9 struct-min form still shuffled one
+    (dist, cent_id, subvec) struct per (vec_id, sub)."""
+    cands = F.broadcast(
+        cent.groupBy("sub").agg(
+            F.expr("array_sort(collect_list(struct(cent_id, c_vec)))").alias(
+                "cands"
+            )
         )
-        .groupBy("vec_id", "sub")
-        .agg(F.min("s").alias("s"))
+    )
+    l2_c = _L2.replace("c_vec", "c.c_vec")
+    return (
+        sv.join(cands, "sub")
         .select(
             "vec_id",
             "sub",
-            F.col("s.subvec").alias("subvec"),
-            F.col("s.cent_id").alias("cent_id"),
+            "subvec",
+            F.expr(
+                "array_min(transform(cands, c -> "
+                f"struct(round({l2_c}, 9) AS dist, c.cent_id AS cent_id)))"
+            ).alias("best"),
+        )
+        .select(
+            "vec_id",
+            "sub",
+            "subvec",
+            F.col("best.cent_id").alias("cent_id"),
         )
     )
 
@@ -267,23 +276,39 @@ def _coarse_assign(d: DataFrame, coarse: DataFrame, id_col: str = "vec_id"):
     combinable min over struct(dist, cell_id, residual): candidate
     residuals cost n_cells cheap zip_withs per vector, and in exchange
     the shuffle carries ONE 64-dim struct per vector instead of n_cells
-    (emb, c_vec) pairs through a window sort."""
-    return (
-        d.crossJoin(F.broadcast(coarse))
-        .select(
-            id_col,
-            F.struct(
-                F.round(F.expr(_L2_EMB), 9).alias("dist"),
-                F.col("cell_id").alias("cell_id"),
-                F.expr("zip_with(emb, c_vec, (x, y) -> x - y)").alias("embedding"),
-            ).alias("s"),
+    (emb, c_vec) pairs through a window sort.
+
+    r10: ROW-LOCAL — the n_cells centroids collect into ONE broadcast
+    array row; each vector folds its candidates via array_min (same
+    struct order: dist, then cell_id — the winner's c_vec rides third
+    and is never compared since (dist, cell_id) is unique) and takes its
+    residual against the winner locally. The assignment is a pure
+    projection: ZERO exchange, no crossJoin row expansion."""
+    cells_row = F.broadcast(
+        coarse.agg(
+            F.expr("array_sort(collect_list(struct(cell_id, c_vec)))").alias(
+                "cells"
+            )
         )
-        .groupBy(id_col)
-        .agg(F.min("s").alias("s"))
+    )
+    l2_c = _L2_EMB.replace("c_vec", "c.c_vec")
+    return (
+        d.crossJoin(cells_row)
         .select(
             id_col,
-            F.col("s.cell_id").alias("cell_id"),
-            F.col("s.embedding").alias("embedding"),
+            "emb",
+            F.expr(
+                "array_min(transform(cells, c -> "
+                f"struct(round({l2_c}, 9) AS dist, "
+                "c.cell_id AS cell_id, c.c_vec AS c_vec)))"
+            ).alias("best"),
+        )
+        .select(
+            id_col,
+            F.col("best.cell_id").alias("cell_id"),
+            F.expr("zip_with(emb, best.c_vec, (x, y) -> x - y)").alias(
+                "embedding"
+            ),
         )
     )
 

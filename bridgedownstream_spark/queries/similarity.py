@@ -732,33 +732,52 @@ def _ivf_assign(spark, sf_dir):
     The localCheckpoint covers within-invocation reuse: probe and corpus
     branches of one search read one assignment pass.
 
-    Argmax as a map-side-combinable max over struct(ccos, -cent_id,
-    payload): struct order compares ccos (desc via max), then -cent_id
-    (max of the negation = smallest cent_id — the former window's
-    tie-break), so the winner is identical to row_number(rc)=1, but the
-    exchange carries ONE struct per vector instead of n_cells candidate
-    rows (each with the full embedding) through a window sort."""
-    e, cent = _ivf_cent(spark, sf_dir)
-    # cent_id is derived as -neg_cent after the aggregate rather than
-    # carried as a second struct field: every shuffled winner struct is
-    # one long narrower (ADVICE r9).
-    s = F.struct(
-        F.col("ccos").alias("ccos"),
-        (-F.col("cent_id")).alias("neg_cent"),
-        F.col("emb").alias("emb"),
-        F.col("nrm").alias("nrm"),
+    r10: the argmax is ROW-LOCAL — the n_cells centroids collect into ONE
+    broadcast array row and each vector folds its own candidate structs
+    via array_max(transform(cents, c -> struct(ccos, -cent_id))).
+    array_max uses the same struct order as the former max() aggregate
+    (ccos desc, then smallest cent_id via the negation — the original
+    window's tie-break) over the same round(dot/(nrm*nrm), 6) values, so
+    the winner is bit-identical, but the assignment is now a pure
+    projection: ZERO exchange, no crossJoin row expansion carrying the
+    embedding n_cells times (the r9 struct-max form still shuffled one
+    (ccos, neg_cent, emb, nrm) struct per vector)."""
+    e, _ = _ivf_cent(spark, sf_dir)
+    cents_row = F.broadcast(
+        e.where(
+            (F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 250 * _N_CELLS)
+        )
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(cent_id, c_emb, c_nrm)))"
+            ).alias("cents")
+        )
+    )
+    ccos_c = (
+        f"round({_DOT_SPARK.format(a='emb', b='c.c_emb')}"
+        " / (nrm * c.c_nrm), 6)"
     )
     return (
-        e.crossJoin(cent)
-        .withColumn("ccos", _ivf_ccos())
-        .select("vec_id", s.alias("s"))
-        .groupBy("vec_id")
-        .agg(F.max("s").alias("s"))
+        e.crossJoin(cents_row)
         .select(
             "vec_id",
-            F.col("s.emb").alias("emb"),
-            F.col("s.nrm").alias("nrm"),
-            (-F.col("s.neg_cent")).alias("cent_id"),
+            "emb",
+            "nrm",
+            F.expr(
+                "array_max(transform(cents, c -> "
+                f"struct({ccos_c} AS ccos, -c.cent_id AS neg_cent)))"
+            ).alias("best"),
+        )
+        .select(
+            "vec_id",
+            "emb",
+            "nrm",
+            (-F.col("best.neg_cent")).alias("cent_id"),
         )
         .localCheckpoint(eager=False)
     )
@@ -1102,24 +1121,37 @@ def kmeans_refine_centroids(spark, sf_dir):
     ).select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("c_emb"))
     means = None
     for _ in range(_KM_ITERS):
-        # argmin as a map-side-combinable min over struct(dist, cent_id,
-        # emb): identical winner to the former row_number window (struct
-        # order = dist then cent_id, the same tie-break), but the
-        # exchange carries ONE struct per vector instead of n_cells
-        # embedding-wide candidate rows through a window sort
-        assign = (
-            e.crossJoin(F.broadcast(cent))
-            .select(
-                "vec_id",
-                F.struct(
-                    F.round(F.expr(_L2_SPARK), 6).alias("dist"),
-                    F.col("cent_id").alias("cent_id"),
-                    F.col("emb").alias("emb"),
-                ).alias("s"),
+        # r10 (the r9/r10 isolated 100x gates breached the struct-min
+        # form's budget — its exchange carried one (dist, cent_id,
+        # emb[64]) struct PER VECTOR, and the crossJoin first
+        # materialized n_cells embedding-wide copies of every row): the
+        # argmin is now ROW-LOCAL — the 8 centroids collect into ONE
+        # broadcast array row and each vector folds its own candidate
+        # structs via array_min(transform(...)). array_min uses the same
+        # struct order (dist, then cent_id — the original window's
+        # tie-break) over the same round(L2, 6) values, so the winner is
+        # bit-identical, with ZERO vector-payload exchange per iteration:
+        # the only shuffle left is the means aggregate's map-side-combined
+        # (cell, d) partials.
+        cents_row = F.broadcast(
+            cent.agg(
+                F.expr(
+                    "array_sort(collect_list(struct(cent_id, c_emb)))"
+                ).alias("cents")
             )
-            .groupBy("vec_id")
-            .agg(F.min("s").alias("s"))
-            .select(F.col("s.cent_id").alias("cell"), F.col("s.emb").alias("emb"))
+        )
+        l2_c = _L2_SPARK.replace("c_emb", "c.c_emb")
+        assign = (
+            e.crossJoin(cents_row)
+            .select(
+                F.expr(
+                    "array_min(transform(cents, c -> "
+                    f"struct(round({l2_c}, 6) AS dist, "
+                    "c.cent_id AS cent_id)))"
+                ).alias("best"),
+                "emb",
+            )
+            .select(F.col("best.cent_id").alias("cell"), "emb")
         )
         means = (
             assign.select("cell", F.posexplode("emb").alias("p", "x"))
@@ -2058,7 +2090,18 @@ def _sem_ranked(spark, sf_dir):
     stride = F.broadcast(
         e.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).cast("bigint").alias("stride"))
     )
-    cent = F.broadcast(
+    # r10: ROW-LOCAL argmax (same rewrite as _ivf_assign / kmeans) — the
+    # ~sqrt(n) centroids collect into ONE broadcast array row and each
+    # vector folds its own candidate structs via array_max. Identical
+    # winner (struct order ccos desc then smallest cent_id via the
+    # negation, same round(...,6) values); the assignment is a pure
+    # projection — the former groupBy(vec_id) exchange carried one
+    # (ccos, neg_cent, emb[64], nrm) struct per vector, and the
+    # crossJoin materialized ~sqrt(n) embedding-wide copies of every
+    # row first. Cell balance is unchanged, so the Theta(n^1.5) pair
+    # bound in the docstring still holds; the only exchange left before
+    # the rank window is the window's own (cell) clustering.
+    cents_row = F.broadcast(
         e.crossJoin(stride)
         .where(F.col("vec_id") % F.col("stride") == 0)
         .select(
@@ -2066,32 +2109,33 @@ def _sem_ranked(spark, sf_dir):
             F.col("emb").alias("c_emb"),
             F.col("nrm").alias("c_nrm"),
         )
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(cent_id, c_emb, c_nrm)))"
+            ).alias("cents")
+        )
     )
-    # argmax as a map-side-combinable max over struct(ccos, -cent_id,
-    # payload) — identical winner to the former row_number window (ties
-    # break to the smallest cent_id via the negation), but the exchange
-    # carries ONE struct per vector instead of ~sqrt(n) candidate rows
-    # (each with the full embedding) through a window sort
-    # cell is derived as -neg_cent after the aggregate rather than carried
-    # as a second struct field (one long narrower per winner, ADVICE r9)
-    s = F.struct(
-        F.col("ccos").alias("ccos"),
-        (-F.col("cent_id")).alias("neg_cent"),
-        F.col("emb").alias("emb"),
-        F.col("nrm").alias("nrm"),
+    ccos_c = (
+        f"round({_DOT_SPARK.format(a='emb', b='c.c_emb')}"
+        " / (nrm * c.c_nrm), 6)"
     )
     assign = (
-        e.crossJoin(cent)
-        .withColumn("ccos", _ivf_ccos())
-        .select("vec_id", s.alias("s"))
-        .groupBy("vec_id")
-        .agg(F.max("s").alias("s"))
+        e.crossJoin(cents_row)
         .select(
             "vec_id",
-            F.col("s.emb").alias("emb"),
-            F.col("s.nrm").alias("nrm"),
-            (-F.col("s.neg_cent")).alias("cell"),
-            F.col("s.ccos").alias("ccos"),
+            "emb",
+            "nrm",
+            F.expr(
+                "array_max(transform(cents, c -> "
+                f"struct({ccos_c} AS ccos, -c.cent_id AS neg_cent)))"
+            ).alias("best"),
+        )
+        .select(
+            "vec_id",
+            "emb",
+            "nrm",
+            (-F.col("best.neg_cent")).alias("cell"),
+            F.col("best.ccos").alias("ccos"),
         )
     )
     wr = W.partitionBy("cell").orderBy(F.col("ccos").desc(), "vec_id")

@@ -42,7 +42,17 @@ BASE = "/root/testdata/sf0.1"
 #: plan's SHAPE changed (quadratic pair explosion, lost broadcast, lost
 #: candidate restriction), which noise never produces at this margin.
 GATE: dict[str, tuple[float, str]] = {
-    "near_dup_keep_best": (6.0, "documents"),
+    # keep_best: 6.0 was calibrated on the GROUPED protocol (full gate,
+    # one JVM — the committed r9 full-gate row measured 3.16x there,
+    # PASS) in the era when the LSH candidate pipeline rode stamped
+    # cross-run caches. Run ISOLATED post-de-cache it pays the whole
+    # MinHash+banding+verify+components+quality pipeline from the
+    # parquet inputs: the committed r9 isolated row measured 11.39x
+    # (47.6 s abs, clean probes). Same protocol split containment
+    # documents below (its 16 -> 25 isolated re-budget); budget =
+    # isolated measured x ~1.5. The r10 isolated row records the
+    # post-recalibration evidence.
+    "near_dup_keep_best": (18.0, "documents"),
     "near_dup_incremental": (6.0, "documents"),
     "jaccard_prefix_join": (13.0, "documents"),
     # containment: 16.0 was calibrated on the GROUPED protocol (full
