@@ -507,14 +507,20 @@ def test_certifying_prefix_is_stable():
         # families' in-window survivors are below — mapping inline in
         # queries/__init__.py)
         "bucketed_join_no_shuffle", "multimodal_real_codec",
-        "ipf_raking", "clustering_coefficient", "cms_join_size_estimate",
+        "ipf_raking", "cms_join_size_estimate",
         "scd2_point_in_time_join", "quantile_normalize_sources",
-        # r9 promotions that must hold until driver-certified: the two
-        # re-planned monitor queries + the fixed benford + the four NEW
-        # r9 oracles
-        "ks_two_sample", "mann_whitney_u", "benford_deviation",
+        # family survivors post-r10 rotation (mann_whitney_u /
+        # clustering_coefficient are r9-driver-certified and rotated
+        # out; ks_two_sample certifies the prefix-scan family,
+        # hits_scores the graph family)
+        "ks_two_sample", "benford_deviation",
         "psi_drift", "curation_pipeline_e2e", "exact_substring_dedup",
         "lsh_band_sweep_sampled", "retrieval_eval_ndcg",
+        # r10 promotions that must hold until driver-certified
+        "hits_scores", "classifier_auc", "cumulative_gains",
+        "gram_novelty_curve", "label_centroid_similarity",
+        "lang_confusion_matrix", "context_truncation_loss",
+        "conformal_anomaly_bound",
     }
     missing = must_have - set(_CERTIFYING)
     assert not missing, f"certifying window lost: {missing}"
